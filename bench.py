@@ -1,0 +1,69 @@
+"""Headline benchmark: runs the flagship queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
+JSON line with per-query wall seconds.
+
+Each query is forced to full execution with a count-style collect of the
+final plan (no driver-side materialization of wide data).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from big_data_project_spark.registry import QUERIES
+from big_data_project_spark.session import get_spark
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_unshipped",
+    "q5_supplier_volume",
+    "q6_revenue_delta",
+    "q10_returned_items",
+    "order_priority_count",
+    "top_customers_window",
+    "market_share",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = None
+    spark = get_spark("bench")
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = QUERIES.get(name)
+        if fn is None:
+            continue
+        # warm the reader metadata once so timings measure the query, not
+        # first-touch JVM setup
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.3f}s rows={n}", flush=True)
+
+    print(
+        json.dumps(
+            {
+                "metric": "total_headline_sec",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,30 @@
+"""Merged registry of every query operator and its DuckDB oracle SQL.
+
+Modules contribute ``QUERIES`` ({name: fn(spark, sf_dir) -> DataFrame})
+and ``ORACLES`` ({name: ANSI SQL}); names must be globally unique.
+Queries without an oracle get the driver's weaker rows-only check
+(documented per-query in SURVEY.md §2).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .operators import tpch
+
+_MODULES = [tpch]
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+for _mod in _MODULES:
+    for _name, _fn in _mod.QUERIES.items():
+        if _name in QUERIES:
+            raise ValueError(f"duplicate query name: {_name}")
+        QUERIES[_name] = _fn
+    for _name, _sql in getattr(_mod, "ORACLES", {}).items():
+        if _name not in _mod.QUERIES:
+            raise ValueError(f"oracle without query: {_name}")
+        ORACLES[_name] = _sql

@@ -12,9 +12,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .operators import tpch
+from .operators import headway, hourly, kpi, tpch
 
-_MODULES = [tpch]
+_MODULES = [tpch, hourly, headway, kpi]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}

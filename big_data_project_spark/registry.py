@@ -12,9 +12,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .operators import headway, hourly, kpi, tpch
+from .operators import headway, hourly, kpi, suggestions, tpch
 
-_MODULES = [tpch, hourly, headway, kpi]
+_MODULES = [tpch, hourly, headway, kpi, suggestions]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}

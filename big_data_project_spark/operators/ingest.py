@@ -1,0 +1,81 @@
+"""Ingestion-hygiene operators: referential-integrity filtering and
+key-dedup, the distributed form of the reference's GTFS validation step.
+
+Parity: process() in /root/reference/src/dag/gtfs-static-job.py:101-164
+(trips⋉routes, stop_times⋉trips⋉stops semi-join filtering followed by
+drop_duplicates on the natural keys). Here the fact table is lineitem
+and the dims are orders/part/supplier.
+
+Scale: left-semi joins never materialize the dim payload; dims are
+broadcast; dedup shuffles once on the natural key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+
+# Duplicate natural keys can carry different payloads, so the surviving
+# row must be picked by a total order for the result to be deterministic
+# (dropDuplicates keeps an arbitrary row — fine for idempotence, not for
+# cross-engine parity).
+_TIEBREAK = ["l_partkey", "l_suppkey", "l_quantity", "l_extendedprice",
+             "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+             "l_shipdate"]
+
+
+def referential_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey")
+    filtered = (
+        li.join(
+            F.broadcast(orders), li.l_orderkey == orders.o_orderkey, "left_semi"
+        )
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey, "left_semi")
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey, "left_semi")
+    )
+    w = Window.partitionBy("l_orderkey", "l_linenumber").orderBy(
+        *[F.asc(c) for c in _TIEBREAK]
+    )
+    filtered = (
+        filtered.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return filtered.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+QUERIES = {"referential_filter": referential_filter}
+
+ORACLES = {
+    "referential_filter": """
+        WITH f AS (
+          SELECT l.* FROM lineitem l
+          WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+            AND EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+            AND EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
+        ),
+        d AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY l_orderkey, l_linenumber
+              ORDER BY l_partkey, l_suppkey, l_quantity, l_extendedprice,
+                       l_discount, l_tax, l_returnflag, l_linestatus,
+                       l_shipdate
+            ) AS rn FROM f
+          ) t WHERE rn = 1
+        )
+        SELECT l_returnflag,
+               count(*) AS n_rows,
+               count(DISTINCT l_orderkey) AS n_orders
+        FROM d GROUP BY l_returnflag
+    """,
+}

@@ -12,9 +12,18 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .operators import headway, hourly, kpi, suggestions, tpch
+from .operators import (
+    geo,
+    headway,
+    hourly,
+    ingest,
+    kpi,
+    suggestions,
+    tpch,
+    validation,
+)
 
-_MODULES = [tpch, hourly, headway, kpi, suggestions]
+_MODULES = [tpch, hourly, headway, kpi, suggestions, validation, geo, ingest]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}

@@ -1,0 +1,345 @@
+"""Document deduplication: exact-hash, exact n-gram Jaccard, MinHash-LSH,
+and SimHash — the LLM-training-data operators layered on the reference's
+dedup hygiene (drop_duplicates in gtfs-static-job.py:140-145 is the
+reference's only dedup; these are its content-aware scale-out forms).
+
+Portability: every hash is md5-derived (identical across engines) with
+the top 60 bits taken as a BIGINT; shingling uses 1-based indexing in
+both dialects.
+
+Scale design:
+- Shingling/hashing is map-side only.
+- MinHash aggregates 16 signatures in ONE shuffle per doc; LSH banding
+  turns candidate generation into an equi-join on (band_idx, band_val) —
+  never a cross join. Candidate pairs are verified with exact Jaccard.
+- SimHash candidates come from a 4×8-bit band equi-join; by pigeonhole
+  any pair within hamming distance 3 shares at least one band, so the
+  banded plan returns EXACTLY the brute-force result (the oracle is the
+  brute-force form — recall 1.0 is provable, not hoped for).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+TAU = 0.8  # exact-Jaccard duplicate threshold
+MINHASH_N = 16
+BANDS = 8  # 8 bands x 2 rows
+SIM_BITS = 32
+SIM_BANDS = 4  # 4 bands x 8 bits -> exact for hamming <= 3
+HAMMING_MAX = 3
+
+
+def _norm(c: Column) -> Column:
+    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+
+def _hash60(c: Column) -> Column:
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+_SQL_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh): distinct 3-gram word shingles per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(_norm(F.col("text")), " ")
+    sh = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i),
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+        ),
+    )
+    return (
+        docs.filter(F.size(toks) >= 3)
+        .select("doc_id", F.explode(F.array_distinct(sh)).alias("sh"))
+    )
+
+
+_SQL_SHINGLES = f"""
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+             range(1, greatest(len(toks) - 1, 1)),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+           ))) AS sh
+    FROM (SELECT doc_id, string_split({_SQL_NORM}, ' ') AS toks
+          FROM documents) d
+    WHERE len(toks) >= 3
+"""
+
+
+def _jaccard_pairs(shingles: DataFrame) -> DataFrame:
+    """Exact pairwise Jaccard over the shingle sets (equi-join on the
+    shingle value, never a cross join)."""
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(F.broadcast(sa), F.col("a_id") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("b_id") == F.col("sb.doc_id"))
+        .select(
+            "a_id",
+            "b_id",
+            (
+                F.col("i").cast("double")
+                / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+_SQL_JACCARD_PAIRS = f"""
+    WITH s AS ({_SQL_SHINGLES}),
+    sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+      FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT a_id, b_id,
+           CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+    FROM inter
+    JOIN sz sa ON sa.doc_id = a_id
+    JOIN sz sb ON sb.doc_id = b_id
+"""
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5 of whitespace-normalized text, keep min doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.md5(_norm(F.col("text"))).alias("doc_hash"))
+        .groupBy("doc_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+    )
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact 3-gram Jaccard >= TAU."""
+    pairs = _jaccard_pairs(_shingles(spark, sf_dir))
+    return pairs.filter(F.col("jaccard") >= TAU).select(
+        "a_id", "b_id", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates (16 sigs, 8 bands x 2) verified by exact
+    Jaccard >= TAU. The oracle runs the identical LSH, so band recall is
+    part of the checked contract."""
+    sh = _shingles(spark, sf_dir)
+    mh = sh.groupBy("doc_id").agg(
+        *[
+            F.min(_hash60(F.concat(F.lit(f"{j}:"), F.col("sh")))).alias(f"m{j}")
+            for j in range(MINHASH_N)
+        ]
+    )
+    band_cols = F.array(
+        *[
+            F.concat_ws(
+                ",", F.col(f"m{2 * k}"), F.col(f"m{2 * k + 1}")
+            )
+            for k in range(BANDS)
+        ]
+    )
+    bands = mh.select(
+        "doc_id", F.posexplode(band_cols).alias("band_idx", "band_val")
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .distinct()
+    )
+    pairs = _jaccard_pairs(_shingles(spark, sf_dir))
+    return (
+        cand.join(pairs, ["a_id", "b_id"])
+        .filter(F.col("jaccard") >= TAU)
+        .select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def _simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per doc from shingle hashes."""
+    sh = _shingles(spark, sf_dir).withColumn(
+        "h", _hash60(F.col("sh"))
+    )
+    bit_sums = sh.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1,
+                    1,
+                ).otherwise(-1)
+            ).alias(f"c{b}")
+            for b in range(SIM_BITS)
+        ]
+    )
+    sim = None
+    for b in range(SIM_BITS):
+        term = F.when(F.col(f"c{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sim = term if sim is None else sim + term
+    return bit_sums.select("doc_id", sim.alias("simhash"))
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs with SimHash hamming distance <= HAMMING_MAX.
+
+    Candidates via 4x8-bit band equi-join — provably complete for
+    hamming <= 3 (pigeonhole), so this equals the brute-force oracle.
+    """
+    sim = _simhash(spark, sf_dir)
+    band_arr = F.array(
+        *[
+            F.shiftright(F.col("simhash"), 8 * k).bitwiseAND(F.lit(255))
+            for k in range(SIM_BANDS)
+        ]
+    )
+    bands = sim.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(band_arr).alias("band_idx", "band_val"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= HAMMING_MAX)
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+}
+
+
+def _sql_hash60(expr: str) -> str:
+    return f"(('0x' || substr(md5({expr}), 1, 15)))::BIGINT"
+
+
+_SQL_MINHASH_AGGS = ",\n           ".join(
+    "min({h}) AS m{j}".format(h=_sql_hash60(f"'{j}:' || sh"), j=j)
+    for j in range(MINHASH_N)
+)
+
+_SQL_BANDS = "\n      UNION ALL\n".join(
+    f"      SELECT doc_id, {k} AS band_idx, "
+    f"(m{2 * k}::VARCHAR || ',' || m{2 * k + 1}::VARCHAR) AS band_val FROM mh"
+    for k in range(BANDS)
+)
+
+_SQL_MINHASH_LSH = f"""
+    WITH s AS ({_SQL_SHINGLES}),
+    mh AS (
+      SELECT doc_id,
+           {_SQL_MINHASH_AGGS}
+      FROM s GROUP BY doc_id
+    ),
+    bands AS (
+{_SQL_BANDS}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM bands a
+      JOIN bands b ON a.band_idx = b.band_idx
+                  AND a.band_val = b.band_val
+                  AND a.doc_id < b.doc_id
+    ),
+    pairs AS ({_SQL_JACCARD_PAIRS})
+    SELECT p.a_id, p.b_id, round(p.jaccard, 6) AS jaccard
+    FROM cand c JOIN pairs p ON p.a_id = c.a_id AND p.b_id = c.b_id
+    WHERE p.jaccard >= {TAU}
+"""
+
+_SQL_SIM_BIT_SUMS = ",\n           ".join(
+    f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS c{b}"
+    for b in range(SIM_BITS)
+)
+
+_SQL_SIM_TERMS = "\n             + ".join(
+    f"(CASE WHEN c{b} > 0 THEN {1 << b}::BIGINT ELSE 0::BIGINT END)"
+    for b in range(SIM_BITS)
+)
+
+_SQL_SIMHASH = f"""
+    WITH s AS ({_SQL_SHINGLES}),
+    hashed AS (SELECT doc_id, {_sql_hash60('sh')} AS h FROM s),
+    bs AS (
+      SELECT doc_id,
+           {_SQL_SIM_BIT_SUMS}
+      FROM hashed GROUP BY doc_id
+    ),
+    sim AS (
+      SELECT doc_id,
+             {_SQL_SIM_TERMS} AS simhash
+      FROM bs
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+"""
+
+ORACLES = {
+    "dedup_exact": f"""
+        SELECT md5({_SQL_NORM}) AS doc_hash,
+               count(*) AS n_docs,
+               min(doc_id) AS keep_doc_id
+        FROM documents
+        GROUP BY 1
+    """,
+    "dedup_ngram_jaccard": f"""
+        SELECT a_id, b_id, round(jaccard, 6) AS jaccard
+        FROM ({_SQL_JACCARD_PAIRS}) p WHERE jaccard >= {TAU}
+    """,
+    "dedup_minhash_lsh": _SQL_MINHASH_LSH,
+    "dedup_simhash": _SQL_SIMHASH,
+}

@@ -13,6 +13,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from .operators import (
+    dedup,
     geo,
     headway,
     hourly,
@@ -23,7 +24,17 @@ from .operators import (
     validation,
 )
 
-_MODULES = [tpch, hourly, headway, kpi, suggestions, validation, geo, ingest]
+_MODULES = [
+    tpch,
+    hourly,
+    headway,
+    kpi,
+    suggestions,
+    validation,
+    geo,
+    ingest,
+    dedup,
+]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}

@@ -1,0 +1,249 @@
+"""Similarity search over the ``embeddings`` table (vec_id, embedding
+array<float>, label).
+
+The reference has no vector ops (its "similarity" surface is the demand
+model's feature space, src/ml/train_predict.py); these are the
+LLM-training-data operators the brief adds as first-class components.
+
+- ``embedding_norms``: L2 norm per vector via F.aggregate (JVM-side,
+  codegen; no UDF).
+- ``ann_cosine_topk``: brute-force cosine top-k — the small query set is
+  broadcast over the corpus, so the plan is one map-side pass over the
+  corpus plus a per-query top-k (embarrassingly parallel at 100 TB).
+- ``ann_lsh_topk``: random-hyperplane LSH. Hyperplane weights are
+  md5-derived (deterministic across engines), so even the LSH path has a
+  full DuckDB oracle — bucketing both sides turns candidate generation
+  into an equi-join on the bucket id; no cross join at any scale.
+
+Portability: all arithmetic in double; cosine rounded to 9 dp before
+ranking (cross-engine float noise is ~1e-15, real gaps are >1e-9) with
+vec_id tie-break, displayed at 6 dp; hyperplane projections rounded to
+9 dp before the sign test for the same reason.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+N_QUERIES = 10  # vec_id < 10 are the query vectors
+TOP_K = 5
+PLANES = 8  # LSH: 8 random hyperplanes -> 256 buckets
+_SCALE = float(1 << 59)  # hash60 -> [-1, 1)
+
+
+def _hash60(c: Column) -> Column:
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+_SQL_HASH60 = "(('0x' || substr(md5({e}), 1, 15)))::BIGINT"
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 norm and dimensionality per vector."""
+    v = _vectors(spark, sf_dir)
+    return v.select(
+        "vec_id",
+        F.size("e").alias("dim"),
+        F.round(_norm(F.col("e")), 6).alias("l2_norm"),
+    )
+
+
+def _topk(pairs: DataFrame) -> DataFrame:
+    """Rank candidate pairs per query: stable cross-engine ordering via
+    9-dp-rounded cosine with vec_id tie-break."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("cos"), 9).desc(), F.col("match_id").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "match_id",
+            F.round("cos", 6).alias("cosine"),
+            "rank",
+        )
+    )
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k cosine neighbours: broadcast the query set over the
+    corpus (one scan, no shuffle until the tiny per-query top-k)."""
+    v = _vectors(spark, sf_dir)
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    c = v.select(F.col("vec_id").alias("match_id"), F.col("e").alias("ce"))
+    pairs = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("match_id"))
+        .select(
+            "query_id",
+            "match_id",
+            (
+                _dot(F.col("qe"), F.col("ce"))
+                / (_norm(F.col("qe")) * _norm(F.col("ce")))
+            ).alias("cos"),
+        )
+    )
+    return _topk(pairs)
+
+
+def _buckets(v: DataFrame) -> DataFrame:
+    """Random-hyperplane LSH bucket per vector. Weight of plane p at dim
+    d is md5-derived: hash60(p ':' d) / 2^59 - 1  (uniform in [-1, 1)).
+    Map-side explode (dims x planes), one shuffle on (vec_id, plane),
+    one on vec_id."""
+    dims = v.select("vec_id", F.posexplode("e").alias("d", "x"))
+    planed = dims.select(
+        "vec_id",
+        "d",
+        "x",
+        F.explode(F.array(*[F.lit(p) for p in range(PLANES)])).alias("p"),
+    )
+    w = (
+        _hash60(
+            F.concat_ws(
+                ":", F.col("p").cast("string"), F.col("d").cast("string")
+            )
+        )
+        / F.lit(_SCALE)
+        - F.lit(1.0)
+    )
+    proj = planed.groupBy("vec_id", "p").agg(
+        F.sum(F.col("x") * w).alias("proj")
+    )
+    bit = F.when(F.round(F.col("proj"), 9) > 0, 1).otherwise(0)
+    return proj.groupBy("vec_id").agg(
+        F.sum(bit * F.expr("shiftleft(1, p)")).alias("bucket")
+    )
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: candidates share an LSH bucket with the query
+    (equi-join on bucket id), then exact cosine + rank on candidates."""
+    v = _vectors(spark, sf_dir)
+    b = _buckets(v)
+    vb = v.join(b, "vec_id")
+    q = vb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        "bucket",
+    )
+    c = vb.select(
+        F.col("vec_id").alias("match_id"), F.col("e").alias("ce"), "bucket"
+    )
+    pairs = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("match_id"))
+        .select(
+            "query_id",
+            "match_id",
+            (
+                _dot(F.col("qe"), F.col("ce"))
+                / (_norm(F.col("qe")) * _norm(F.col("ce")))
+            ).alias("cos"),
+        )
+    )
+    return _topk(pairs)
+
+
+QUERIES = {
+    "embedding_norms": embedding_norms,
+    "ann_cosine_topk": ann_cosine_topk,
+    "ann_lsh_topk": ann_lsh_topk,
+}
+
+_SQL_V = "SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings"
+
+_SQL_TOPK = f"""
+    SELECT query_id, match_id, round(cos, 6) AS cosine, rank
+    FROM (
+      SELECT query_id, match_id, cos,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY round(cos, 9) DESC, match_id ASC
+             ) AS rank
+      FROM pairs
+    ) r
+    WHERE rank <= {TOP_K}
+"""
+
+_SQL_BUCKETS = f"""
+      SELECT vec_id, sum(bit * (1 << p))::BIGINT AS bucket
+      FROM (
+        SELECT vec_id, p,
+               CASE WHEN round(sum(x * w), 9) > 0 THEN 1 ELSE 0 END AS bit
+        FROM (
+          SELECT dims.vec_id, dims.d, dims.x, pl.range AS p,
+                 {_SQL_HASH60.format(
+                     e="pl.range::VARCHAR || ':' || dims.d::VARCHAR"
+                 )} / {_SCALE} - 1.0 AS w
+          FROM (
+            SELECT vec_id, unnest(range(len(e))) AS d, unnest(e) AS x
+            FROM v
+          ) dims, range(0, {PLANES}) pl
+        ) planed
+        GROUP BY vec_id, p
+      ) proj
+      GROUP BY vec_id
+"""
+
+ORACLES = {
+    "embedding_norms": f"""
+        SELECT vec_id, len(e) AS dim,
+               round(sqrt(list_dot_product(e, e)), 6) AS l2_norm
+        FROM ({_SQL_V}) v
+    """,
+    "ann_cosine_topk": f"""
+        WITH v AS ({_SQL_V}),
+        pairs AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+                 list_dot_product(q.e, c.e)
+                   / (sqrt(list_dot_product(q.e, q.e))
+                      * sqrt(list_dot_product(c.e, c.e))) AS cos
+          FROM v q JOIN v c ON q.vec_id < {N_QUERIES}
+                           AND q.vec_id <> c.vec_id
+        )
+        {_SQL_TOPK}
+    """,
+    "ann_lsh_topk": f"""
+        WITH v AS ({_SQL_V}),
+        b AS (
+{_SQL_BUCKETS}
+        ),
+        pairs AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+                 list_dot_product(q.e, c.e)
+                   / (sqrt(list_dot_product(q.e, q.e))
+                      * sqrt(list_dot_product(c.e, c.e))) AS cos
+          FROM v q
+          JOIN b qb ON qb.vec_id = q.vec_id
+          JOIN b cb ON cb.bucket = qb.bucket
+          JOIN v c ON c.vec_id = cb.vec_id AND c.vec_id <> q.vec_id
+          WHERE q.vec_id < {N_QUERIES}
+        )
+        {_SQL_TOPK}
+    """,
+}

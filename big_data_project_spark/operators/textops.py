@@ -1,0 +1,251 @@
+"""Text analysis over the ``documents`` table: language-ID, quality
+scoring, token counting, fingerprinting, corpus stats.
+
+The reference's only text handling is GTFS CSV normalization
+(src/dag/gtfs-static-job.py:95-137 lowercases/strips ids); these are the
+LLM-training-data text operators the brief adds as first-class
+components.
+
+All hot paths are built-in column expressions (split / filter /
+regexp_count / md5) — whole-stage codegen, no Python UDFs. Each op is
+one map-side pass; ``doc_fingerprint`` and ``doc_stats`` add exactly one
+shuffle on their group key.
+
+Portability notes: token arrays come from the same whitespace
+normalization both engines see; regexes restricted to character classes
+that Java regex and RE2 treat identically; marker-set membership uses
+explicit IN lists.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .dedup import _SQL_NORM, _SQL_SHINGLES, _hash60, _norm, _shingles
+
+# Marker stopwords per language (argmax with fixed priority order below).
+MARKERS = {
+    "en": ("the", "a", "of", "and", "is"),
+    "es": ("el", "la", "de", "y", "es"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "de", "et", "est"),
+    "zh": ("de", "le", "shi", "he", "zai"),
+}
+LANG_ORDER = ("en", "es", "de", "fr", "zh")
+FINGERPRINT_K = 8
+_BPE_RE = "[a-z]+|[0-9]|[^a-z0-9 ]"
+
+
+def _toks(c: Column) -> Column:
+    return F.split(_norm(c), " ")
+
+
+_SQL_TOKS = f"string_split({_SQL_NORM}, ' ')"
+
+
+def _marker_score(toks: Column, lang: str) -> Column:
+    members = MARKERS[lang]
+    return F.size(F.filter(toks, lambda t: t.isin(*members)))
+
+
+def _sql_marker_score(lang: str) -> str:
+    inlist = ", ".join(f"'{m}'" for m in MARKERS[lang])
+    return f"len(list_filter(toks, t -> t IN ({inlist})))"
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID: score each language's marker set over
+    the token list; argmax with fixed priority order (ties -> earlier in
+    LANG_ORDER)."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "lang",
+        _toks(F.col("text")).alias("toks"),
+    )
+    scored = d.select(
+        "doc_id",
+        "lang",
+        *[
+            _marker_score(F.col("toks"), lg).alias(f"s_{lg}")
+            for lg in LANG_ORDER
+        ],
+    )
+    pred = None
+    for lg in reversed(LANG_ORDER):
+        cond = None
+        for other in LANG_ORDER:
+            if other == lg:
+                continue
+            c = F.col(f"s_{lg}") >= F.col(f"s_{other}")
+            cond = c if cond is None else (cond & c)
+        pred = (
+            F.when(cond, F.lit(lg))
+            if pred is None
+            else F.when(cond, F.lit(lg)).otherwise(pred)
+        )
+    best = F.greatest(*[F.col(f"s_{lg}") for lg in LANG_ORDER])
+    return scored.select(
+        "doc_id",
+        F.col("lang").alias("actual_lang"),
+        pred.alias("pred_lang"),
+        best.alias("marker_hits"),
+    )
+
+
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokens + BPE-ish regex tokens (letter runs, single
+    digits, single punctuation) per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(_toks(F.col("text"))).alias("ws_tokens"),
+        F.regexp_count(_norm(F.col("text")), F.lit(_BPE_RE)).alias(
+            "bpe_tokens"
+        ),
+    )
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality in [0,1]: length, token-count, stopword-density
+    and punctuation components, equally weighted."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        _norm(F.col("text")).alias("nt"),
+        _toks(F.col("text")).alias("toks"),
+    ).select(
+        "doc_id",
+        F.length("nt").alias("n_chars"),
+        F.size("toks").alias("n_toks"),
+        _marker_score(F.col("toks"), "en").alias("stops"),
+        F.regexp_count(F.col("nt"), F.lit("[^a-z0-9 ]")).alias("punct"),
+    )
+    len_c = F.least(F.lit(1.0), F.col("n_chars") / F.lit(500.0))
+    tok_c = F.least(F.lit(1.0), F.col("n_toks") / F.lit(100.0))
+    stop_c = F.least(
+        F.lit(1.0), F.col("stops") * F.lit(10.0) / F.col("n_toks")
+    )
+    punct_c = F.lit(1.0) - F.least(
+        F.lit(1.0), F.col("punct") * F.lit(5.0) / F.col("n_chars")
+    )
+    return d.select(
+        "doc_id",
+        F.round(len_c, 6).alias("len_component"),
+        F.round(stop_c, 6).alias("stop_component"),
+        F.round(
+            (len_c + tok_c + stop_c + punct_c) / F.lit(4.0), 6
+        ).alias("quality"),
+    )
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k sketch: the K smallest md5-derived 3-gram shingle hashes
+    per document, joined into a stable string (docs with >= 3 tokens)."""
+    sh = _shingles(spark, sf_dir).withColumn("h", _hash60(F.col("sh")))
+    return sh.groupBy("doc_id").agg(
+        F.concat_ws(
+            ",",
+            F.slice(F.sort_array(F.collect_list("h")), 1, FINGERPRINT_K),
+        ).alias("fingerprint"),
+        F.count(F.lit(1)).alias("n_shingles"),
+    )
+
+
+def doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (source, lang) corpus profile."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "source", "lang", "n_chars", F.size(_toks(F.col("text"))).alias("nt")
+    )
+    return d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.round(F.avg("nt"), 2).alias("avg_tokens"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+QUERIES = {
+    "lang_id": lang_id,
+    "token_count": token_count,
+    "quality_score": quality_score,
+    "doc_fingerprint": doc_fingerprint,
+    "doc_stats": doc_stats,
+}
+
+
+def _sql_pred_lang() -> str:
+    cases = []
+    for lg in LANG_ORDER[:-1]:
+        conds = " AND ".join(
+            f"s_{lg} >= s_{o}" for o in LANG_ORDER if o != lg
+        )
+        cases.append(f"WHEN {conds} THEN '{lg}'")
+    return "CASE " + " ".join(cases) + f" ELSE '{LANG_ORDER[-1]}' END"
+
+
+_SQL_SCORED = "SELECT doc_id, lang, " + ", ".join(
+    f"{_sql_marker_score(lg)} AS s_{lg}" for lg in LANG_ORDER
+) + f" FROM (SELECT doc_id, lang, {_SQL_TOKS} AS toks FROM documents) t"
+
+ORACLES = {
+    "lang_id": f"""
+        SELECT doc_id, lang AS actual_lang,
+               {_sql_pred_lang()} AS pred_lang,
+               greatest({", ".join(f"s_{lg}" for lg in LANG_ORDER)})
+                 AS marker_hits
+        FROM ({_SQL_SCORED}) s
+    """,
+    "token_count": f"""
+        SELECT doc_id,
+               len({_SQL_TOKS}) AS ws_tokens,
+               len(regexp_extract_all({_SQL_NORM}, '{_BPE_RE}'))
+                 AS bpe_tokens
+        FROM documents
+    """,
+    "quality_score": f"""
+        WITH d AS (
+          SELECT doc_id,
+                 len(nt) AS n_chars, len(toks) AS n_toks,
+                 {_sql_marker_score("en")} AS stops,
+                 len(regexp_extract_all(nt, '[^a-z0-9 ]')) AS punct
+          FROM (SELECT doc_id, {_SQL_NORM} AS nt, {_SQL_TOKS} AS toks
+                FROM documents) x
+        )
+        SELECT doc_id,
+               round(least(1.0, n_chars / 500.0), 6) AS len_component,
+               round(least(1.0, stops * 10.0 / n_toks), 6) AS stop_component,
+               round((least(1.0, n_chars / 500.0)
+                      + least(1.0, n_toks / 100.0)
+                      + least(1.0, stops * 10.0 / n_toks)
+                      + (1.0 - least(1.0, punct * 5.0 / n_chars))) / 4.0,
+                     6) AS quality
+        FROM d
+    """,
+    "doc_fingerprint": f"""
+        WITH s AS ({_SQL_SHINGLES}),
+        hashed AS (
+          SELECT doc_id, (('0x' || substr(md5(sh), 1, 15)))::BIGINT AS h
+          FROM s
+        )
+        SELECT doc_id,
+               array_to_string(
+                 (list_sort(list(h)))[1:{FINGERPRINT_K}], ',') AS fingerprint,
+               count(*) AS n_shingles
+        FROM hashed
+        GROUP BY doc_id
+    """,
+    "doc_stats": f"""
+        SELECT source, lang, count(*) AS n_docs,
+               round(avg(n_chars), 2) AS avg_chars,
+               round(avg(len({_SQL_TOKS})), 2) AS avg_tokens,
+               min(n_chars) AS min_chars,
+               max(n_chars) AS max_chars
+        FROM documents
+        GROUP BY source, lang
+    """,
+}

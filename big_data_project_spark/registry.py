@@ -19,7 +19,10 @@ from .operators import (
     hourly,
     ingest,
     kpi,
+    multimodal,
+    similarity,
     suggestions,
+    textops,
     tpch,
     validation,
 )
@@ -34,6 +37,9 @@ _MODULES = [
     geo,
     ingest,
     dedup,
+    similarity,
+    textops,
+    multimodal,
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

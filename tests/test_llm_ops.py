@@ -1,0 +1,124 @@
+"""Micro-frame unit tests with hand-computed answers for the
+LLM-training-data operators (dedup / similarity / textops / multimodal).
+The oracle-parity suite checks engine agreement; these check the
+*semantics* are the intended ones on inputs small enough to verify by
+hand.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_project_spark.operators import dedup, multimodal, similarity
+from big_data_project_spark.operators.dedup import _hash60, _jaccard_pairs
+
+from tests.conftest import SF_DIR
+
+
+def _shingle_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, sh string")
+
+
+def test_jaccard_pairs_exact(spark):
+    # doc 1: {a b c}, doc 2: {a b d}  -> |∩|=2, |∪|=4 -> 0.5
+    sh = _shingle_df(
+        spark,
+        [(1, "a"), (1, "b"), (1, "c"), (2, "a"), (2, "b"), (2, "d")],
+    )
+    rows = _jaccard_pairs(sh).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["a_id"], r["b_id"]) == (1, 2)
+    assert r["jaccard"] == pytest.approx(0.5)
+
+
+def test_hash60_matches_md5_prefix(spark):
+    got = spark.range(1).select(_hash60(F.lit("hello")).alias("h")).head()["h"]
+    want = int(hashlib.md5(b"hello").hexdigest()[:15], 16)
+    assert got == want
+
+
+def test_dedup_exact_finds_planted_duplicate(spark, tmp_path):
+    # Same text modulo case/whitespace must collapse to one hash group.
+    docs = spark.createDataFrame(
+        [
+            (1, "Spark  Rocks", "en", "s", 12),
+            (2, "spark rocks", "en", "s", 11),
+            (3, "something else", "en", "s", 14),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = tmp_path / "sf"
+    docs.write.parquet(str(d / "documents.parquet"))
+    out = {
+        r["keep_doc_id"]: r["n_docs"]
+        for r in dedup.dedup_exact(spark, str(d)).collect()
+    }
+    assert out == {1: 2, 3: 1}
+
+
+def test_minhash_lsh_recall_vs_bruteforce(spark):
+    """At sf0.001 LSH candidates must cover every brute-force pair >= TAU
+    (recall 1.0 at the threshold — SURVEY §2 #35's contract)."""
+    brute = {
+        (r["a_id"], r["b_id"])
+        for r in dedup.dedup_ngram_jaccard(spark, SF_DIR).collect()
+    }
+    lsh = {
+        (r["a_id"], r["b_id"])
+        for r in dedup.dedup_minhash_lsh(spark, SF_DIR).collect()
+    }
+    assert brute == lsh
+
+
+def test_cosine_topk_known_vectors(spark, tmp_path):
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 0),   # query
+            (10, [2.0, 0.0], 0),  # cos=1
+            (11, [1.0, 1.0], 0),  # cos=0.7071
+            (12, [0.0, 1.0], 0),  # cos=0
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    d = tmp_path / "sf"
+    emb.write.parquet(str(d / "embeddings.parquet"))
+    rows = similarity.ann_cosine_topk(spark, str(d)).collect()
+    by_rank = {r["rank"]: r for r in rows if r["query_id"] == 0}
+    assert by_rank[1]["match_id"] == 10
+    assert by_rank[1]["cosine"] == pytest.approx(1.0)
+    assert by_rank[2]["match_id"] == 11
+    assert by_rank[2]["cosine"] == pytest.approx(1 / math.sqrt(2), abs=1e-6)
+    assert by_rank[3]["match_id"] == 12
+    assert by_rank[3]["cosine"] == pytest.approx(0.0)
+
+
+def test_lsh_topk_subset_of_exact(spark):
+    """LSH neighbours are a subset of the corpus and every returned match
+    shares the query's bucket; ranks are contiguous from 1."""
+    out = similarity.ann_lsh_topk(spark, SF_DIR).collect()
+    assert out, "LSH returned nothing at sf0.001"
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_multimodal_decode_stub(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(0, "abc", "en", "s", 3)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = tmp_path / "sf"
+    docs.write.parquet(str(d / "documents.parquet"))
+    r = multimodal.multimodal_meta(spark, str(d)).head()
+    assert r["modality"] == "image"
+    assert r["byte_len"] == 3
+    assert r["payload_sha256"] == hashlib.sha256(b"abc").hexdigest()
+    assert r["fake_width"] == 16 + 3 % 64
+    assert r["fake_height"] == 16 + 21 % 64

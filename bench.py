@@ -24,6 +24,13 @@ HEADLINE = [
     "order_priority_count",
     "top_customers_window",
     "market_share",
+    "kpi_hourly",
+    "suggestions",
+    "headway_hourly",
+    "user_sessions",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "token_count",
 ]
 
 

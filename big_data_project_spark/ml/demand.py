@@ -1,0 +1,114 @@
+"""Next-hour demand model on pyspark.ml.
+
+Parity: /root/reference/src/ml/train_predict.py — label =
+per-route shift(-1) of hourly passengers, 80/20 time-ordered split,
+RandomForestRegressor, MAE; prediction table (route_id, hour_ts,
+y_true, y_pred) plus a run-metrics row.
+
+Spark-first deltas: the pandas read-all-rows + sklearn fit becomes a
+pyspark.ml Pipeline (VectorAssembler -> RandomForestRegressor) trained
+on a DataFrame that never leaves the cluster; the row-index 80/20 split
+becomes a time-threshold split (approxQuantile on the hour), which is
+the distributed equivalent of splitting the hour-ordered frame.
+
+Model outputs are seed-deterministic but not SQL-expressible, so these
+are *rows-only* entries (SURVEY §2 D48); the deterministic persistence
+baseline (operators/kpi.py::prediction_baseline) carries the
+oracle-checked share of the prediction surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.kpi import ml_dataset_hourly
+
+FEATURES = [
+    "trip_update_events",
+    "avg_delay_seconds",
+    "vehicle_events",
+    "temperature_c",
+    "precipitation_mm",
+    "wind_speed_mps",
+    "hour",
+    "day_of_week",
+    "is_peak",
+]
+MODEL_NAME = "rf_next_hour"
+MODEL_VERSION = "v1"
+SPLIT_RATIO = 0.8
+SEED = 42
+NUM_TREES = 50
+
+
+def training_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ml_dataset_hourly + next-hour label (per-route lead), rows with a
+    defined label only."""
+    ds = ml_dataset_hourly(spark, sf_dir)
+    w = Window.partitionBy("route_id").orderBy("hour_ts")
+    return (
+        ds.withColumn(
+            "passengers_next_hour", F.lead("passengers").over(w)
+        )
+        .filter(F.col("passengers_next_hour").isNotNull())
+    )
+
+
+def _split(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Time-threshold split at the SPLIT_RATIO quantile of the hour."""
+    cut = df.select(
+        F.unix_timestamp("hour_ts").alias("t")
+    ).approxQuantile("t", [SPLIT_RATIO], 0.0)[0]
+    train = df.filter(F.unix_timestamp("hour_ts") <= F.lit(cut))
+    test = df.filter(F.unix_timestamp("hour_ts") > F.lit(cut))
+    return train, test
+
+
+def _fit_predict(df: DataFrame) -> DataFrame:
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import RandomForestRegressor
+
+    train, test = _split(df)
+    assembler = VectorAssembler(inputCols=FEATURES, outputCol="features")
+    rf = RandomForestRegressor(
+        featuresCol="features",
+        labelCol="passengers_next_hour",
+        numTrees=NUM_TREES,
+        seed=SEED,
+    )
+    model = rf.fit(assembler.transform(train))
+    return model.transform(assembler.transform(test)).select(
+        "route_id",
+        "hour_ts",
+        F.col("passengers_next_hour").alias("y_true"),
+        F.round(F.col("prediction"), 4).alias("y_pred"),
+    )
+
+
+def rf_demand_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-split predictions (demand_predictions table analog)."""
+    return _fit_predict(training_frame(spark, sf_dir))
+
+
+def rf_demand_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-metrics row (ml_runs table analog): MAE/RMSE on the held-out
+    time split."""
+    preds = rf_demand_predictions(spark, sf_dir)
+    err = preds.select((F.col("y_pred") - F.col("y_true")).alias("e"))
+    return err.agg(
+        F.lit(MODEL_NAME).alias("model_name"),
+        F.lit(MODEL_VERSION).alias("model_version"),
+        F.count(F.lit(1)).alias("rows_test"),
+        F.lit(SPLIT_RATIO).alias("split_ratio"),
+        F.round(F.avg(F.abs(F.col("e"))), 4).alias("mae"),
+        F.round(F.sqrt(F.avg(F.col("e") * F.col("e"))), 4).alias("rmse"),
+    )
+
+
+QUERIES = {
+    "rf_demand_model": rf_demand_model,
+    "rf_demand_predictions": rf_demand_predictions,
+}
+
+ORACLES: dict[str, str] = {}  # rows-only: RF output is not SQL-expressible

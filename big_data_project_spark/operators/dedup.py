@@ -20,7 +20,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -28,6 +28,12 @@ from ..catalog import load_table
 TAU = 0.8  # exact-Jaccard duplicate threshold
 MINHASH_N = 16
 BANDS = 8  # 8 bands x 2 rows
+# Affine MinHash permutations over GF(p), p = 2^31-1: ONE md5 per shingle
+# (not one per signature), then m_j = min((A_j*h + B_j) mod p). h < p and
+# A_j < p keep every product within signed-64 exact range in both engines.
+MERSENNE_P = (1 << 31) - 1
+_MH_A = [((2 * j + 1) * 2654435761) % MERSENNE_P for j in range(MINHASH_N)]
+_MH_B = [(j * 40503 + 17) % MERSENNE_P for j in range(MINHASH_N)]
 SIM_BITS = 32
 SIM_BANDS = 4  # 4 bands x 8 bits -> exact for hamming <= 3
 HAMMING_MAX = 3
@@ -45,21 +51,29 @@ _SQL_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, sh): distinct 3-gram word shingles per document."""
+    """(doc_id, sh): distinct 3-gram word shingles per document.
+
+    Formulated as posexplode + lead windows rather than a higher-order
+    ``transform`` over the token array: a lambda that captures the
+    ``split()`` column re-evaluates the split per produced element
+    (O(tokens^2) work per doc — measured 8x slower at sf0.1), while the
+    exploded form tokenizes once and shuffles on doc_id only."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(_norm(F.col("text")), " ")
-    sh = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 2),
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(toks, i),
-            F.element_at(toks, i + 1),
-            F.element_at(toks, i + 2),
-        ),
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split(_norm(F.col("text")), " ")).alias("pos", "tok")
     )
+    w = Window.partitionBy("doc_id").orderBy("pos")
     return (
-        docs.filter(F.size(toks) >= 3)
-        .select("doc_id", F.explode(F.array_distinct(sh)).alias("sh"))
+        tok.select(
+            "doc_id",
+            F.concat_ws(
+                " ", "tok", F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
+            ).alias("sh"),
+            F.lead("tok", 2).over(w).alias("t2"),
+        )
+        .filter(F.col("t2").isNotNull())
+        .select("doc_id", "sh")
+        .distinct()
     )
 
 
@@ -73,6 +87,17 @@ _SQL_SHINGLES = f"""
           FROM documents) d
     WHERE len(toks) >= 3
 """
+
+
+def _persisted(df: DataFrame) -> DataFrame:
+    """MEMORY_AND_DISK-persist a relation the plan consumes several
+    times. Spark re-executes shared subplans per use (no automatic CTE
+    materialization), so the pair ops below would otherwise tokenize the
+    corpus 3-4x; at cluster scale this is the step you'd persist or
+    checkpoint to the shuffle store anyway."""
+    from pyspark import StorageLevel
+
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
 
 
 def _jaccard_pairs(shingles: DataFrame) -> DataFrame:
@@ -139,7 +164,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by exact 3-gram Jaccard >= TAU."""
-    pairs = _jaccard_pairs(_shingles(spark, sf_dir))
+    pairs = _jaccard_pairs(_persisted(_shingles(spark, sf_dir)))
     return pairs.filter(F.col("jaccard") >= TAU).select(
         "a_id", "b_id", F.round("jaccard", 6).alias("jaccard")
     )
@@ -148,14 +173,27 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidates (16 sigs, 8 bands x 2) verified by exact
     Jaccard >= TAU. The oracle runs the identical LSH, so band recall is
-    part of the checked contract."""
-    sh = _shingles(spark, sf_dir)
-    mh = sh.groupBy("doc_id").agg(
+    part of the checked contract.
+
+    Unlike ``dedup_ngram_jaccard`` (the brute-force baseline), the
+    exact-Jaccard verification here touches ONLY the candidate pairs:
+    shingles are joined back through the candidate list, so the
+    verify cost scales with |candidates| x shingles-per-doc, never with
+    all same-shingle pairs (that distinction is the whole point of LSH
+    at 100 TB)."""
+    sh = _persisted(_shingles(spark, sf_dir))
+    h31 = (_hash60(F.col("sh")) % MERSENNE_P).alias("h31")
+    hashed = sh.select("doc_id", "sh", h31)
+    mh = hashed.groupBy("doc_id").agg(
         *[
-            F.min(_hash60(F.concat(F.lit(f"{j}:"), F.col("sh")))).alias(f"m{j}")
+            F.min(
+                (F.lit(_MH_A[j]) * F.col("h31") + F.lit(_MH_B[j]))
+                % MERSENNE_P
+            ).alias(f"m{j}")
             for j in range(MINHASH_N)
         ]
     )
+    mh = _persisted(mh)  # consumed twice by the band self-join
     band_cols = F.array(
         *[
             F.concat_ws(
@@ -181,9 +219,28 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    pairs = _jaccard_pairs(_shingles(spark, sf_dir))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sh.select(F.col("doc_id").alias("a_id"), "sh")
+    sb = sh.select(F.col("doc_id").alias("b_id"), "sh")
+    inter = (
+        cand.join(sa, "a_id")
+        .join(sb, ["b_id", "sh"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    za = sizes.alias("za")
+    zb = sizes.alias("zb")
     return (
-        cand.join(pairs, ["a_id", "b_id"])
+        inter.join(F.broadcast(za), F.col("a_id") == F.col("za.doc_id"))
+        .join(F.broadcast(zb), F.col("b_id") == F.col("zb.doc_id"))
+        .select(
+            "a_id",
+            "b_id",
+            (
+                F.col("i").cast("double")
+                / (F.col("za.n") + F.col("zb.n") - F.col("i"))
+            ).alias("jaccard"),
+        )
         .filter(F.col("jaccard") >= TAU)
         .select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
     )
@@ -220,7 +277,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Candidates via 4x8-bit band equi-join — provably complete for
     hamming <= 3 (pigeonhole), so this equals the brute-force oracle.
     """
-    sim = _simhash(spark, sf_dir)
+    sim = _persisted(_simhash(spark, sf_dir))  # tiny (one row per doc)
     band_arr = F.array(
         *[
             F.shiftright(F.col("simhash"), 8 * k).bitwiseAND(F.lit(255))
@@ -266,7 +323,7 @@ def _sql_hash60(expr: str) -> str:
 
 
 _SQL_MINHASH_AGGS = ",\n           ".join(
-    "min({h}) AS m{j}".format(h=_sql_hash60(f"'{j}:' || sh"), j=j)
+    f"min(({_MH_A[j]} * h31 + {_MH_B[j]}) % {MERSENNE_P}) AS m{j}"
     for j in range(MINHASH_N)
 )
 
@@ -278,10 +335,13 @@ _SQL_BANDS = "\n      UNION ALL\n".join(
 
 _SQL_MINHASH_LSH = f"""
     WITH s AS ({_SQL_SHINGLES}),
+    hashed AS (
+      SELECT doc_id, sh, {_sql_hash60("sh")} % {MERSENNE_P} AS h31 FROM s
+    ),
     mh AS (
       SELECT doc_id,
            {_SQL_MINHASH_AGGS}
-      FROM s GROUP BY doc_id
+      FROM hashed GROUP BY doc_id
     ),
     bands AS (
 {_SQL_BANDS}

@@ -143,8 +143,10 @@ def _buckets(v: DataFrame) -> DataFrame:
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k: candidates share an LSH bucket with the query
     (equi-join on bucket id), then exact cosine + rank on candidates."""
+    from .dedup import _persisted
+
     v = _vectors(spark, sf_dir)
-    b = _buckets(v)
+    b = _persisted(_buckets(v))  # consumed by both join sides
     vb = v.join(b, "vec_id")
     q = vb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),

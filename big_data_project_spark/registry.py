@@ -26,6 +26,9 @@ from .operators import (
     tpch,
     validation,
 )
+from .ml import demand
+from .sources import generators, jsonfeed
+from .streaming import pipeline as streaming_pipeline
 
 _MODULES = [
     tpch,
@@ -40,6 +43,10 @@ _MODULES = [
     similarity,
     textops,
     multimodal,
+    generators,
+    jsonfeed,
+    streaming_pipeline,
+    demand,
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

@@ -1,0 +1,222 @@
+"""Structured Streaming pipeline over the realtime feed.
+
+Parity: the reference's Kafka -> Postgres path
+(/root/reference/src/gtfs-realtime-poller/poller.py +
+src/db-ingestion-service/ingestor.py) feeding the hourly SQL views.
+Spark-first: the poller/consumer/upsert chain collapses into
+``readStream -> windowed agg -> writeStream``; watermarks bound state
+where the reference relied on Postgres upserts; a swap of
+``.parquet(dir)`` for ``.format("kafka")`` changes the source without
+touching the plan.
+
+Sessionization comes in two forms with identical semantics:
+- ``sessionize_batch`` (also the oracle-checked ``user_sessions`` query):
+  gap-based sessions via lag + cumulative session ids — two window
+  passes over one (user_id) shuffle.
+- ``sessionize_stream``: applyInPandasWithState keeps one open session
+  per user as state; closed sessions are emitted when the gap is
+  exceeded. State is bounded by the user-key cardinality, and at 100 TB
+  the state store shards on user_id across executors.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from ..catalog import load_table
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+SESSION_GAP_MINUTES = 30
+WATERMARK = "2 hours"
+
+
+def stream_events_hourly(
+    spark: SparkSession, events_dir: str, watermark: str = WATERMARK
+) -> DataFrame:
+    """File-streaming twin of operators/hourly.py::events_hourly +
+    delay_hourly: tumbling 1-hour windows per route with a watermark for
+    late data."""
+    src = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
+    return (
+        src.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", "1 hour").alias("win"),
+            F.col("event_type").alias("route_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("vehicle_events"),
+            F.round(F.avg("value"), 4).alias("avg_delay_seconds"),
+        )
+        .select(
+            F.col("win.start").alias("hour_ts"),
+            "route_id",
+            "vehicle_events",
+            "avg_delay_seconds",
+        )
+    )
+
+
+def run_available_now(
+    sdf: DataFrame, query_name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Drain the stream with the availableNow trigger into a memory sink
+    and return the materialized result (batch-equivalence harness)."""
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sdf.sparkSession.table(query_name)
+
+
+_SESSION_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+_SESSION_STATE = StructType(
+    [
+        StructField("start", LongType()),   # epoch micros
+        StructField("last", LongType()),
+        StructField("n", LongType()),
+        StructField("total", DoubleType()),
+    ]
+)
+
+
+def _sessionize_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    gap = SESSION_GAP_MINUTES * 60 * 1_000_000
+    (user_id,) = key
+    if state.exists:
+        start, last, n, total = state.get
+    else:
+        start = last = n = None
+        total = 0.0
+    closed: list[tuple] = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values("ts")
+        for ts, value in zip(pdf["ts"], pdf["value"]):
+            t = int(ts.value // 1000)  # ns -> us
+            if start is None:
+                start, last, n, total = t, t, 1, float(value)
+            elif t - last > gap:
+                closed.append((user_id, start, last, n, total))
+                start, last, n, total = t, t, 1, float(value)
+            else:
+                last = max(last, t)
+                n += 1
+                total += float(value)
+    state.update((start, last, n, total))
+    if closed:
+        out = pd.DataFrame(
+            closed,
+            columns=[
+                "user_id", "session_start", "session_end",
+                "n_events", "total_value",
+            ],
+        )
+        out["session_start"] = pd.to_datetime(out["session_start"], unit="us")
+        out["session_end"] = pd.to_datetime(out["session_end"], unit="us")
+        yield out
+
+
+def sessionize_stream(sdf: DataFrame) -> DataFrame:
+    """Stateful gap-based sessionization; emits a session once a larger
+    gap arrives for that user (the still-open session stays in state)."""
+    return sdf.groupBy("user_id").applyInPandasWithState(
+        _sessionize_fn,
+        outputStructType=_SESSION_OUT,
+        stateStructType=_SESSION_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin: lag -> gap flag -> cumulative session id -> aggregate.
+    One shuffle on user_id; both windows reuse the same partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.lit(SESSION_GAP_MINUTES * 60)
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(
+            F.unix_timestamp("ts")
+            - F.unix_timestamp(F.lag("ts").over(w))
+            > gap,
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("is_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
+QUERIES = {"user_sessions": sessionize_batch}
+
+ORACLES = {
+    "user_sessions": f"""
+        WITH flagged AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN epoch(ts) - epoch(
+                        lag(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id))
+                      > {SESSION_GAP_MINUTES * 60}
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events
+        ),
+        sessions AS (
+          SELECT user_id, ts, value,
+                 sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM flagged
+        )
+        SELECT user_id, session_id,
+               min(ts) AS session_start,
+               max(ts) AS session_end,
+               count(*) AS n_events,
+               round(sum(value), 4) AS total_value
+        FROM sessions
+        GROUP BY user_id, session_id
+    """,
+}

@@ -1,0 +1,223 @@
+"""Tests for the source modules (GTFS static, JSON feeds), the export
+writers, Structured Streaming batch-equivalence, stateful
+sessionization, and the pyspark.ml demand model."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_project_spark.catalog import load_table
+from big_data_project_spark.ml import demand
+from big_data_project_spark.plans import exports
+from big_data_project_spark.sources import gtfs, jsonfeed
+from big_data_project_spark.streaming import pipeline
+
+from tests.conftest import SF_DIR
+
+# ---------------------------------------------------------------- GTFS
+
+
+@pytest.fixture(scope="module")
+def gtfs_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("gtfs")
+    (d / "routes.txt").write_text(
+        "route_id,route_short_name\nR1 ,10\nR2,20\nR2,20b\n"
+    )
+    (d / "stops.txt").write_text(
+        "stop_id,stop_name,stop_lat,stop_lon\nS1,Alpha,44.1,26.0\n"
+        "S2,Beta,44.2,26.1\n"
+    )
+    (d / "trips.txt").write_text(
+        "trip_id,route_id,service_id\nT1,R1,C1\nT2,R2,C1\n"
+        "T3,MISSING,C1\nT4,R1,NOSVC\n"
+    )
+    (d / "stop_times.txt").write_text(
+        "trip_id,stop_id,stop_sequence\nT1,S1,1\nT1,S2,2\nT1,S2,2\n"
+        "T2,S1,1\nT3,S1,1\nT1,GHOST,3\n"
+    )
+    (d / "calendar.txt").write_text("service_id,monday\nC1,1\n")
+    return str(d)
+
+
+def test_gtfs_referential_filtering_and_dedup(spark, gtfs_dir):
+    frames = gtfs.validate_gtfs(gtfs.read_gtfs(spark, gtfs_dir))
+    trips = {r["trip_id"] for r in frames["trips"].collect()}
+    # T3: unknown route; T4: unknown service
+    assert trips == {"T1", "T2"}
+    st = [
+        (r["trip_id"], r["stop_id"], r["stop_sequence"])
+        for r in frames["stop_times"].collect()
+    ]
+    # duplicate (T1,S2,2) collapsed; GHOST stop and T3 rows dropped.
+    # NB: stop_times keeps T3 out because the semi-join uses the
+    # *route-filtered* trips, mirroring the reference's filter order.
+    assert sorted(st) == [("T1", "S1", 1), ("T1", "S2", 2), ("T2", "S1", 1)]
+    assert frames["stop_times"].schema["stop_sequence"].dataType.simpleString() == "int"
+    routes = {r["route_id"] for r in frames["routes"].collect()}
+    assert routes == {"R1", "R2"}  # "R1 " trimmed, R2 deduped
+
+
+def test_gtfs_geometry_and_checksum(spark, gtfs_dir):
+    frames = gtfs.validate_gtfs(gtfs.read_gtfs(spark, gtfs_dir))
+    s1 = frames["stops"].filter(F.col("stop_id") == "S1").head()
+    assert s1["geom"]["type"] == "Point"
+    assert s1["geom"]["coordinates"] == [26.0, 44.1]
+    chk = gtfs.feed_checksum(spark, gtfs_dir)
+    rows = {r["file"]: r["sha256"] for r in chk.collect()}
+    assert set(rows) == {f"{n}.txt" for n in gtfs.GTFS_FILES}
+    assert all(len(v) == 64 for v in rows.values())
+
+
+# ------------------------------------------------------------ JSON feeds
+
+
+def test_normalize_weather(spark):
+    payload = json.dumps(
+        {
+            "current": {
+                "time": "2026-01-19T15:00",
+                "temperature_2m": -3.5,
+                "precipitation": 1.2,
+                "wind_speed_10m": 7.0,
+                "weather_code": 61,
+            }
+        }
+    )
+    raw = spark.createDataFrame([(payload,)], "payload string")
+    r = jsonfeed.normalize_weather(raw).head()
+    assert r["temperature_c"] == -3.5
+    assert r["precipitation_mm"] == 1.2
+    assert r["weather_code"] == "61"
+    assert r["observed_at"].isoformat().startswith("2026-01-19T15:00")
+
+
+def test_normalize_vehicle_positions(spark):
+    payload = json.dumps(
+        {
+            "vehicle": {
+                "vehicle": {"id": "V9"},
+                "trip": {"trip_id": "T1", "route_id": "R1"},
+                "position": {"latitude": 44.43, "longitude": 26.09},
+                "timestamp": 1737300000,
+            }
+        }
+    )
+    raw = spark.createDataFrame([(payload,)], "payload string")
+    r = jsonfeed.normalize_vehicle_positions(raw).head()
+    assert (r["vehicle_id"], r["route_id"]) == ("V9", "R1")
+    assert r["latitude"] == 44.43
+
+
+# -------------------------------------------------------------- exports
+
+
+def test_export_json_files(spark, tmp_path):
+    written = exports.export_json(spark, SF_DIR, str(tmp_path))
+    assert set(written) == set(exports.EXPORTS)
+    for name, path in written.items():
+        with open(path) as f:
+            payload = json.load(f)
+        (key,) = payload.keys()
+        assert key == exports.EXPORTS[name][1]
+        assert isinstance(payload[key], list) and payload[key]
+
+
+# ------------------------------------------------------------- streaming
+
+
+def test_stream_hourly_equals_batch(spark, tmp_path):
+    events = load_table(spark, SF_DIR, "events")
+    src = str(tmp_path / "events_stream")
+    events.write.parquet(src)
+
+    streamed = pipeline.run_available_now(
+        pipeline.stream_events_hourly(spark, src), "stream_hourly"
+    )
+    batch = (
+        events.groupBy(
+            F.date_trunc("hour", "ts").alias("hour_ts"),
+            F.col("event_type").alias("route_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("vehicle_events"),
+            F.round(F.avg("value"), 4).alias("avg_delay_seconds"),
+        )
+    )
+    got = sorted(map(tuple, streamed.collect()))
+    want = sorted(map(tuple, batch.collect()))
+    assert got == want
+
+
+def test_sessionize_stream_closes_gapped_sessions(spark, tmp_path):
+    rows = [
+        (1, "2026-01-01 10:00:00", 7, "a", 1.0, "{}"),
+        (2, "2026-01-01 10:10:00", 7, "a", 2.0, "{}"),
+        (3, "2026-01-01 12:00:00", 7, "a", 3.0, "{}"),  # new session
+        (4, "2026-01-01 09:00:00", 8, "a", 4.0, "{}"),
+    ]
+    df = (
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string, "
+            "value double, props string",
+        )
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    src = str(tmp_path / "sessions_src")
+    df.write.parquet(src)
+    sdf = spark.readStream.schema(pipeline.EVENTS_SCHEMA).parquet(src)
+    out = pipeline.run_available_now(
+        pipeline.sessionize_stream(sdf), "sessions_out", output_mode="append"
+    )
+    closed = [
+        (r["user_id"], r["n_events"], r["total_value"])
+        for r in out.collect()
+    ]
+    # user 7's first session closed by the 2-hour gap; user 8's single
+    # session and user 7's second stay open in state (append semantics).
+    assert closed == [(7, 2, 3.0)]
+
+
+def test_batch_sessionization_micro(spark, tmp_path):
+    rows = [
+        (1, "2026-01-01 10:00:00", 7, "a", 1.0, "{}"),
+        (2, "2026-01-01 10:10:00", 7, "a", 2.0, "{}"),
+        (3, "2026-01-01 12:00:00", 7, "a", 3.0, "{}"),
+        (4, "2026-01-01 09:00:00", 8, "a", 4.0, "{}"),
+    ]
+    df = (
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string, "
+            "value double, props string",
+        )
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    d = tmp_path / "sf"
+    df.write.parquet(str(d / "events.parquet"))
+    out = {
+        (r["user_id"], r["session_id"]): (r["n_events"], r["total_value"])
+        for r in pipeline.sessionize_batch(spark, str(d)).collect()
+    }
+    assert out == {(7, 0): (2, 3.0), (7, 1): (1, 3.0), (8, 0): (1, 4.0)}
+
+
+# -------------------------------------------------------------------- ML
+
+
+def test_rf_demand_model_metrics(spark):
+    m = demand.rf_demand_model(spark, SF_DIR).head()
+    assert m["model_name"] == "rf_next_hour"
+    assert m["rows_test"] > 0
+    assert m["mae"] >= 0.0 and m["rmse"] >= m["mae"]
+
+
+def test_rf_predictions_cover_test_split_only(spark):
+    df = demand.training_frame(spark, SF_DIR)
+    train, test = demand._split(df)
+    preds = demand.rf_demand_predictions(spark, SF_DIR)
+    assert preds.count() == test.count()
+    assert preds.filter(F.col("y_pred").isNull()).count() == 0

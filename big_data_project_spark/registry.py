@@ -24,6 +24,7 @@ from .operators import (
     suggestions,
     textops,
     tpch,
+    tpch_ext,
     validation,
 )
 from .ml import demand
@@ -32,6 +33,7 @@ from .streaming import pipeline as streaming_pipeline
 
 _MODULES = [
     tpch,
+    tpch_ext,
     hourly,
     headway,
     kpi,

@@ -171,10 +171,50 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk(pairs)
 
 
+COSINE_TAU = 0.95
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine >= COSINE_TAU.
+
+    Candidates come from the same random-hyperplane buckets as
+    ``ann_lsh_topk`` (equi-join on bucket id — near-identical vectors
+    agree on every hyperplane sign with overwhelming probability), then
+    the exact cosine filter runs on candidates only. The oracle applies
+    the identical bucketing, so the contract is checkable end to end;
+    pair cost scales with bucket occupancy, never corpus^2."""
+    from .dedup import _persisted
+
+    v = _vectors(spark, sf_dir)
+    b = _persisted(_buckets(v))
+    vb = v.join(b, "vec_id")
+    a = vb.select(
+        F.col("vec_id").alias("a_id"), F.col("e").alias("ae"), "bucket"
+    )
+    c = vb.select(
+        F.col("vec_id").alias("b_id"), F.col("e").alias("be"), "bucket"
+    )
+    return (
+        a.join(c, "bucket")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            (
+                _dot(F.col("ae"), F.col("be"))
+                / (_norm(F.col("ae")) * _norm(F.col("be")))
+            ).alias("cos"),
+        )
+        .filter(F.round(F.col("cos"), 9) >= COSINE_TAU)
+        .select("a_id", "b_id", F.round("cos", 6).alias("cosine"))
+    )
+
+
 QUERIES = {
     "embedding_norms": embedding_norms,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
 }
 
 _SQL_V = "SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings"
@@ -229,6 +269,24 @@ ORACLES = {
                            AND q.vec_id <> c.vec_id
         )
         {_SQL_TOPK}
+    """,
+    "dedup_embedding_cosine": f"""
+        WITH v AS ({_SQL_V}),
+        b AS (
+{_SQL_BUCKETS}
+        )
+        SELECT a_id, b_id, round(cos, 6) AS cosine
+        FROM (
+          SELECT a.vec_id AS a_id, c.vec_id AS b_id,
+                 list_dot_product(a.e, c.e)
+                   / (sqrt(list_dot_product(a.e, a.e))
+                      * sqrt(list_dot_product(c.e, c.e))) AS cos
+          FROM v a
+          JOIN b ab ON ab.vec_id = a.vec_id
+          JOIN b cb ON cb.bucket = ab.bucket
+          JOIN v c ON c.vec_id = cb.vec_id AND a.vec_id < c.vec_id
+        ) p
+        WHERE round(cos, 9) >= {COSINE_TAU}
     """,
     "ann_lsh_topk": f"""
         WITH v AS ({_SQL_V}),

@@ -109,6 +109,48 @@ def test_lsh_topk_subset_of_exact(spark):
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
 
 
+def test_dedup_embedding_cosine_finds_planted_pair(spark, tmp_path):
+    """The sf corpora have no near-identical vectors (max pairwise cosine
+    ~0.51), so the sf entry is legitimately empty at TAU=0.95; this
+    plants a near-duplicate and checks the LSH-bucketed path finds it."""
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 2.0, 3.0, 4.0], 0),
+            (1, [1.01, 2.0, 3.0, 4.0], 0),   # near-dup of 0
+            (2, [-4.0, 3.0, -2.0, 1.0], 1),  # unrelated
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    d = tmp_path / "sf"
+    emb.write.parquet(str(d / "embeddings.parquet"))
+    rows = similarity.dedup_embedding_cosine(spark, str(d)).collect()
+    assert [(r["a_id"], r["b_id"]) for r in rows] == [(0, 1)]
+    assert rows[0]["cosine"] > 0.999
+
+
+def test_salted_aggregate_matches_direct(spark):
+    from big_data_project_spark.functions.skew import salted_aggregate
+    from big_data_project_spark.catalog import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    direct = {
+        (r["event_type"],): (r["n"], round(r["s"], 4))
+        for r in ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    salted = {
+        (r["event_type"],): (r["n"], round(r["s"], 4))
+        for r in salted_aggregate(
+            ev,
+            ["event_type"],
+            {"n": ("count", "event_id"), "s": ("sum", "value")},
+            distributor="user_id",
+        ).collect()
+    }
+    assert salted == direct
+
+
 def test_multimodal_decode_stub(spark, tmp_path):
     docs = spark.createDataFrame(
         [(0, "abc", "en", "s", 3)],

@@ -93,10 +93,88 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.mapInPandas(_decode_batches, schema=_OUT_SCHEMA)
 
 
-QUERIES = {"multimodal_meta": multimodal_meta}
+_FEAT_SCHEMA = (
+    "doc_id bigint, modality string, byte_len bigint, n_distinct_bytes int, "
+    "mean_byte double, frame_offsets array<int>"
+)
+
+FRAME_SAMPLE_N = 4
+
+
+def _feature_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Feature-extract + frame-sample stub: byte-level statistics stand
+    in for codec-derived features (no PIL/ffmpeg in this container);
+    frame offsets are the deterministic sample grid a video decoder
+    would read. The Arrow batch shape, schema, and partition behavior
+    are the production plumbing."""
+    for pdf in batches:
+        feats = []
+        for doc_id, modality, payload in zip(
+            pdf["doc_id"], pdf["modality"], pdf["payload"]
+        ):
+            n = len(payload)
+            step = max(1, n // FRAME_SAMPLE_N)
+            feats.append(
+                {
+                    "doc_id": doc_id,
+                    "modality": modality,
+                    "byte_len": n,
+                    "n_distinct_bytes": len(set(payload)),
+                    "mean_byte": (sum(payload) / n) if n else 0.0,
+                    "frame_offsets": (
+                        [i * step for i in range(FRAME_SAMPLE_N)]
+                        if modality == "video"
+                        else []
+                    ),
+                }
+            )
+        yield pd.DataFrame(feats)
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-extraction pass (byte stats + frame-sample offsets) over
+    the multimodal table via mapInPandas; rows-only entry (byte-level
+    loops are not expressible in the oracle dialect)."""
+    mm = multimodal_table(spark, sf_dir).select(
+        "doc_id", "payload", F.col("meta.modality").alias("modality")
+    )
+    return mm.mapInPandas(_feature_batches, schema=_FEAT_SCHEMA).select(
+        "doc_id",
+        "modality",
+        "byte_len",
+        "n_distinct_bytes",
+        F.round("mean_byte", 4).alias("mean_byte"),
+        F.size("frame_offsets").alias("n_frames"),
+    )
+
+
+# documents.text is ASCII (asserted in tests), so the oracle's per-char
+# statistics equal the stub's per-byte ones.
+_SQL_FEATURES = """
+    SELECT doc_id,
+           CASE doc_id % 3
+             WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
+           END AS modality,
+           strlen(text)::BIGINT AS byte_len,
+           len(list_distinct(string_split(text, '')))::INT
+             AS n_distinct_bytes,
+           round(list_avg(list_transform(string_split(text, ''),
+                                         c -> ascii(c))), 4) AS mean_byte,
+           (CASE WHEN doc_id % 3 = 2 THEN 4 ELSE 0 END)::INT AS n_frames
+    FROM documents
+"""
+
+
+QUERIES = {
+    "multimodal_meta": multimodal_meta,
+    "multimodal_features": multimodal_features,
+}
 
 # strlen() = bytes (documents.text is UTF-8; payload = encode(text)).
 ORACLES = {
+    "multimodal_features": _SQL_FEATURES,
     "multimodal_meta": """
         SELECT doc_id,
                CASE doc_id % 3

@@ -1,0 +1,67 @@
+"""Batch sinks: keyed upsert and partitioned append over parquet.
+
+Parity: the reference's ingestion service upserts Kafka records into
+Postgres (`/root/reference/src/db-ingestion-service/ingestor.py` —
+INSERT ... ON CONFLICT (key) DO UPDATE) and the DAGs append versioned
+rows. On a data lake the same contracts are:
+
+- ``upsert_parquet``: last-writer-wins merge by natural key. Implemented
+  as union + row_number window (newest ``version_col`` per key), the
+  merge strategy every lakehouse MERGE compiles to; at 100 TB you would
+  point this at Delta/Iceberg ``MERGE INTO`` — the keyed semantics and
+  the plan shape (broadcast of the small delta, shuffle on key only)
+  are the same.
+- ``write_partitioned``: hive-style partition layout so downstream scans
+  prune on the partition column.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def upsert_parquet(
+    spark: SparkSession,
+    target_path: str,
+    delta: DataFrame,
+    keys: list[str],
+    version_col: str,
+) -> DataFrame:
+    """Merge ``delta`` into the parquet table at ``target_path``:
+    one surviving row per key, highest ``version_col`` wins (ties favor
+    the delta). Returns the merged frame after writing."""
+    if os.path.exists(target_path):
+        current = spark.read.parquet(target_path).withColumn(
+            "__src", F.lit(0)
+        )
+    else:
+        current = None
+    incoming = delta.withColumn("__src", F.lit(1))
+    unioned = (
+        incoming if current is None else current.unionByName(incoming)
+    )
+    w = Window.partitionBy(*keys).orderBy(
+        F.desc(version_col), F.desc("__src")
+    )
+    merged = (
+        unioned.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__src")
+    )
+    # Materialize before overwrite: the plan reads the same files it
+    # replaces, so stage through a local collect-free checkpoint dir.
+    tmp = target_path + ".staging"
+    merged.write.mode("overwrite").parquet(tmp)
+    final = spark.read.parquet(tmp)
+    final.write.mode("overwrite").parquet(target_path)
+    return spark.read.parquet(target_path)
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str]
+) -> None:
+    """Hive-partitioned parquet append (partition pruning for readers)."""
+    df.write.mode("append").partitionBy(*partition_cols).parquet(path)

@@ -1,5 +1,10 @@
 """Merged registry of every query operator and its DuckDB oracle SQL.
 
+Query modules: operators/* (analytics), sources/* (feed normalization +
+simulation), streaming/pipeline (batch twins), ml/demand (model,
+rows-only). Sinks (plans/sinks.py, plans/exports.py) and raw sources
+(sources/gtfs.py) are exercised by tests rather than query entries.
+
 Modules contribute ``QUERIES`` ({name: fn(spark, sf_dir) -> DataFrame})
 and ``ORACLES`` ({name: ANSI SQL}); names must be globally unique.
 Queries without an oracle get the driver's weaker rows-only check

@@ -205,6 +205,101 @@ def test_batch_sessionization_micro(spark, tmp_path):
     assert out == {(7, 0): (2, 3.0), (7, 1): (1, 3.0), (8, 0): (1, 4.0)}
 
 
+def test_stream_incremental_checkpoint(spark, tmp_path):
+    """Two availableNow runs over a growing directory with a shared
+    checkpoint: the second run must process ONLY the new file (state
+    recovery), and late rows must still land in their event-time hour."""
+    src = str(tmp_path / "incr_src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    rows1 = [
+        (1, "2026-01-01 10:05:00", 7, "r1", 1.0, "{}"),
+        (2, "2026-01-01 11:05:00", 7, "r1", 3.0, "{}"),
+    ]
+    schema = (
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string"
+    )
+    df1 = spark.createDataFrame(rows1, schema).withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    df1.coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        sdf = pipeline.stream_events_hourly(spark, src)
+        q = (
+            sdf.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    # late row for hour 10 arrives after hour 11 was seen; watermark is
+    # 2h so the 10:00 window is still open and must absorb it.
+    rows2 = [(3, "2026-01-01 10:50:00", 8, "r1", 5.0, "{}")]
+    df2 = spark.createDataFrame(rows2, schema).withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    df2.coalesce(1).write.mode("append").parquet(src)
+    run_once()
+
+    # append mode emits only watermark-closed windows; force a final
+    # flush by advancing event time far beyond the watermark.
+    rows3 = [(4, "2026-01-02 12:00:00", 9, "r1", 0.0, "{}")]
+    df3 = spark.createDataFrame(rows3, schema).withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    df3.coalesce(1).write.mode("append").parquet(src)
+    run_once()
+
+    got = {
+        (str(r["hour_ts"]), r["route_id"]): (
+            r["vehicle_events"],
+            r["avg_delay_seconds"],
+        )
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got[("2026-01-01 10:00:00", "r1")] == (2, 3.0)  # late row merged
+    assert got[("2026-01-01 11:00:00", "r1")] == (1, 3.0)
+
+
+def test_upsert_parquet_last_writer_wins(spark, tmp_path):
+    from big_data_project_spark.plans import sinks
+
+    target = str(tmp_path / "target.parquet")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 10)], "k long, v string, ver long"
+    )
+    merged = sinks.upsert_parquet(spark, target, base, ["k"], "ver")
+    assert merged.count() == 2
+    delta = spark.createDataFrame(
+        [(2, "b2", 11), (3, "c", 11), (2, "b_old", 9)],
+        "k long, v string, ver long",
+    )
+    merged = sinks.upsert_parquet(spark, target, delta, ["k"], "ver")
+    got = {r["k"]: (r["v"], r["ver"]) for r in merged.collect()}
+    # k=2: ver 11 beats both the existing ver 10 and the stale ver 9
+    assert got == {1: ("a", 10), 2: ("b2", 11), 3: ("c", 11)}
+
+
+def test_write_partitioned_prunes(spark, tmp_path):
+    from big_data_project_spark.plans import sinks
+
+    path = str(tmp_path / "part_out")
+    ev = load_table(spark, SF_DIR, "events").withColumn(
+        "hour", F.hour("ts")
+    )
+    sinks.write_partitioned(ev.limit(200), path, ["hour"])
+    back = spark.read.parquet(path)
+    plan = back.filter(F.col("hour") == 3)._jdf.queryExecution().toString()
+    assert back.count() == 200
+    assert "PartitionFilters" in plan or "hour=3" in plan
+
+
 # -------------------------------------------------------------------- ML
 
 

@@ -210,10 +210,88 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_CELLS = 16
+IVF_NPROBE = 3
+IVF_SEED = 42
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: k-means partitions the corpus into cells; each query
+    probes its IVF_NPROBE nearest cells and ranks exact cosine inside
+    them.
+
+    This is the scale path beyond LSH: cell assignment is one
+    pyspark.ml KMeans fit (sampled at 100 TB) + a map-side transform;
+    the probe is an equi-join on cell id, so per-query cost is
+    corpus/IVF_CELLS x IVF_NPROBE. Rows-only entry (k-means centroids
+    are not SQL-expressible); recall vs the exact operator is asserted
+    in tests.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from .dedup import _persisted
+
+    v = _vectors(spark, sf_dir)
+    feats = v.withColumn("fv", array_to_vector("e"))
+    km = KMeans(k=IVF_CELLS, seed=IVF_SEED, featuresCol="fv")
+    model = km.fit(feats)
+    assigned = _persisted(
+        model.transform(feats).select(
+            "vec_id", "e", F.col("prediction").alias("cell")
+        )
+    )
+
+    # Tiny centroid table (driver-side list -> broadcast join).
+    centers = spark.createDataFrame(
+        [
+            (i, [float(x) for x in c])
+            for i, c in enumerate(model.clusterCenters())
+        ],
+        "cell int, ce array<double>",
+    )
+    q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("cell").asc()
+    )
+    probes = (
+        q.crossJoin(F.broadcast(centers))
+        .select(
+            "query_id",
+            "qe",
+            "cell",
+            F.aggregate(
+                F.zip_with(F.col("qe"), F.col("ce"), lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("dist"),
+        )
+        .withColumn("pr", F.row_number().over(probe_w))
+        .filter(F.col("pr") <= IVF_NPROBE)
+        .select("query_id", "qe", "cell")
+    )
+    pairs = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("match_id"),
+            (
+                _dot(F.col("qe"), F.col("e"))
+                / (_norm(F.col("qe")) * _norm(F.col("e")))
+            ).alias("cos"),
+        )
+    )
+    return _topk(pairs)
+
+
 QUERIES = {
     "embedding_norms": embedding_norms,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
+    "ann_ivf_topk": ann_ivf_topk,
     "dedup_embedding_cosine": dedup_embedding_cosine,
 }
 

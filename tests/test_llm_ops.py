@@ -128,6 +128,21 @@ def test_dedup_embedding_cosine_finds_planted_pair(spark, tmp_path):
     assert rows[0]["cosine"] > 0.999
 
 
+def test_ivf_recall_vs_exact(spark):
+    """IVF with 3/16 probes must recover most of the exact top-k on the
+    sf0.001 corpus (labels are genuine clusters, so cells align)."""
+    exact = {
+        (r["query_id"], r["match_id"])
+        for r in similarity.ann_cosine_topk(spark, SF_DIR).collect()
+    }
+    ivf = {
+        (r["query_id"], r["match_id"])
+        for r in similarity.ann_ivf_topk(spark, SF_DIR).collect()
+    }
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= 0.5, f"IVF recall too low: {recall:.2f}"
+
+
 def test_salted_aggregate_matches_direct(spark):
     from big_data_project_spark.functions.skew import salted_aggregate
     from big_data_project_spark.catalog import load_table

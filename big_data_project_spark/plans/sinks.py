@@ -57,6 +57,11 @@ def upsert_parquet(
     merged.write.mode("overwrite").parquet(tmp)
     final = spark.read.parquet(tmp)
     final.write.mode("overwrite").parquet(target_path)
+    out = spark.read.parquet(target_path)
+    out.count()  # force the read before the staging files disappear
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
     return spark.read.parquet(target_path)
 
 

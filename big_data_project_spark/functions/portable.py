@@ -23,3 +23,40 @@ def pround(c: Column | str, n: int = 4) -> Column:
 def sql_pround(expr: str, n: int = 4) -> str:
     scale = float(10**n)
     return f"floor(({expr}) * {scale} + 0.5) / {scale}"
+
+
+# Order-independent float aggregation: double sums depend on accumulation
+# order (partitioning / Expand nodes / engine), which flips the last
+# rounded digit on large groups. Summing exact DECIMAL(28,6) is
+# associative-commutative-exact; one double division + round at the end
+# is deterministic on both engines.
+
+
+# The exact sums make quotients land on exact half-way decimals far more
+# often than raw float sums do, so the final rounding MUST be the pround
+# floor form — engine-native round() diverges exactly there (HALF_UP vs
+# shortest-repr behavior).
+
+
+def davg(c: Column | str, n: int = 4) -> Column:
+    if isinstance(c, str):
+        c = F.col(c)
+    return pround(
+        F.sum(c.cast("decimal(28,6)")).cast("double") / F.count(c), n
+    )
+
+
+def sql_davg(expr: str, n: int = 4) -> str:
+    return sql_pround(
+        f"(sum(({expr})::DECIMAL(28,6)))::DOUBLE / count({expr})", n
+    )
+
+
+def dsum(c: Column | str, n: int = 2) -> Column:
+    if isinstance(c, str):
+        c = F.col(c)
+    return pround(F.sum(c.cast("decimal(28,6)")).cast("double"), n)
+
+
+def sql_dsum(expr: str, n: int = 2) -> str:
+    return sql_pround(f"(sum(({expr})::DECIMAL(28,6)))::DOUBLE", n)

@@ -43,14 +43,17 @@ def headway_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         / F.lit(60_000_000.0),
     )
+    valid = F.when(
+        F.col("headway_min").between(0.5, 60.0), F.col("headway_min")
+    )
+    # decimal accumulation: order-independent across partitionings and
+    # engines (see functions/portable.py::davg)
+    from ..functions.portable import pround
+
     return gaps.groupBy("route_id", "hour_ts").agg(
-        F.round(
-            F.avg(
-                F.when(
-                    F.col("headway_min").between(0.5, 60.0),
-                    F.col("headway_min"),
-                )
-            ),
+        pround(
+            F.sum(valid.cast("decimal(28,6)")).cast("double")
+            / F.count(valid),
             4,
         ).alias("avg_headway_min")
     )
@@ -60,10 +63,12 @@ QUERIES = {"headway_hourly": headway_hourly}
 
 SQL_HEADWAY = """
     SELECT route_id, hour_ts,
-           round(avg(headway_min) FILTER (
-             WHERE headway_min IS NOT NULL
-               AND headway_min BETWEEN 0.5 AND 60
-           ), 4) AS avg_headway_min
+           floor(((sum((headway_min)::DECIMAL(28,6)) FILTER (
+                     WHERE headway_min BETWEEN 0.5 AND 60
+                   ))::DOUBLE
+                  / count(headway_min) FILTER (
+                     WHERE headway_min BETWEEN 0.5 AND 60
+                  )) * 10000.0 + 0.5) / 10000.0 AS avg_headway_min
     FROM (
       SELECT route_id, hour_ts, first_seen,
              (epoch_us(first_seen) - epoch_us(LAG(first_seen) OVER (

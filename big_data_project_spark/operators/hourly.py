@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.portable import davg, dsum, pround, sql_davg, sql_dsum, sql_pround
 from ..functions.time import hour_trunc
 
 
@@ -64,7 +65,7 @@ def delay_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("trip_update_events"),
-            F.round(F.avg("value"), 4).alias("avg_delay_seconds"),
+            davg("value", 4).alias("avg_delay_seconds"),
         )
     )
 
@@ -89,7 +90,7 @@ def demand_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         flow.join(F.broadcast(mapping), "stop_id")
         .groupBy("route_id", hour_trunc("ts").alias("hour_ts"))
-        .agg(F.round(F.sum("estimated_passengers"), 2).alias("passengers"))
+        .agg(dsum("estimated_passengers", 2).alias("passengers"))
     )
 
 
@@ -99,8 +100,13 @@ def weather_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     k = F.get_json_object("props", "$.k").cast("double")
     return ev.groupBy(hour_trunc("ts").alias("hour_ts")).agg(
-        F.round(F.avg("value"), 4).alias("temperature_c"),
-        F.round(F.avg(k) / 10.0, 4).alias("precipitation_mm"),
+        davg("value", 4).alias("temperature_c"),
+        pround(
+            F.sum(k.cast("decimal(28,6)")).cast("double")
+            / F.count(k)
+            / 10.0,
+            4,
+        ).alias("precipitation_mm"),
         F.round(F.max("value") / 10.0, 4).alias("wind_speed_mps"),
     )
 
@@ -125,21 +131,21 @@ QUERIES = {
 }
 
 # Shared CTE snippets so composite oracles (kpi.py) reuse the exact text.
-SQL_DEMAND = """
+SQL_DEMAND = f"""
     SELECT m.route_id,
            date_trunc('hour', f.ts) AS hour_ts,
-           round(sum(f.value), 2)   AS passengers
+           {sql_dsum('f.value', 2)} AS passengers
     FROM events f
     JOIN (SELECT DISTINCT user_id, event_type AS route_id FROM events) m
       ON m.user_id = f.user_id
     GROUP BY m.route_id, date_trunc('hour', f.ts)
 """
 
-SQL_DELAY = """
+SQL_DELAY = f"""
     SELECT event_type AS route_id,
            date_trunc('hour', ts) AS hour_ts,
            count(*)               AS trip_update_events,
-           round(avg(value), 4)   AS avg_delay_seconds
+           {sql_davg('value', 4)} AS avg_delay_seconds
     FROM events
     WHERE event_type IS NOT NULL
     GROUP BY event_type, date_trunc('hour', ts)
@@ -153,10 +159,14 @@ SQL_VEHICLE = """
     GROUP BY event_type, date_trunc('hour', ts)
 """
 
-SQL_WEATHER = """
+SQL_WEATHER = f"""
     SELECT date_trunc('hour', ts) AS hour_ts,
-           round(avg(value), 4) AS temperature_c,
-           round(avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)) / 10.0, 4)
+           {sql_davg('value', 4)} AS temperature_c,
+           {sql_pround(
+               "(sum((CAST(json_extract_string(props, '$.k') AS DOUBLE))::DECIMAL(28,6)))::DOUBLE"
+               " / count(CAST(json_extract_string(props, '$.k') AS DOUBLE)) / 10.0",
+               4,
+           )}
                AS precipitation_mm,
            round(max(value) / 10.0, 4) AS wind_speed_mps
     FROM events

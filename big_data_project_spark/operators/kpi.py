@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.portable import pround, sql_davg
 from ..functions.time import day_of_week, hour_of_day, is_peak_hour
 from .headway import SQL_HEADWAY, headway_hourly
 from .hourly import (
@@ -59,9 +60,11 @@ def _route_hour_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Plain aggregate for the float metrics: folding countDistinct into
     # the same agg would add an Expand node that reorders the avg()'s
     # accumulation and flips 4-dp roundings vs the oracle.
+    from ..functions.portable import davg  # noqa: F811
+
     stats = ev.groupBy(*key).agg(
         F.count(F.lit(1)).alias("trip_update_events"),
-        F.round(F.avg("value"), 4).alias("avg_delay_seconds"),
+        davg("value", 4).alias("avg_delay_seconds"),
         F.count(F.lit(1)).alias("vehicle_events"),
     )
     active = ev.groupBy(*key).agg(
@@ -155,19 +158,21 @@ def peak_hours_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     win = kpi.join(F.broadcast(latest)).filter(
         F.col("hour_ts") >= F.col("max_ts") - F.expr("INTERVAL 24 HOURS")
     )
+    from ..functions.portable import davg  # noqa: F811
+
+    active_pos = F.when(
+        F.col("active_vehicles") > 0, F.col("active_vehicles")
+    )
     return win.groupBy("hour_of_day").agg(
         F.count(F.lit(1)).cast("int").alias("n_routes"),
-        F.round(F.avg("predicted_passengers"), 4).alias("avg_predicted_passengers"),
-        F.round(F.avg("observed_passengers"), 4).alias("avg_observed_passengers"),
-        F.round(
-            F.avg(
-                F.when(
-                    F.col("active_vehicles") > 0, F.col("active_vehicles")
-                )
-            ),
+        davg("predicted_passengers", 4).alias("avg_predicted_passengers"),
+        davg("observed_passengers", 4).alias("avg_observed_passengers"),
+        pround(
+            F.sum(active_pos.cast("decimal(28,6)")).cast("double")
+            / F.count(active_pos),
             4,
         ).alias("avg_active_vehicles"),
-        F.round(F.avg("avg_headway_min"), 4).alias("avg_headway_min"),
+        davg("avg_headway_min", 4).alias("avg_headway_min"),
         F.sum(F.when(F.col("is_peak_hour") == 1, 1).otherwise(0))
         .cast("int")
         .alias("peak_routes"),
@@ -245,11 +250,14 @@ SQL_PEAK_HOURS = f"""
     )
     SELECT hour_of_day,
            count(*)::int AS n_routes,
-           round(avg(predicted_passengers), 4) AS avg_predicted_passengers,
-           round(avg(observed_passengers), 4)  AS avg_observed_passengers,
-           round(avg(CASE WHEN active_vehicles > 0
-                          THEN active_vehicles END), 4) AS avg_active_vehicles,
-           round(avg(avg_headway_min), 4) AS avg_headway_min,
+           {sql_davg('predicted_passengers', 4)} AS avg_predicted_passengers,
+           {sql_davg('observed_passengers', 4)}  AS avg_observed_passengers,
+           floor(((sum((CASE WHEN active_vehicles > 0
+                             THEN active_vehicles END)::DECIMAL(28,6)))::DOUBLE
+                  / count(CASE WHEN active_vehicles > 0
+                               THEN active_vehicles END)) * 10000.0 + 0.5)
+             / 10000.0 AS avg_active_vehicles,
+           {sql_davg('avg_headway_min', 4)} AS avg_headway_min,
            sum(CASE WHEN is_peak_hour = 1 THEN 1 ELSE 0 END)::int AS peak_routes
     FROM win
     GROUP BY hour_of_day

@@ -192,6 +192,46 @@ def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_demand_hourly(
+    spark: SparkSession,
+    events_dir: str,
+    sf_dir: str,
+    watermark: str = WATERMARK,
+) -> DataFrame:
+    """Stream-static join: the streaming flow feed joins the (static,
+    broadcast) stop->route mapping, then windows per route — the
+    streaming twin of operators/hourly.py::demand_hourly. At 100 TB the
+    mapping is a dimension snapshot; the stream side never shuffles
+    before the windowed aggregation."""
+    from pyspark.sql.functions import broadcast
+
+    mapping = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.col("user_id").alias("stop_id"),
+            F.col("event_type").alias("route_id"),
+        )
+        .distinct()
+    )
+    src = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
+    flow = src.select(
+        F.col("user_id").alias("stop_id"),
+        "ts",
+        F.col("value").alias("estimated_passengers"),
+    )
+    return (
+        flow.join(broadcast(mapping), "stop_id")
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "route_id")
+        .agg(
+            F.round(F.sum("estimated_passengers"), 2).alias("passengers")
+        )
+        .select(
+            F.col("win.start").alias("hour_ts"), "route_id", "passengers"
+        )
+    )
+
+
 QUERIES = {"user_sessions": sessionize_batch}
 
 ORACLES = {

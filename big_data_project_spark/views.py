@@ -1,0 +1,50 @@
+"""Named-view parity: the reference's user interface is a set of
+Postgres views (initdb/init-postgis.sql, src/optimization/kpi_views.sql)
+queried by name. ``register_analytics_views`` exposes the same surface
+as Spark SQL temp views, so `spark.sql("SELECT * FROM kpi_hourly ...")`
+works exactly as it does against the reference database.
+
+View name mapping (reference -> here):
+  kpi_active_vehicles_hourly -> active_users_hourly
+  vehicle_hourly             -> events_hourly
+  delay_hourly               -> delay_hourly
+  passenger_demand_hourly    -> demand_hourly
+  weather_observations agg   -> weather_hourly
+  kpi_headway_hourly         -> headway_hourly
+  ml_dataset_hourly          -> ml_dataset_hourly
+  kpi_hourly                 -> kpi_hourly
+  route_suggestions_latest   -> suggestions_latest
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from .catalog import register_views
+from .registry import QUERIES
+
+ANALYTICS_VIEWS = (
+    "active_users_hourly",
+    "events_hourly",
+    "delay_hourly",
+    "demand_hourly",
+    "weather_hourly",
+    "headway_hourly",
+    "ml_dataset_hourly",
+    "kpi_hourly",
+    "suggestions",
+    "suggestions_latest",
+    "peak_hours_summary",
+)
+
+
+def register_analytics_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register the base tables and every analytic view by name.
+
+    Views are lazy plans — nothing materializes until queried, and
+    Catalyst optimizes across the view boundary (filters on a view
+    push down into the underlying scans).
+    """
+    register_views(spark, sf_dir)
+    for name in ANALYTICS_VIEWS:
+        QUERIES[name](spark, sf_dir).createOrReplaceTempView(name)

@@ -205,6 +205,44 @@ def test_batch_sessionization_micro(spark, tmp_path):
     assert out == {(7, 0): (2, 3.0), (7, 1): (1, 3.0), (8, 0): (1, 4.0)}
 
 
+def test_stream_demand_equals_batch(spark, tmp_path):
+    """Stream-static join twin must reproduce the batch demand rollup."""
+    from big_data_project_spark.operators.hourly import demand_hourly
+
+    events = load_table(spark, SF_DIR, "events")
+    src = str(tmp_path / "demand_stream")
+    events.write.parquet(src)
+    streamed = pipeline.run_available_now(
+        pipeline.stream_demand_hourly(spark, src, SF_DIR), "stream_demand"
+    )
+    want = {
+        (r["route_id"], str(r["hour_ts"])): r["passengers"]
+        for r in demand_hourly(spark, SF_DIR).collect()
+    }
+    got = {
+        (r["route_id"], str(r["hour_ts"])): r["passengers"]
+        for r in streamed.collect()
+    }
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert abs(got[k] - v) < 0.02, (k, got[k], v)
+
+
+def test_sql_view_surface(spark):
+    """spark.sql over the registered view names matches the operators."""
+    from big_data_project_spark.views import register_analytics_views
+
+    register_analytics_views(spark, SF_DIR)
+    n_sql = spark.sql(
+        "SELECT count(*) AS n FROM kpi_hourly WHERE is_peak_hour = 1"
+    ).head()["n"]
+    from big_data_project_spark.operators.kpi import kpi_hourly
+
+    n_df = kpi_hourly(spark, SF_DIR).filter(F.col("is_peak_hour") == 1).count()
+    assert n_sql == n_df
+    assert spark.sql("SELECT * FROM suggestions_latest").count() > 0
+
+
 def test_stream_incremental_checkpoint(spark, tmp_path):
     """Two availableNow runs over a growing directory with a shared
     checkpoint: the second run must process ONLY the new file (state

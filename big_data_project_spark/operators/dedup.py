@@ -170,6 +170,41 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, h31): distinct hashed 3-gram shingles. Hashing happens
+    map-side BEFORE the distinct, so every shuffle in the MinHash
+    pipeline carries 8-byte longs instead of ~40-byte shingle strings.
+    Jaccard over hashed shingles equals Jaccard over the strings modulo
+    2^-31 collisions (the oracle hashes identically, so parity is exact
+    either way)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.split(_norm(F.col("text")), " ")).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    sh = F.concat_ws(
+        " ", "tok", F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
+    )
+    return (
+        tok.select(
+            "doc_id",
+            sh.alias("sh"),
+            F.lead("tok", 2).over(w).alias("t2"),
+        )
+        .filter(F.col("t2").isNotNull())
+        .select("doc_id", (_hash60(F.col("sh")) % MERSENNE_P).alias("h31"))
+        .distinct()
+    )
+
+
+_SQL_SHINGLE_HASHES = f"""
+    SELECT DISTINCT doc_id,
+           {{h}} % {MERSENNE_P} AS h31
+    FROM ({_SQL_SHINGLES}) s
+"""
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidates (16 sigs, 8 bands x 2) verified by exact
     Jaccard >= TAU. The oracle runs the identical LSH, so band recall is
@@ -177,13 +212,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Unlike ``dedup_ngram_jaccard`` (the brute-force baseline), the
     exact-Jaccard verification here touches ONLY the candidate pairs:
-    shingles are joined back through the candidate list, so the
+    hashed shingles are joined back through the candidate list, so the
     verify cost scales with |candidates| x shingles-per-doc, never with
     all same-shingle pairs (that distinction is the whole point of LSH
     at 100 TB)."""
-    sh = _persisted(_shingles(spark, sf_dir))
-    h31 = (_hash60(F.col("sh")) % MERSENNE_P).alias("h31")
-    hashed = sh.select("doc_id", "sh", h31)
+    hashed = _persisted(_shingle_hashes(spark, sf_dir))
     mh = hashed.groupBy("doc_id").agg(
         *[
             F.min(
@@ -219,12 +252,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    sa = sh.select(F.col("doc_id").alias("a_id"), "sh")
-    sb = sh.select(F.col("doc_id").alias("b_id"), "sh")
+    sizes = hashed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = hashed.select(F.col("doc_id").alias("a_id"), "h31")
+    sb = hashed.select(F.col("doc_id").alias("b_id"), "h31")
     inter = (
         cand.join(sa, "a_id")
-        .join(sb, ["b_id", "sh"])
+        .join(sb, ["b_id", "h31"])
         .groupBy("a_id", "b_id")
         .agg(F.count(F.lit(1)).alias("i"))
     )
@@ -334,10 +367,7 @@ _SQL_BANDS = "\n      UNION ALL\n".join(
 )
 
 _SQL_MINHASH_LSH = f"""
-    WITH s AS ({_SQL_SHINGLES}),
-    hashed AS (
-      SELECT doc_id, sh, {_sql_hash60("sh")} % {MERSENNE_P} AS h31 FROM s
-    ),
+    WITH hashed AS ({_SQL_SHINGLE_HASHES.format(h=_sql_hash60("sh"))}),
     mh AS (
       SELECT doc_id,
            {_SQL_MINHASH_AGGS}
@@ -353,10 +383,23 @@ _SQL_MINHASH_LSH = f"""
                   AND a.band_val = b.band_val
                   AND a.doc_id < b.doc_id
     ),
-    pairs AS ({_SQL_JACCARD_PAIRS})
-    SELECT p.a_id, p.b_id, round(p.jaccard, 6) AS jaccard
-    FROM cand c JOIN pairs p ON p.a_id = c.a_id AND p.b_id = c.b_id
-    WHERE p.jaccard >= {TAU}
+    sz AS (SELECT doc_id, count(*) AS n FROM hashed GROUP BY doc_id),
+    inter AS (
+      SELECT c.a_id, c.b_id, count(*) AS i
+      FROM cand c
+      JOIN hashed a ON a.doc_id = c.a_id
+      JOIN hashed b ON b.doc_id = c.b_id AND b.h31 = a.h31
+      GROUP BY c.a_id, c.b_id
+    )
+    SELECT a_id, b_id, round(jaccard, 6) AS jaccard
+    FROM (
+      SELECT i.a_id, i.b_id,
+             CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) AS jaccard
+      FROM inter i
+      JOIN sz sa ON sa.doc_id = i.a_id
+      JOIN sz sb ON sb.doc_id = i.b_id
+    ) p
+    WHERE jaccard >= {TAU}
 """
 
 _SQL_SIM_BIT_SUMS = ",\n           ".join(

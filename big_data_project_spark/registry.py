@@ -26,8 +26,10 @@ from .operators import (
     kpi,
     multimodal,
     similarity,
+    sketches,
     suggestions,
     textops,
+    timeseries,
     tpch,
     tpch_ext,
     validation,
@@ -49,6 +51,8 @@ _MODULES = [
     dedup,
     similarity,
     textops,
+    timeseries,
+    sketches,
     multimodal,
     generators,
     jsonfeed,

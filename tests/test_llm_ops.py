@@ -143,6 +143,23 @@ def test_ivf_recall_vs_exact(spark):
     assert recall >= 0.5, f"IVF recall too low: {recall:.2f}"
 
 
+def test_sketch_error_bounds(spark):
+    """HLL cardinality within 3x its configured rsd; approx quantiles
+    within 10% of exact."""
+    from big_data_project_spark.operators import sketches
+
+    card = sketches.route_cardinality_sketch(spark, SF_DIR).collect()
+    assert card
+    for r in card:
+        assert r["rel_error"] <= 3 * sketches.HLL_RSD, r
+
+    q = sketches.delay_quantile_sketch(spark, SF_DIR).collect()
+    for r in q:
+        for p in ("p50", "p95"):
+            exact, approx = r[f"exact_{p}"], r[f"approx_{p}"]
+            assert abs(approx - exact) <= 0.1 * max(abs(exact), 1.0), r
+
+
 def test_salted_aggregate_matches_direct(spark):
     from big_data_project_spark.functions.skew import salted_aggregate
     from big_data_project_spark.catalog import load_table

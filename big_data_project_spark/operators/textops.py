@@ -169,12 +169,76 @@ def doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48  # 16-token overlap
+
+
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-bounded chunking with overlap: each document becomes
+    ceil((n - overlap) / stride) chunks of <= CHUNK_TOKENS whitespace
+    tokens, striding CHUNK_STRIDE (the standard LLM-pretraining window).
+    Map-side only: sequence + transform + explode, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", _toks(F.col("text")).alias("toks"))
+    n = F.size("toks")
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(
+            F.floor((n - 1) / CHUNK_STRIDE).cast("int"), F.lit(0)
+        )
+        * CHUNK_STRIDE,
+        F.lit(CHUNK_STRIDE),
+    )
+    chunks = d.select(
+        "doc_id",
+        "toks",
+        n.alias("n_toks"),
+        F.posexplode(starts).alias("chunk_idx", "start"),
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.concat_ws(
+            " ", F.slice("toks", F.col("start") + 1, CHUNK_TOKENS)
+        ).alias("chunk_text"),
+        F.least(
+            F.lit(CHUNK_TOKENS), F.col("n_toks") - F.col("start")
+        ).alias("chunk_tokens"),
+    )
+
+
+PII_PATTERNS = {
+    "email": r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}",
+    "phone": r"\+?[0-9][0-9 ()-]{7,}[0-9]",
+}
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass: count and redact email/phone patterns (the
+    synthetic corpus contains none — the contract is the plumbing and
+    the zero counts; the regexes are RE2/Java-compatible)."""
+    docs = load_table(spark, sf_dir, "documents")
+    nt = _norm(F.col("text"))
+    scrubbed = nt
+    for tag, pat in PII_PATTERNS.items():
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{tag}>")
+    return docs.select(
+        "doc_id",
+        F.regexp_count(nt, F.lit(PII_PATTERNS["email"])).alias("n_emails"),
+        F.regexp_count(nt, F.lit(PII_PATTERNS["phone"])).alias("n_phones"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+        F.length(scrubbed).alias("scrubbed_len"),
+    )
+
+
 QUERIES = {
     "lang_id": lang_id,
     "token_count": token_count,
     "quality_score": quality_score,
     "doc_fingerprint": doc_fingerprint,
     "doc_stats": doc_stats,
+    "doc_chunking": doc_chunking,
+    "pii_scrub": pii_scrub,
 }
 
 
@@ -238,6 +302,43 @@ ORACLES = {
                count(*) AS n_shingles
         FROM hashed
         GROUP BY doc_id
+    """,
+    "doc_chunking": f"""
+        WITH d AS (
+          SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+        ),
+        chunks AS (
+          SELECT doc_id, len(toks) AS n_toks, toks,
+                 unnest(range(0, ((len(toks) - 1) // {CHUNK_STRIDE}) + 1))
+                   AS chunk_idx
+          FROM d
+        )
+        SELECT doc_id, chunk_idx,
+               array_to_string(
+                 toks[chunk_idx * {CHUNK_STRIDE} + 1 :
+                      chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS}],
+                 ' ') AS chunk_text,
+               least({CHUNK_TOKENS},
+                     n_toks - chunk_idx * {CHUNK_STRIDE}) AS chunk_tokens
+        FROM chunks
+    """,
+    "pii_scrub": f"""
+        SELECT doc_id,
+               len(regexp_extract_all(nt, '{PII_PATTERNS["email"]}'))
+                 AS n_emails,
+               len(regexp_extract_all(nt, '{PII_PATTERNS["phone"]}'))
+                 AS n_phones,
+               md5(regexp_replace(
+                     regexp_replace(nt, '{PII_PATTERNS["email"]}',
+                                    '<email>', 'g'),
+                     '{PII_PATTERNS["phone"]}', '<phone>', 'g'))
+                 AS scrubbed_md5,
+               length(regexp_replace(
+                        regexp_replace(nt, '{PII_PATTERNS["email"]}',
+                                       '<email>', 'g'),
+                        '{PII_PATTERNS["phone"]}', '<phone>', 'g'))
+                 AS scrubbed_len
+        FROM (SELECT doc_id, {_SQL_NORM} AS nt FROM documents) x
     """,
     "doc_stats": f"""
         SELECT source, lang, count(*) AS n_docs,

@@ -25,6 +25,7 @@ from .operators import (
     ingest,
     kpi,
     multimodal,
+    relational,
     similarity,
     sketches,
     suggestions,
@@ -41,6 +42,7 @@ from .streaming import pipeline as streaming_pipeline
 _MODULES = [
     tpch,
     tpch_ext,
+    relational,
     hourly,
     headway,
     kpi,

@@ -39,15 +39,23 @@ SIM_BANDS = 4  # 4 bands x 8 bits -> exact for hamming <= 3
 HAMMING_MAX = 3
 
 
+# Explicit whitespace class: Java's \s includes \x0B, RE2's does not —
+# spelling the class out keeps Spark and the oracle bit-identical on any
+# input, not just the ASCII-printable test corpus.
+_WS = r"[ \t\n\r\f\x0B]+"
+
+
 def _norm(c: Column) -> Column:
-    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    return F.regexp_replace(F.lower(F.trim(c)), _WS, " ")
 
 
 def _hash60(c: Column) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
 
-_SQL_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+_SQL_NORM = (
+    "regexp_replace(lower(trim(text)), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')"
+)
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -158,10 +158,13 @@ _SQL_FEATURES = """
              WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
            END AS modality,
            strlen(text)::BIGINT AS byte_len,
-           len(list_distinct(string_split(text, '')))::INT
-             AS n_distinct_bytes,
-           round(list_avg(list_transform(string_split(text, ''),
-                                         c -> ascii(c))), 4) AS mean_byte,
+           (CASE WHEN strlen(text) = 0 THEN 0
+                 ELSE len(list_distinct(string_split(text, '')))
+            END)::INT AS n_distinct_bytes,
+           CASE WHEN strlen(text) = 0 THEN 0.0
+                ELSE round(list_avg(list_transform(string_split(text, ''),
+                                                   c -> ascii(c))), 4)
+           END AS mean_byte,
            (CASE WHEN doc_id % 3 = 2 THEN 4 ELSE 0 END)::INT AS n_frames
     FROM documents
 """

@@ -177,14 +177,20 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-bounded chunking with overlap: each document becomes
     ceil((n - overlap) / stride) chunks of <= CHUNK_TOKENS whitespace
     tokens, striding CHUNK_STRIDE (the standard LLM-pretraining window).
-    Map-side only: sequence + transform + explode, no shuffle."""
+    A trailing window that would sit entirely inside the previous chunk
+    (n mod stride <= overlap) is not emitted. Map-side only: sequence +
+    explode, no shuffle."""
+    overlap = CHUNK_TOKENS - CHUNK_STRIDE
     docs = load_table(spark, sf_dir, "documents")
     d = docs.select("doc_id", _toks(F.col("text")).alias("toks"))
     n = F.size("toks")
+    # last start = largest k*stride that still contributes a token the
+    # previous window doesn't already cover (k*stride + overlap < n)
     starts = F.sequence(
         F.lit(0),
         F.greatest(
-            F.floor((n - 1) / CHUNK_STRIDE).cast("int"), F.lit(0)
+            F.floor((n - overlap - 1) / CHUNK_STRIDE).cast("int"),
+            F.lit(0),
         )
         * CHUNK_STRIDE,
         F.lit(CHUNK_STRIDE),
@@ -309,7 +315,9 @@ ORACLES = {
         ),
         chunks AS (
           SELECT doc_id, len(toks) AS n_toks, toks,
-                 unnest(range(0, ((len(toks) - 1) // {CHUNK_STRIDE}) + 1))
+                 unnest(range(0, greatest(
+                   (len(toks) - {CHUNK_TOKENS - CHUNK_STRIDE} - 1)
+                     // {CHUNK_STRIDE}, 0) + 1))
                    AS chunk_idx
           FROM d
         )

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions.portable import pround, sql_pround
-from .hourly import SQL_WEATHER, weather_hourly
+from .hourly import SQL_DEMAND, SQL_WEATHER, weather_hourly
 
 ASOF_LOOKBACK_H = 3
 ROLLING_HOURS = 3
@@ -31,8 +31,12 @@ TOP_STOPS_K = 3
 
 
 def asof_join_weather(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Latest weather observation at-or-before each event (bounded to
-    ASOF_LOOKBACK_H hours), per event."""
+    """Latest weather observation at-or-before each event, per event.
+
+    Lookback bound: strictly less than ASOF_LOOKBACK_H hours — the
+    candidate hour keys are trunc(ts) - {0..H-1}h, so an observation
+    exactly H hours old is out of reach, and the oracle's post-filter
+    uses `<` to encode the same bound."""
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", F.col("event_type").alias("route_id")
     )
@@ -127,20 +131,10 @@ ORACLES = {
                wh.temperature_c, wh.precipitation_mm
         FROM events e
         ASOF JOIN wh ON e.ts >= wh.hour_ts
-        WHERE e.ts - wh.hour_ts <= INTERVAL {ASOF_LOOKBACK_H} HOURS
+        WHERE e.ts - wh.hour_ts < INTERVAL {ASOF_LOOKBACK_H} HOURS
     """,
     "demand_rolling_3h": f"""
-        WITH d AS (
-          SELECT m.route_id,
-                 date_trunc('hour', f.ts) AS hour_ts,
-                 {sql_pround("(sum((f.value)::DECIMAL(28,6)))::DOUBLE", 2)}
-                   AS passengers
-          FROM events f
-          JOIN (SELECT DISTINCT user_id, event_type AS route_id
-                FROM events) m
-            ON m.user_id = f.user_id
-          GROUP BY m.route_id, date_trunc('hour', f.ts)
-        )
+        WITH d AS ({SQL_DEMAND})
         SELECT route_id, hour_ts, passengers,
                {sql_pround(
                    "(sum((passengers)::DECIMAL(28,6)) OVER w)::DOUBLE", 2)}

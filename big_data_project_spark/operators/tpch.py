@@ -220,18 +220,21 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def avg_acctbal_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scalar-subquery filter: customers above the global average balance."""
+    """Scalar-subquery filter: customers above the global average
+    balance. Expressed as a broadcast of the 1-row aggregate (the plan
+    a correlation-free scalar subquery compiles to) — deliberately NOT
+    via a temp view, so the operator never mutates the session catalog
+    that views.py::register_analytics_views manages."""
     cust = load_table(spark, sf_dir, "customer")
-    cust.createOrReplaceTempView("customer")
-    return spark.sql(
-        """
-        SELECT c_mktsegment,
-               count(*) AS n_cust,
-               round(avg(c_acctbal), 4) AS avg_bal
-        FROM customer
-        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
-        GROUP BY c_mktsegment
-        """
+    thr = cust.agg(F.avg("c_acctbal").alias("thr"))
+    return (
+        cust.crossJoin(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("thr"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+        )
     )
 
 

@@ -17,8 +17,7 @@ rows. On a data lake the same contracts are:
 
 from __future__ import annotations
 
-import os
-
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -33,11 +32,16 @@ def upsert_parquet(
     """Merge ``delta`` into the parquet table at ``target_path``:
     one surviving row per key, highest ``version_col`` wins (ties favor
     the delta). Returns the merged frame after writing."""
-    if os.path.exists(target_path):
+    # Probe via the reader, not os.path — the target may live on any
+    # Hadoop-compatible filesystem (s3a://, hdfs://), where a local
+    # stat would silently report "absent" and turn the merge into an
+    # overwrite.
+    try:
         current = spark.read.parquet(target_path).withColumn(
             "__src", F.lit(0)
         )
-    else:
+        current.schema  # force analysis so a missing path raises here
+    except AnalysisException:
         current = None
     incoming = delta.withColumn("__src", F.lit(1))
     unioned = (

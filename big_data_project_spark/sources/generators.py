@@ -129,11 +129,17 @@ _SQL_WHF = (
 
 
 def passenger_flow_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One simulated hour of passenger-flow events for every stop.
+    """One simulation run of passenger-flow events for every stop.
 
     Execution hour = latest event hour; demand factors come from that
     hour's events (delay = avg value, weather = the weather_hourly
     profile for the hour).
+
+    Note: EVENTS_PER_HOUR=100 one-minute buckets deliberately mirrors
+    the reference (mock_passenger_flow_job.py:147-150 stamps ts + i
+    minutes for i in 0..99), so — like the reference — the last 40
+    buckets spill into the following hour and the within-hour bump
+    shape restarts at i=60. Faithful-parity choice, not an oversight.
     """
     ev = load_table(spark, sf_dir, "events")
     hour_df = ev.agg(F.date_trunc("hour", F.max("ts")).alias("h"))
@@ -159,12 +165,9 @@ def passenger_flow_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    li = load_table(spark, sf_dir, "lineitem")
-    stops = li.groupBy(F.col("l_partkey").alias("stop_id")).agg(
-        F.least(F.lit(50), F.greatest(F.lit(5), F.count(F.lit(1)) * 3))
-        .cast("int")
-        .alias("base_weight")
-    )
+    from ..operators.hourly import stop_base_demand
+
+    stops = stop_base_demand(spark, sf_dir)
 
     noise1 = _hash_noise(F.concat(F.lit("pf:"), F.col("stop_id")), 0.10)
     demand = stops.crossJoin(F.broadcast(factors)).select(

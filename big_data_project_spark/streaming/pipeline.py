@@ -237,7 +237,7 @@ QUERIES = {"user_sessions": sessionize_batch}
 ORACLES = {
     "user_sessions": f"""
         WITH flagged AS (
-          SELECT user_id, ts, value,
+          SELECT user_id, ts, event_id, value,
                  CASE WHEN epoch(ts) - epoch(
                         lag(ts) OVER (PARTITION BY user_id
                                       ORDER BY ts, event_id))
@@ -247,7 +247,8 @@ ORACLES = {
         ),
         sessions AS (
           SELECT user_id, ts, value,
-                 sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                 sum(is_new) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
                                    ROWS UNBOUNDED PRECEDING) AS session_id
           FROM flagged
         )

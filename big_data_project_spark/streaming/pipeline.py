@@ -192,6 +192,59 @@ def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_interval_join(
+    spark: SparkSession,
+    positions_dir: str,
+    updates_dir: str,
+    tolerance_minutes: int = 30,
+) -> DataFrame:
+    """Stream-stream interval join: vehicle positions x trip updates for
+    the same vehicle within a bounded event-time window — the streaming
+    correlation the reference does via Postgres upserts + view joins
+    (ingestor.py writing vehicle_positions / trip_updates).
+
+    Both sides are watermarked; the time-bound predicate lets the state
+    store evict rows once the watermark passes the interval, so state
+    stays bounded at any scale."""
+    pos = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(positions_dir)
+        .select(
+            F.col("user_id").alias("vehicle_id"),
+            F.col("ts").alias("pos_ts"),
+            F.col("event_type").alias("route_id"),
+            F.col("value").alias("position_metric"),
+        )
+        .withWatermark("pos_ts", WATERMARK)
+    )
+    upd = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(updates_dir)
+        .select(
+            F.col("user_id").alias("vehicle_id"),
+            F.col("ts").alias("upd_ts"),
+            F.col("value").alias("delay_seconds"),
+        )
+        .withWatermark("upd_ts", WATERMARK)
+    )
+    bound = F.expr(
+        f"upd_ts BETWEEN pos_ts - INTERVAL {tolerance_minutes} MINUTES "
+        f"AND pos_ts + INTERVAL {tolerance_minutes} MINUTES"
+    )
+    return pos.join(
+        upd,
+        (pos.vehicle_id == upd.vehicle_id) & bound,
+        "inner",
+    ).select(
+        pos.vehicle_id,
+        "route_id",
+        "pos_ts",
+        "upd_ts",
+        "position_metric",
+        "delay_seconds",
+    )
+
+
 def stream_demand_hourly(
     spark: SparkSession,
     events_dir: str,

@@ -243,6 +243,43 @@ def test_sql_view_surface(spark):
     assert spark.sql("SELECT * FROM suggestions_latest").count() > 0
 
 
+def test_stream_interval_join(spark, tmp_path):
+    """Positions x updates for the same vehicle within ±30 min."""
+    schema = (
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string"
+    )
+    pos_rows = [
+        (1, "2026-01-01 10:00:00", 7, "r1", 1.0, "{}"),
+        (2, "2026-01-01 12:00:00", 7, "r1", 2.0, "{}"),
+        (3, "2026-01-01 10:00:00", 8, "r2", 3.0, "{}"),
+    ]
+    upd_rows = [
+        (10, "2026-01-01 10:20:00", 7, "r1", 120.0, "{}"),  # joins pos 1
+        (11, "2026-01-01 11:00:00", 7, "r1", 60.0, "{}"),   # joins neither
+        (12, "2026-01-01 09:40:00", 8, "r2", 30.0, "{}"),   # joins pos 3
+    ]
+    pos_dir = str(tmp_path / "pos")
+    upd_dir = str(tmp_path / "upd")
+    for rows, d in ((pos_rows, pos_dir), (upd_rows, upd_dir)):
+        spark.createDataFrame(rows, schema).withColumn(
+            "ts", F.to_timestamp("ts")
+        ).write.parquet(d)
+    out = pipeline.run_available_now(
+        pipeline.stream_interval_join(spark, pos_dir, upd_dir),
+        "interval_join",
+        output_mode="append",
+    )
+    got = sorted(
+        (r["vehicle_id"], str(r["pos_ts"]), r["delay_seconds"])
+        for r in out.collect()
+    )
+    assert got == [
+        (7, "2026-01-01 10:00:00", 120.0),
+        (8, "2026-01-01 10:00:00", 30.0),
+    ]
+
+
 def test_stream_incremental_checkpoint(spark, tmp_path):
     """Two availableNow runs over a growing directory with a shared
     checkpoint: the second run must process ONLY the new file (state

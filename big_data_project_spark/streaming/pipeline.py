@@ -285,6 +285,62 @@ def stream_demand_hourly(
     )
 
 
+def materialize_hourly(
+    spark: SparkSession,
+    events_dir: str,
+    target_path: str,
+    checkpoint_dir: str,
+) -> None:
+    """The reference's full serving loop, Spark-shaped: stream the feed,
+    re-aggregate each micro-batch's touched hours, and upsert them into
+    a served rollup table (ingestor.py's ON CONFLICT upsert + the
+    hourly views, fused).
+
+    foreachBatch gives exactly-once-per-batch semantics via the
+    checkpoint; the upsert keys on (route_id, hour_ts) so re-processing
+    a batch converges instead of duplicating. Complete-mode output keeps
+    per-hour counts correct when one hour spans micro-batches."""
+    from ..plans.sinks import upsert_parquet
+
+    src = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
+    agg = (
+        src.withWatermark("ts", WATERMARK)
+        .groupBy(
+            F.window("ts", "1 hour").alias("win"),
+            F.col("event_type").alias("route_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("vehicle_events"),
+            F.round(F.avg("value"), 4).alias("avg_delay_seconds"),
+        )
+        .select(
+            F.col("win.start").alias("hour_ts"),
+            "route_id",
+            "vehicle_events",
+            "avg_delay_seconds",
+        )
+    )
+
+    def _upsert(batch_df, batch_id: int) -> None:
+        delta = batch_df.withColumn("version", F.lit(batch_id))
+        upsert_parquet(
+            batch_df.sparkSession,
+            target_path,
+            delta,
+            keys=["route_id", "hour_ts"],
+            version_col="version",
+        )
+
+    q = (
+        agg.writeStream.foreachBatch(_upsert)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 QUERIES = {"user_sessions": sessionize_batch}
 
 ORACLES = {

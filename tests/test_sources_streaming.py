@@ -375,6 +375,35 @@ def test_write_partitioned_prunes(spark, tmp_path):
     assert "PartitionFilters" in plan or "hour=3" in plan
 
 
+def test_materialize_hourly_converges_to_batch(spark, tmp_path):
+    """Two incremental materialization runs over a growing feed must end
+    equal to the one-shot batch rollup (the upsert converges)."""
+    src = str(tmp_path / "mat_src")
+    target = str(tmp_path / "mat_target")
+    ckpt = str(tmp_path / "mat_ckpt")
+    events = load_table(spark, SF_DIR, "events")
+    first, second = events.randomSplit([0.5, 0.5], seed=7)
+
+    first.write.mode("append").parquet(src)
+    pipeline.materialize_hourly(spark, src, target, ckpt)
+    second.write.mode("append").parquet(src)
+    pipeline.materialize_hourly(spark, src, target, ckpt)
+
+    served = {
+        (r["route_id"], str(r["hour_ts"])): r["vehicle_events"]
+        for r in spark.read.parquet(target).collect()
+    }
+    batch = {
+        (r["event_type"], str(r["hour_ts"])): r["n"]
+        for r in events.groupBy(
+            F.col("event_type"), F.date_trunc("hour", "ts").alias("hour_ts")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert served == batch
+
+
 # -------------------------------------------------------------------- ML
 
 

@@ -158,6 +158,79 @@ def sessionize_stream(sdf: DataFrame) -> DataFrame:
     )
 
 
+def _sessionize_timeout_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Event-time-timeout variant: a session is emitted when the
+    watermark passes its last event + gap, not only when a newer event
+    arrives for the same user — so quiet users' sessions still close."""
+    gap = SESSION_GAP_MINUTES * 60 * 1_000_000
+    (user_id,) = key
+    if state.hasTimedOut:
+        start, last, n, total = state.get
+        state.remove()
+        out = pd.DataFrame(
+            [(user_id, start, last, n, total)],
+            columns=[
+                "user_id", "session_start", "session_end",
+                "n_events", "total_value",
+            ],
+        )
+        out["session_start"] = pd.to_datetime(out["session_start"], unit="us")
+        out["session_end"] = pd.to_datetime(out["session_end"], unit="us")
+        yield out
+        return
+    if state.exists:
+        start, last, n, total = state.get
+    else:
+        start = last = n = None
+        total = 0.0
+    closed: list[tuple] = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values("ts")
+        for ts, value in zip(pdf["ts"], pdf["value"]):
+            t = int(ts.value // 1000)
+            if start is None:
+                start, last, n, total = t, t, 1, float(value)
+            elif t - last > gap:
+                closed.append((user_id, start, last, n, total))
+                start, last, n, total = t, t, 1, float(value)
+            else:
+                last = max(last, t)
+                n += 1
+                total += float(value)
+    state.update((start, last, n, total))
+    state.setTimeoutTimestamp((last + gap) // 1000)  # epoch millis
+    if closed:
+        out = pd.DataFrame(
+            closed,
+            columns=[
+                "user_id", "session_start", "session_end",
+                "n_events", "total_value",
+            ],
+        )
+        out["session_start"] = pd.to_datetime(out["session_start"], unit="us")
+        out["session_end"] = pd.to_datetime(out["session_end"], unit="us")
+        yield out
+
+
+def sessionize_stream_timeout(sdf: DataFrame) -> DataFrame:
+    """Stateful sessionization with event-time timeouts: requires a
+    watermark on the input; sessions close either by a larger gap from
+    the same user OR by the watermark passing last_event + gap."""
+    return (
+        sdf.withWatermark("ts", "0 seconds")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_timeout_fn,
+            outputStructType=_SESSION_OUT,
+            stateStructType=_SESSION_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin: lag -> gap flag -> cumulative session id -> aggregate.
     One shuffle on user_id; both windows reuse the same partitioning."""

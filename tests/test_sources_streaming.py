@@ -181,6 +181,56 @@ def test_sessionize_stream_closes_gapped_sessions(spark, tmp_path):
     assert closed == [(7, 2, 3.0)]
 
 
+def test_sessionize_timeout_flushes_quiet_users(spark, tmp_path):
+    """With event-time timeouts, a quiet user's session closes once the
+    watermark (advanced by OTHER users' later events in a second run)
+    passes last_event + gap."""
+    schema = (
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string"
+    )
+    src = str(tmp_path / "to_src")
+    ckpt = str(tmp_path / "to_ckpt")
+    out_dir = str(tmp_path / "to_out")
+
+    def run_once():
+        sdf = spark.readStream.schema(pipeline.EVENTS_SCHEMA).parquet(src)
+        q = (
+            pipeline.sessionize_stream_timeout(sdf)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    rows1 = [
+        (1, "2026-01-01 10:00:00", 7, "a", 1.0, "{}"),
+        (2, "2026-01-01 10:10:00", 7, "a", 2.0, "{}"),
+    ]
+    spark.createDataFrame(rows1, schema).withColumn(
+        "ts", F.to_timestamp("ts")
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+
+    # a different user's much-later event advances the watermark far
+    # past user 7's last_event + 30 min -> the timeout fires.
+    rows2 = [(3, "2026-01-02 00:00:00", 9, "a", 0.0, "{}")]
+    spark.createDataFrame(rows2, schema).withColumn(
+        "ts", F.to_timestamp("ts")
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    run_once()  # one more batch so the new watermark evaluates timeouts
+
+    got = {
+        (r["user_id"], r["n_events"], r["total_value"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert (7, 2, 3.0) in got
+
+
 def test_batch_sessionization_micro(spark, tmp_path):
     rows = [
         (1, "2026-01-01 10:00:00", 7, "a", 1.0, "{}"),

@@ -1,0 +1,137 @@
+"""Sampling + clustering operators for training-data curation.
+
+- ``stratified_doc_sample``: N docs per (source, lang) stratum, chosen
+  by md5 rank — deterministic, partition-independent, and therefore
+  fully oracle-checkable, unlike rand()-based sampleBy. At 100 TB this
+  is one shuffle on the stratum key.
+- ``dedup_clusters``: connected components over the near-duplicate
+  pair graph (the step that turns pairwise dedup output into keep/drop
+  decisions). Spark side: iterative min-label propagation — each
+  iteration is one join + one aggregate, and the label of a component
+  converges to its minimum doc_id (a unique fixpoint, so the result is
+  iteration-order independent). Oracle: DuckDB recursive-CTE transitive
+  closure reaching the same fixpoint by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .dedup import TAU, _SQL_JACCARD_PAIRS, _jaccard_pairs, _persisted, _shingles
+
+SAMPLE_PER_STRATUM = 5
+CC_MAX_ITERS = 8  # min-label spreads 1 hop/iter; dup-cluster diameters are tiny
+
+
+def stratified_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic N-per-stratum sample of documents."""
+    from ..catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source", "lang").orderBy(
+        F.md5(F.concat(F.lit("sample:"), F.col("doc_id"))), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= SAMPLE_PER_STRATUM)
+        .select("source", "lang", "doc_id", "n_chars", "rk")
+    )
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the >= TAU near-dup graph: every doc in
+    a duplicate cluster labeled with the cluster's min doc_id and a
+    keep flag for the representative."""
+    pairs = _jaccard_pairs(_persisted(_shingles(spark, sf_dir))).filter(
+        F.col("jaccard") >= TAU
+    )
+    edges = _persisted(
+        pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col("b_id").alias("src"), F.col("a_id").alias("dst")
+            )
+        )
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+    )
+    # Truncate lineage every round: without it the plan nests one
+    # join+aggregate per iteration and analysis/codegen blows up
+    # (classic iterative-algorithm failure mode; GraphX/Pregel
+    # checkpoint the same way). The labels relation is tiny (one row
+    # per doc in any duplicate pair).
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(CC_MAX_ITERS):
+        neighbor_min = (
+            edges.join(
+                labels.withColumnRenamed("doc_id", "dst").withColumnRenamed(
+                    "label", "nbr_label"
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("nbr_label").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    "label", F.coalesce("nbr_min", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("cluster_id"),
+        (F.col("doc_id") == F.col("label")).cast("int").alias("is_rep"),
+    )
+
+
+QUERIES = {
+    "stratified_doc_sample": stratified_doc_sample,
+    "dedup_clusters": dedup_clusters,
+}
+
+ORACLES = {
+    "stratified_doc_sample": f"""
+        SELECT source, lang, doc_id, n_chars, rk
+        FROM (
+          SELECT source, lang, doc_id, n_chars,
+                 row_number() OVER (
+                   PARTITION BY source, lang
+                   ORDER BY md5('sample:' || doc_id::VARCHAR), doc_id
+                 ) AS rk
+          FROM documents
+        ) s
+        WHERE rk <= {SAMPLE_PER_STRATUM}
+    """,
+    "dedup_clusters": f"""
+        WITH RECURSIVE pairs AS (
+          SELECT a_id, b_id FROM ({_SQL_JACCARD_PAIRS}) p
+          WHERE jaccard >= {TAU}
+        ),
+        edges AS (
+          SELECT a_id AS src, b_id AS dst FROM pairs
+          UNION
+          SELECT b_id AS src, a_id AS dst FROM pairs
+        ),
+        reach(src, dst) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT r.src, e.dst
+          FROM reach r JOIN edges e ON e.src = r.dst
+        )
+        SELECT src AS doc_id,
+               min(dst) AS cluster_id,
+               (CASE WHEN src = min(dst) THEN 1 ELSE 0 END)::INT AS is_rep
+        FROM reach
+        GROUP BY src
+    """,
+}

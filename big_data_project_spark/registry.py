@@ -26,6 +26,7 @@ from .operators import (
     kpi,
     multimodal,
     relational,
+    sampling,
     similarity,
     sketches,
     suggestions,
@@ -55,6 +56,7 @@ _MODULES = [
     textops,
     timeseries,
     sketches,
+    sampling,
     multimodal,
     generators,
     jsonfeed,

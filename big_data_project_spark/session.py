@@ -18,6 +18,10 @@ def get_spark(app_name: str = "big_data_project_spark") -> SparkSession:
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
+        # local-mode driver hosts all executor threads; the 1g default
+        # heap GC-thrashes under 32 concurrent tasks (takes effect only
+        # when this process starts the JVM, which is the normal path)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "8g"))
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -13,7 +13,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.time import hour_trunc
 
 PIVOT_HOURS = [7, 8, 9, 16, 17, 18]  # peak hours as pivot columns
 

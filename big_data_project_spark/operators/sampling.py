@@ -43,9 +43,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components of the >= TAU near-dup graph: every doc in
     a duplicate cluster labeled with the cluster's min doc_id and a
     keep flag for the representative."""
-    pairs = _jaccard_pairs(_persisted(_shingles(spark, sf_dir))).filter(
-        F.col("jaccard") >= TAU
-    )
+    pairs = _persisted(
+        _jaccard_pairs(_persisted(_shingles(spark, sf_dir))).filter(
+            F.col("jaccard") >= TAU
+        )
+    )  # consumed twice by the undirected-edge union
     edges = _persisted(
         pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
         .unionByName(
@@ -67,6 +69,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per doc in any duplicate pair).
     labels = labels.localCheckpoint(eager=True)
     for _ in range(CC_MAX_ITERS):
+        prev = labels
         neighbor_min = (
             edges.join(
                 labels.withColumnRenamed("doc_id", "dst").withColumnRenamed(
@@ -86,6 +89,22 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("label"),
             )
             .localCheckpoint(eager=True)
+        )
+        # converged when no label moved this round; min-label spreads
+        # one hop per iteration, so chains longer than the iteration
+        # cap would otherwise be silently mislabeled
+        changed = (
+            labels.alias("new")
+            .join(prev.alias("old"), "doc_id")
+            .filter(F.col("new.label") != F.col("old.label"))
+            .count()
+        )
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {CC_MAX_ITERS} rounds; "
+            "raise CC_MAX_ITERS (component diameter exceeds the cap)"
         )
     return labels.select(
         "doc_id",

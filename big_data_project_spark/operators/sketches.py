@@ -39,11 +39,14 @@ def route_cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "route_id",
         "exact_vehicles",
         "approx_vehicles",
-        F.round(
-            F.abs(F.col("approx_vehicles") - F.col("exact_vehicles"))
-            / F.col("exact_vehicles"),
-            4,
-        ).alias("rel_error"),
+        F.when(
+            F.col("exact_vehicles") > 0,
+            F.round(
+                F.abs(F.col("approx_vehicles") - F.col("exact_vehicles"))
+                / F.col("exact_vehicles"),
+                4,
+            ),
+        ).alias("rel_error"),  # NULL (not NaN) when a group has no ids
     )
 
 

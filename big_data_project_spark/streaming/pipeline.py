@@ -52,6 +52,8 @@ def stream_events_hourly(
     """File-streaming twin of operators/hourly.py::events_hourly +
     delay_hourly: tumbling 1-hour windows per route with a watermark for
     late data."""
+    from ..functions.portable import davg
+
     src = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
     return (
         src.withWatermark("ts", watermark)
@@ -61,7 +63,10 @@ def stream_events_hourly(
         )
         .agg(
             F.count(F.lit(1)).alias("vehicle_events"),
-            F.round(F.avg("value"), 4).alias("avg_delay_seconds"),
+            # decimal accumulation (functions/portable.py): streaming
+            # state merges in yet another order, so only an
+            # order-independent aggregate can promise batch-equality
+            davg("value", 4).alias("avg_delay_seconds"),
         )
         .select(
             F.col("win.start").alias("hour_ts"),
@@ -119,19 +124,23 @@ def _sessionize_fn(
         start = last = n = None
         total = 0.0
     closed: list[tuple] = []
-    for pdf in pdfs:
+    # One global sort over the whole group: pdfs yields multiple Arrow
+    # chunks for large groups, and chunk order is arbitrary — sorting
+    # per-chunk would process events out of time order.
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    if not pdf.empty:
         pdf = pdf.sort_values("ts")
-        for ts, value in zip(pdf["ts"], pdf["value"]):
-            t = int(ts.value // 1000)  # ns -> us
-            if start is None:
-                start, last, n, total = t, t, 1, float(value)
-            elif t - last > gap:
-                closed.append((user_id, start, last, n, total))
-                start, last, n, total = t, t, 1, float(value)
-            else:
-                last = max(last, t)
-                n += 1
-                total += float(value)
+    for ts, value in zip(pdf["ts"], pdf["value"]):
+        t = int(ts.value // 1000)  # ns -> us
+        if start is None:
+            start, last, n, total = t, t, 1, float(value)
+        elif t - last > gap:
+            closed.append((user_id, start, last, n, total))
+            start, last, n, total = t, t, 1, float(value)
+        else:
+            last = max(last, t)
+            n += 1
+            total += float(value)
     state.update((start, last, n, total))
     if closed:
         out = pd.DataFrame(
@@ -186,19 +195,20 @@ def _sessionize_timeout_fn(
         start = last = n = None
         total = 0.0
     closed: list[tuple] = []
-    for pdf in pdfs:
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    if not pdf.empty:
         pdf = pdf.sort_values("ts")
-        for ts, value in zip(pdf["ts"], pdf["value"]):
-            t = int(ts.value // 1000)
-            if start is None:
-                start, last, n, total = t, t, 1, float(value)
-            elif t - last > gap:
-                closed.append((user_id, start, last, n, total))
-                start, last, n, total = t, t, 1, float(value)
-            else:
-                last = max(last, t)
-                n += 1
-                total += float(value)
+    for ts, value in zip(pdf["ts"], pdf["value"]):
+        t = int(ts.value // 1000)
+        if start is None:
+            start, last, n, total = t, t, 1, float(value)
+        elif t - last > gap:
+            closed.append((user_id, start, last, n, total))
+            start, last, n, total = t, t, 1, float(value)
+        else:
+            last = max(last, t)
+            n += 1
+            total += float(value)
     state.update((start, last, n, total))
     state.setTimeoutTimestamp((last + gap) // 1000)  # epoch millis
     if closed:
@@ -214,12 +224,16 @@ def _sessionize_timeout_fn(
         yield out
 
 
-def sessionize_stream_timeout(sdf: DataFrame) -> DataFrame:
-    """Stateful sessionization with event-time timeouts: requires a
-    watermark on the input; sessions close either by a larger gap from
-    the same user OR by the watermark passing last_event + gap."""
+def sessionize_stream_timeout(
+    sdf: DataFrame, watermark: str = WATERMARK
+) -> DataFrame:
+    """Stateful sessionization with event-time timeouts: sessions close
+    either by a larger gap from the same user OR by the watermark
+    passing last_event + gap. The watermark delay bounds how late a
+    row may arrive before being dropped — 0 would silently discard any
+    event older than the previous batch's max event time."""
     return (
-        sdf.withWatermark("ts", "0 seconds")
+        sdf.withWatermark("ts", watermark)
         .groupBy("user_id")
         .applyInPandasWithState(
             _sessionize_timeout_fn,
@@ -236,15 +250,18 @@ def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     One shuffle on user_id; both windows reuse the same partitioning."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.lit(SESSION_GAP_MINUTES * 60)
+    # microsecond gap math: unix_timestamp() truncates to whole seconds
+    # while the oracle's epoch() is fractional — same trap headway.py
+    # dodges with epoch_us
+    gap = F.lit(SESSION_GAP_MINUTES * 60 * 1_000_000)
     flagged = ev.select(
         "user_id",
         "ts",
         "event_id",
         "value",
         F.when(
-            F.unix_timestamp("ts")
-            - F.unix_timestamp(F.lag("ts").over(w))
+            F.unix_micros("ts")
+            - F.unix_micros(F.lag("ts").over(w))
             > gap,
             1,
         )
@@ -345,13 +362,13 @@ def stream_demand_hourly(
         "ts",
         F.col("value").alias("estimated_passengers"),
     )
+    from ..functions.portable import dsum
+
     return (
         flow.join(broadcast(mapping), "stop_id")
         .withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("win"), "route_id")
-        .agg(
-            F.round(F.sum("estimated_passengers"), 2).alias("passengers")
-        )
+        .agg(dsum("estimated_passengers", 2).alias("passengers"))
         .select(
             F.col("win.start").alias("hour_ts"), "route_id", "passengers"
         )
@@ -373,6 +390,7 @@ def materialize_hourly(
     checkpoint; the upsert keys on (route_id, hour_ts) so re-processing
     a batch converges instead of duplicating. Complete-mode output keeps
     per-hour counts correct when one hour spans micro-batches."""
+    from ..functions.portable import davg
     from ..plans.sinks import upsert_parquet
 
     src = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
@@ -384,7 +402,7 @@ def materialize_hourly(
         )
         .agg(
             F.count(F.lit(1)).alias("vehicle_events"),
-            F.round(F.avg("value"), 4).alias("avg_delay_seconds"),
+            davg("value", 4).alias("avg_delay_seconds"),
         )
         .select(
             F.col("win.start").alias("hour_ts"),
@@ -420,10 +438,10 @@ ORACLES = {
     "user_sessions": f"""
         WITH flagged AS (
           SELECT user_id, ts, event_id, value,
-                 CASE WHEN epoch(ts) - epoch(
+                 CASE WHEN epoch_us(ts) - epoch_us(
                         lag(ts) OVER (PARTITION BY user_id
                                       ORDER BY ts, event_id))
-                      > {SESSION_GAP_MINUTES * 60}
+                      > {SESSION_GAP_MINUTES * 60 * 1_000_000}
                       THEN 1 ELSE 0 END AS is_new
           FROM events
         ),

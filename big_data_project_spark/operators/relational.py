@@ -9,7 +9,7 @@ would expect from a drop-in engine.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -106,7 +106,55 @@ def demand_delay_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def demand_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: passengers within the trailing 2-hour
+    event-time interval per route (unlike a ROWS frame, gaps in the
+    hourly series shrink the window — interval semantics, not
+    row-count semantics)."""
+    from ..functions.portable import pround
+    from .hourly import demand_hourly
+
+    d = demand_hourly(spark, sf_dir)
+    w = (
+        Window.partitionBy("route_id")
+        .orderBy(F.unix_timestamp("hour_ts"))
+        .rangeBetween(-7200, 0)
+    )
+    return d.select(
+        "route_id",
+        "hour_ts",
+        "passengers",
+        pround(
+            F.sum(F.col("passengers").cast("decimal(28,6)"))
+            .over(w)
+            .cast("double"),
+            2,
+        ).alias("trailing_2h_passengers"),
+        F.count(F.lit(1)).over(w).alias("hours_in_window"),
+    )
+
+
+def customer_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile window: quartile summary of customer balances per nation."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    q = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .withColumn("quartile", F.ntile(4).over(w))
+    )
+    return q.groupBy("n_name", "quartile").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+        F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+    )
+
+
 QUERIES = {
+    "demand_range_window": demand_range_window,
+    "customer_balance_quartiles": customer_balance_quartiles,
     "sales_cube": sales_cube,
     "route_hour_pivot": route_hour_pivot,
     "weekday_weekend_routes": weekday_weekend_routes,
@@ -118,6 +166,21 @@ _SQL_PIVOT_COLS = ",\n               ".join(
 )
 
 ORACLES = {
+    "demand_range_window": None,  # filled below (shares hourly CTEs)
+    "customer_balance_quartiles": """
+        SELECT n_name, quartile,
+               count(*) AS n_cust,
+               round(min(c_acctbal), 2) AS min_bal,
+               round(max(c_acctbal), 2) AS max_bal
+        FROM (
+          SELECT n_name, c_acctbal,
+                 ntile(4) OVER (PARTITION BY n_name
+                                ORDER BY c_acctbal ASC, c_custkey ASC)
+                   AS quartile
+          FROM customer JOIN nation ON c_nationkey = n_nationkey
+        ) q
+        GROUP BY n_name, quartile
+    """,
     "sales_cube": """
         SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
                coalesce(l_linestatus, 'ALL') AS linestatus,
@@ -154,6 +217,18 @@ ORACLES = {
 }
 
 from .hourly import SQL_DELAY, SQL_DEMAND  # noqa: E402
+
+ORACLES["demand_range_window"] = f"""
+    WITH d AS ({SQL_DEMAND})
+    SELECT route_id, hour_ts, passengers,
+           floor(((sum((passengers)::DECIMAL(28,6)) OVER w)::DOUBLE)
+                 * 100.0 + 0.5) / 100.0 AS trailing_2h_passengers,
+           count(*) OVER w AS hours_in_window
+    FROM d
+    WINDOW w AS (PARTITION BY route_id ORDER BY hour_ts
+                 RANGE BETWEEN INTERVAL 2 HOURS PRECEDING
+                      AND CURRENT ROW)
+"""
 
 ORACLES["demand_delay_full_outer"] = f"""
     WITH d AS ({SQL_DEMAND}),

@@ -22,7 +22,10 @@ def get_spark(app_name: str = "big_data_project_spark") -> SparkSession:
         # heap GC-thrashes under 32 concurrent tasks (takes effect only
         # when this process starts the JVM, which is the normal path)
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "8g"))
-        .config("spark.sql.shuffle.partitions", "32")
+        .config(
+            "spark.sql.shuffle.partitions",
+            os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+        )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -51,16 +51,23 @@ def main() -> None:
     for t in TABLES:
         load_table(spark, sf_dir, t).limit(1).count()
 
+    missing = [n for n in HEADLINE if n not in QUERIES]
+    if missing:
+        raise SystemExit(f"HEADLINE names not in registry: {missing}")
+
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
-        fn = QUERIES.get(name)
-        if fn is None:
-            continue
+        fn = QUERIES[name]
+        # Time a noop-sink write: .count() would let Catalyst prune every
+        # aggregate/projection expression (verified — the executed count
+        # plan drops the sums entirely), so only a full materializing
+        # sink measures the real query cost.
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
-        n = df.count()
+        df.write.format("noop").mode("overwrite").save()
         dt = time.perf_counter() - t0
+        n = df.count()  # untimed, display only
         timings[name] = round(dt, 3)
         total += dt
         print(f"# {name}: {dt:.3f}s rows={n}", flush=True)

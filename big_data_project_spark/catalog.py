@@ -41,13 +41,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # timestamps); pin it even when the caller's session was built elsewhere.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS); Spark only reads it via the
-        # legacy long path, so surface it as a microsecond timestamp (floor,
-        # matching DuckDB's epoch_us truncation of TIMESTAMP_NS).
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(table_path(sf_dir, name))
+        # events.ts is parquet TIMESTAMP(NANOS); Spark only reads it via
+        # the legacy long path, so surface it as a microsecond timestamp.
+        # Floor division, NOT `div`: `div` truncates toward zero, which
+        # would disagree with DuckDB's epoch_us flooring on pre-1970
+        # nanos. The conf is restored after the read (it is captured at
+        # analysis time — verified: execution still succeeds) so other
+        # nanos-parquet reads in the session keep default typing.
+        _CONF = "spark.sql.legacy.parquet.nanosAsLong"
+        prior = spark.conf.get(_CONF, None)
+        spark.conf.set(_CONF, "true")
+        try:
+            df = spark.read.parquet(table_path(sf_dir, name))
+        finally:
+            if prior is None:
+                spark.conf.unset(_CONF)
+            else:
+                spark.conf.set(_CONF, prior)
         if isinstance(df.schema["ts"].dataType, T.LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            df = df.withColumn(
+                "ts",
+                F.timestamp_micros(
+                    F.expr("(ts - pmod(ts, 1000)) div 1000")
+                ),
+            )
         return df
     return spark.read.parquet(table_path(sf_dir, name))
 

@@ -98,12 +98,25 @@ def test_cosine_topk_known_vectors(spark, tmp_path):
 
 
 def test_lsh_topk_subset_of_exact(spark):
-    """LSH neighbours are a subset of the corpus and every returned match
-    shares the query's bucket; ranks are contiguous from 1."""
+    """LSH neighbours are corpus members sharing the query's bucket,
+    and ranks are contiguous from 1."""
+    from pyspark.sql import functions as F
+
+    from big_data_project_spark.operators.similarity import (
+        _buckets,
+        _vectors,
+    )
+
     out = similarity.ann_lsh_topk(spark, SF_DIR).collect()
     assert out, "LSH returned nothing at sf0.001"
+    buckets = {
+        r["vec_id"]: r["bucket"]
+        for r in _buckets(_vectors(spark, SF_DIR)).collect()
+    }
     by_q = {}
     for r in out:
+        assert r["match_id"] in buckets  # corpus member
+        assert buckets[r["match_id"]] == buckets[r["query_id"]]
         by_q.setdefault(r["query_id"], []).append(r["rank"])
     for ranks in by_q.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
@@ -165,10 +178,11 @@ def test_salted_aggregate_matches_direct(spark):
     from big_data_project_spark.catalog import load_table
 
     ev = load_table(spark, SF_DIR, "events")
+    # same metric on both sides: count of non-null event_id
     direct = {
         (r["event_type"],): (r["n"], round(r["s"], 4))
         for r in ev.groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .agg(F.count("event_id").alias("n"), F.sum("value").alias("s"))
         .collect()
     }
     salted = {

@@ -39,7 +39,14 @@ def main() -> None:
             ._jdf.queryExecution()
             .explainString(mode)
         )
-        ex_n = len(re.findall(r"Exchange ", plan))
+        # shuffle exchanges only — BroadcastExchange / ReusedExchange
+        # lines must not count as shuffles
+        ex_n = len(
+            re.findall(
+                r"(?<!Broadcast)(?<!Reused)Exchange (hash|range|Single)",
+                plan,
+            )
+        )
         bc = len(re.findall(r"BroadcastHashJoin", plan))
         smj = len(re.findall(r"SortMergeJoin", plan))
         pushed = len(

@@ -39,14 +39,10 @@ def main() -> None:
             ._jdf.queryExecution()
             .explainString(mode)
         )
-        # shuffle exchanges only — BroadcastExchange / ReusedExchange
-        # lines must not count as shuffles
-        ex_n = len(
-            re.findall(
-                r"(?<!Broadcast)(?<!Reused)Exchange (hash|range|Single)",
-                plan,
-            )
-        )
+        # shuffle exchanges only: count formatted-explain detail headers
+        # "(N) Exchange" — BroadcastExchange / ReusedExchange headers
+        # must not count as shuffles
+        ex_n = len(re.findall(r"^\(\d+\) Exchange\b", plan, re.MULTILINE))
         bc = len(re.findall(r"BroadcastHashJoin", plan))
         smj = len(re.findall(r"SortMergeJoin", plan))
         pushed = len(

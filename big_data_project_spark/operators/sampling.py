@@ -18,7 +18,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .dedup import TAU, _SQL_JACCARD_PAIRS, _jaccard_pairs, _persisted, _shingles
+from .dedup import (
+    TAU,
+    _SQL_JACCARD_PAIRS,
+    _jaccard_pairs,
+    _persisted,
+    _shingles,
+)
+from .dedup import _SQL_NORM as _SQL_NORM_IMPORT
 
 SAMPLE_PER_STRATUM = 5
 CC_MAX_ITERS = 8  # min-label spreads 1 hop/iter; dup-cluster diameters are tiny
@@ -113,9 +120,45 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation verdict per document: keep iff it is BOTH the
+    exact-hash representative (min doc_id of its normalized-text group)
+    AND, when it belongs to a near-dup cluster, that cluster's
+    representative. This is the final output a training-data pipeline
+    actually consumes; the pairwise/cluster queries are its audit trail.
+    """
+    from ..catalog import load_table
+    from .dedup import dedup_exact
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    exact = dedup_exact(spark, sf_dir).select(
+        F.col("keep_doc_id").alias("doc_id"),
+        F.lit(1).alias("exact_rep"),
+    )
+    clusters = dedup_clusters(spark, sf_dir).select(
+        "doc_id", "cluster_id", "is_rep"
+    )
+    return (
+        docs.join(F.broadcast(exact), "doc_id", "left")
+        .join(F.broadcast(clusters), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("exact_rep", F.lit(0)).alias("exact_rep"),
+            "cluster_id",
+            (
+                (F.coalesce("exact_rep", F.lit(0)) == 1)
+                & (F.coalesce("is_rep", F.lit(1)) == 1)
+            )
+            .cast("int")
+            .alias("keep"),
+        )
+    )
+
+
 QUERIES = {
     "stratified_doc_sample": stratified_doc_sample,
     "dedup_clusters": dedup_clusters,
+    "dedup_keep_list": dedup_keep_list,
 }
 
 ORACLES = {
@@ -130,6 +173,41 @@ ORACLES = {
           FROM documents
         ) s
         WHERE rk <= {SAMPLE_PER_STRATUM}
+    """,
+    "dedup_keep_list": f"""
+        WITH RECURSIVE exact AS (
+          SELECT min(doc_id) AS doc_id, 1 AS exact_rep
+          FROM (SELECT doc_id, md5({_SQL_NORM_IMPORT}) AS h FROM documents) x
+          GROUP BY h
+        ),
+        pairs AS (
+          SELECT a_id, b_id FROM ({_SQL_JACCARD_PAIRS}) p
+          WHERE jaccard >= {TAU}
+        ),
+        cedges AS (
+          SELECT a_id AS src, b_id AS dst FROM pairs
+          UNION
+          SELECT b_id AS src, a_id AS dst FROM pairs
+        ),
+        reach(src, dst) AS (
+          SELECT src, src FROM cedges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN cedges e ON e.src = r.dst
+        ),
+        clusters AS (
+          SELECT src AS doc_id, min(dst) AS cluster_id,
+                 CASE WHEN src = min(dst) THEN 1 ELSE 0 END AS is_rep
+          FROM reach GROUP BY src
+        )
+        SELECT d.doc_id,
+               coalesce(e.exact_rep, 0) AS exact_rep,
+               c.cluster_id,
+               (CASE WHEN coalesce(e.exact_rep, 0) = 1
+                      AND coalesce(c.is_rep, 1) = 1
+                     THEN 1 ELSE 0 END)::INT AS keep
+        FROM documents d
+        LEFT JOIN exact e ON e.doc_id = d.doc_id
+        LEFT JOIN clusters c ON c.doc_id = d.doc_id
     """,
     "dedup_clusters": f"""
         WITH RECURSIVE pairs AS (

@@ -95,6 +95,17 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the lang_id heuristic: labeled vs predicted
+    language counts (the audit view a curation pipeline reports; the
+    shared-vocabulary synthetic corpus concentrates predictions on
+    'en', which is itself the informative finding)."""
+    ids = lang_id(spark, sf_dir)
+    return ids.groupBy("actual_lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
 def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace tokens + BPE-ish regex tokens (letter runs, single
     digits, single punctuation) per document."""
@@ -239,6 +250,7 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "lang_id": lang_id,
+    "lang_confusion": lang_confusion,
     "token_count": token_count,
     "quality_score": quality_score,
     "doc_fingerprint": doc_fingerprint,
@@ -269,6 +281,13 @@ ORACLES = {
                greatest({", ".join(f"s_{lg}" for lg in LANG_ORDER)})
                  AS marker_hits
         FROM ({_SQL_SCORED}) s
+    """,
+    "lang_confusion": f"""
+        SELECT lang AS actual_lang,
+               {_sql_pred_lang()} AS pred_lang,
+               count(*) AS n_docs
+        FROM ({_SQL_SCORED}) s
+        GROUP BY lang, 2
     """,
     "token_count": f"""
         SELECT doc_id,

@@ -45,14 +45,19 @@ def vhash(rows, cols):
         norm.append("|".join(vals))
     return hashlib.md5("\n".join(sorted(norm)).encode()).hexdigest()
 
+import time
+
 qs, os_ = e.queries(), e.oracle_sql()
 fails = []
-for name in sorted(qs):
+timings = {}
+for name in qs:  # registry insertion order — matches the driver's walk
+    t0 = time.monotonic()
     sdf = qs[name](spark, SF)
     scols = [c.lower() for c in sdf.columns]
     srows = [tuple(r) for r in sdf.collect()]
+    timings[name] = time.monotonic() - t0
     if name not in os_:
-        print(f"{name}: rows-only rows={len(srows)}")
+        print(f"{name}: rows-only rows={len(srows)} t={timings[name]:.2f}s")
         continue
     res = con.execute(os_[name])
     dcols = [d[0].lower() for d in res.description]
@@ -63,8 +68,11 @@ for name in sorted(qs):
     status = "OK" if (ok_schema and ok_rows and ok_hash) else "MISMATCH"
     if status != "OK":
         fails.append(name)
-    print(f"{name}: {status} rows={len(srows)}/{len(drows)} schema={ok_schema} hash={ok_hash}")
+    print(f"{name}: {status} rows={len(srows)}/{len(drows)} schema={ok_schema} hash={ok_hash} t={timings[name]:.2f}s")
 
+slow = sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+print("slowest:", ", ".join(f"{n}={t:.2f}s" for n, t in slow))
+print(f"total spark wall: {sum(timings.values()):.1f}s over {len(timings)} queries")
 print("RESULT:", "ALL MATCH" if not fails else f"FAILS: {fails}")
 spark.stop()
 sys.exit(1 if fails else 0)

@@ -83,9 +83,10 @@ def demand_delay_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL OUTER join of two hourly rollups — keeps route-hours seen by
     either side, with presence flags (the shape reconciliation jobs
     need; reference's views only left-join)."""
-    from .hourly import delay_hourly, demand_hourly
+    from .hourly import delay_hourly
+    from .kpi import _demand_cached
 
-    d = demand_hourly(spark, sf_dir)
+    d = _demand_cached(spark, sf_dir)
     dl = delay_hourly(spark, sf_dir).select(
         "route_id", "hour_ts", "trip_update_events"
     )
@@ -112,9 +113,9 @@ def demand_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly series shrink the window — interval semantics, not
     row-count semantics)."""
     from ..functions.portable import pround
-    from .hourly import demand_hourly
+    from .kpi import _demand_cached
 
-    d = demand_hourly(spark, sf_dir)
+    d = _demand_cached(spark, sf_dir)
     w = (
         Window.partitionBy("route_id")
         .orderBy(F.unix_timestamp("hour_ts"))

@@ -69,6 +69,52 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(table_path(sf_dir, name))
 
 
+def _input_bytes(path: str) -> int:
+    if os.path.isdir(path):
+        return sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _, files in os.walk(path)
+            for f in files
+        )
+    return os.path.getsize(path)
+
+
+def load_table_spread(
+    spark: SparkSession, sf_dir: str, name: str, *keys: str
+) -> DataFrame:
+    """load_table + a guard against the local split deficit.
+
+    The test parquet files are single-rowgroup, so a scan is ONE task
+    and a purely map-side pipeline (shingling, embedding math, text
+    scoring) serializes on one core. When the input is too small to
+    yield >= parallelism splits, hash-repartition once on ``keys`` (the
+    raw rows shuffle once; every derived stage stays map-side and
+    parallel). On a real 100 TB input the scan already has >= cores
+    splits, the guard is false, and this is a no-op — the conditional
+    exists precisely so the repartition can NEVER fire as a wasteful
+    full-input shuffle at scale.
+
+    The split estimate uses on-disk bytes vs maxPartitionBytes — pure
+    filesystem metadata. (Asking the DataFrame itself via
+    ``df.rdd.getNumPartitions()`` costs ~1.3 s of plan-to-RDD
+    conversion per call.)
+    """
+    df = load_table(spark, sf_dir, name)
+    target = spark.sparkContext.defaultParallelism
+    try:
+        max_bytes = int(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+            .lower()
+            .removesuffix("b")
+        )
+    except ValueError:
+        max_bytes = 128 * 1024 * 1024
+    splits = max(1, _input_bytes(table_path(sf_dir, name)) // max_bytes)
+    if splits >= target:
+        return df
+    return df.repartition(target, *[F.col(k) for k in keys])
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view so operators can use spark.sql."""
     for name in TABLES:

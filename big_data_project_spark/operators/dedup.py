@@ -20,10 +20,10 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, load_table_spread
 
 TAU = 0.8  # exact-Jaccard duplicate threshold
 MINHASH_N = 16
@@ -58,30 +58,41 @@ _SQL_NORM = (
 )
 
 
-def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, sh): distinct 3-gram word shingles per document.
+def _shingle_arr(c: Column) -> Column:
+    """Array of DISTINCT 3-gram word shingles for one document — pure
+    map-side array ops, zero shuffles.
 
-    Formulated as posexplode + lead windows rather than a higher-order
-    ``transform`` over the token array: a lambda that captures the
-    ``split()`` column re-evaluates the split per produced element
-    (O(tokens^2) work per doc — measured 8x slower at sf0.1), while the
-    exploded form tokenizes once and shuffles on doc_id only."""
-    docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", F.posexplode(F.split(_norm(F.col("text")), " ")).alias("pos", "tok")
+    Built with ``zip_with`` over the token array and its slices rather
+    than (a) a higher-order ``transform`` whose lambda CAPTURES the
+    ``split()`` column — projection collapse inlines the split into the
+    lambda and re-evaluates it per element, O(tokens^2) per doc — or
+    (b) the round-1 posexplode + lead-window form, which paid a full
+    shuffle+sort on doc_id just to build shingles. ``zip_with`` lambdas
+    only touch their own arguments, so the split is evaluated a constant
+    number of times per row. The shorter slice is null-padded by
+    zip_with; the null concats mark the tail and are filtered off."""
+    toks = F.split(_norm(c), " ")
+    n = F.size(toks)
+    g2 = F.zip_with(
+        toks,
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda x, y: F.concat(x, F.lit(" "), y),
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    return (
-        tok.select(
-            "doc_id",
-            F.concat_ws(
-                " ", "tok", F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
-            ).alias("sh"),
-            F.lead("tok", 2).over(w).alias("t2"),
-        )
-        .filter(F.col("t2").isNotNull())
-        .select("doc_id", "sh")
-        .distinct()
+    g3 = F.zip_with(
+        g2,
+        F.slice(toks, 3, F.greatest(n - 2, F.lit(0))),
+        lambda x, y: F.concat(x, F.lit(" "), y),
+    )
+    return F.array_distinct(F.filter(g3, lambda x: x.isNotNull()))
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh): distinct 3-gram word shingles per document —
+    explode of the map-side shingle array (no window, no distinct
+    shuffle; per-doc distinctness comes from array_distinct)."""
+    docs = load_table_spread(spark, sf_dir, "documents", "doc_id")
+    return docs.select(
+        "doc_id", F.explode(_shingle_arr(F.col("text"))).alias("sh")
     )
 
 
@@ -178,32 +189,36 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, h31): distinct hashed 3-gram shingles. Hashing happens
-    map-side BEFORE the distinct, so every shuffle in the MinHash
-    pipeline carries 8-byte longs instead of ~40-byte shingle strings.
-    Jaccard over hashed shingles equals Jaccard over the strings modulo
-    2^-31 collisions (the oracle hashes identically, so parity is exact
-    either way)."""
-    docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id",
-        F.posexplode(F.split(_norm(F.col("text")), " ")).alias("pos", "tok"),
+def _doc_hash_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, hs, n): per-doc array of DISTINCT 31-bit shingle hashes
+    plus its size — entirely map-side (shingling, hashing, and the
+    per-doc distinct are all array ops on the row). Shuffles only ever
+    carry one compact array row per doc, never an exploded
+    (doc, shingle) relation. Jaccard over hashed shingles equals Jaccard
+    over the strings modulo 2^-31 collisions (the oracle hashes
+    identically, so parity is exact either way)."""
+    docs = load_table_spread(spark, sf_dir, "documents", "doc_id")
+    # Docs with < 3 tokens have no shingles. Filter on the CHEAP token
+    # count, not on size(hs): a predicate over the hash array would be
+    # pushed below the repartition exchange and evaluate the whole
+    # md5-shingle chain serially on the unsplit scan task (measured 4.5s
+    # of the round-1 5.9s cold time); the token-count predicate pushes
+    # down too but costs only a split().
+    docs = docs.filter(
+        F.size(F.split(_norm(F.col("text")), " ")) >= 3
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    sh = F.concat_ws(
-        " ", "tok", F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
-    )
-    return (
-        tok.select(
-            "doc_id",
-            sh.alias("sh"),
-            F.lead("tok", 2).over(w).alias("t2"),
+    hs = F.array_distinct(
+        F.transform(
+            _shingle_arr(F.col("text")), lambda s: _hash60(s) % MERSENNE_P
         )
-        .filter(F.col("t2").isNotNull())
-        .select("doc_id", (_hash60(F.col("sh")) % MERSENNE_P).alias("h31"))
-        .distinct()
     )
+    # EXACTLY ONE copy of the hash chain in this projection. Higher-
+    # order functions run interpreted (no whole-stage codegen, no
+    # common-subexpression elimination), and CollapseProject inlines
+    # this expression into every consumer — so callers MUST persist this
+    # frame before deriving size/signature columns, or the md5 chain is
+    # re-evaluated once per derived column (measured 18x at round 2).
+    return docs.select("doc_id", hs.alias("hs"))
 
 
 _SQL_SHINGLE_HASHES = f"""
@@ -211,6 +226,14 @@ _SQL_SHINGLE_HASHES = f"""
            {{h}} % {MERSENNE_P} AS h31
     FROM ({_SQL_SHINGLES}) s
 """
+
+
+def _mh_perm(j: int):
+    """One-arg lambda factory (PySpark derives higher-order-function
+    arity from the lambda signature, so the closure index can't ride as
+    a default argument)."""
+    a, b = _MH_A[j], _MH_B[j]
+    return lambda h: (F.lit(a) * h + F.lit(b)) % MERSENNE_P
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -224,17 +247,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify cost scales with |candidates| x shingles-per-doc, never with
     all same-shingle pairs (that distinction is the whole point of LSH
     at 100 TB)."""
-    hashed = _persisted(_shingle_hashes(spark, sf_dir))
-    mh = hashed.groupBy("doc_id").agg(
+    # Persist BEFORE deriving signatures: the persist is the projection-
+    # collapse barrier that keeps the md5 chain evaluated once per doc
+    # (see _doc_hash_arrays). The relation is one compact array row per
+    # doc and feeds the band build and both verify joins.
+    docs_arr = _persisted(_doc_hash_arrays(spark, sf_dir))
+    # MinHash signatures are per-doc minima over the cached hash array —
+    # MAP-SIDE array ops over longs, no signature shuffle.
+    sigs = docs_arr.select(
+        "doc_id",
         *[
-            F.min(
-                (F.lit(_MH_A[j]) * F.col("h31") + F.lit(_MH_B[j]))
-                % MERSENNE_P
-            ).alias(f"m{j}")
+            F.array_min(F.transform("hs", _mh_perm(j))).alias(f"m{j}")
             for j in range(MINHASH_N)
-        ]
+        ],
     )
-    mh = _persisted(mh)  # consumed twice by the band self-join
     band_cols = F.array(
         *[
             F.concat_ws(
@@ -243,7 +269,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for k in range(BANDS)
         ]
     )
-    bands = mh.select(
+    bands = sigs.select(
         "doc_id", F.posexplode(band_cols).alias("band_idx", "band_val")
     )
     a = bands.alias("a")
@@ -260,26 +286,30 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    sizes = hashed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    sa = hashed.select(F.col("doc_id").alias("a_id"), "h31")
-    sb = hashed.select(F.col("doc_id").alias("b_id"), "h31")
-    inter = (
-        cand.join(sa, "a_id")
-        .join(sb, ["b_id", "h31"])
-        .groupBy("a_id", "b_id")
-        .agg(F.count(F.lit(1)).alias("i"))
+    # Exact-Jaccard verify on candidates only: join the candidate pairs
+    # back to the per-doc hash arrays and intersect IN-ROW — no exploded
+    # (doc, shingle) shuffle. No broadcast hint: at 100 TB neither side
+    # of the doc-array join is broadcast-safe; AQE picks broadcast at
+    # small SF on its own.
+    za = docs_arr.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("hs").alias("hs_a"),
+        F.size("hs").alias("na"),
     )
-    za = sizes.alias("za")
-    zb = sizes.alias("zb")
+    zb = docs_arr.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("hs").alias("hs_b"),
+        F.size("hs").alias("nb"),
+    )
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
     return (
-        inter.join(F.broadcast(za), F.col("a_id") == F.col("za.doc_id"))
-        .join(F.broadcast(zb), F.col("b_id") == F.col("zb.doc_id"))
+        cand.join(za, "a_id")
+        .join(zb, "b_id")
         .select(
             "a_id",
             "b_id",
             (
-                F.col("i").cast("double")
-                / (F.col("za.n") + F.col("zb.n") - F.col("i"))
+                inter.cast("double") / (F.col("na") + F.col("nb") - inter)
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= TAU)
@@ -287,21 +317,40 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bit_fold(b: int):
+    """Two-arg (acc, element) lambda factory for the per-bit SimHash
+    fold (same arity constraint as _mh_perm)."""
+    return lambda acc, h: acc + F.when(
+        F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
+    ).otherwise(-1)
+
+
 def _simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash per doc from shingle hashes."""
-    sh = _shingles(spark, sf_dir).withColumn(
-        "h", _hash60(F.col("sh"))
+    """32-bit SimHash per doc from shingle hashes.
+
+    The bit sums are per-doc folds over the doc's own (distinct-string)
+    shingle-hash array — map-side ``aggregate`` calls, so the signature
+    stage needs no shuffle at all (round 1 shuffled an exploded
+    (doc, hash) relation through a 32-aggregate groupBy)."""
+    docs = load_table_spread(spark, sf_dir, "documents", "doc_id")
+    # Cheap token-count predicate instead of size(hs) — see
+    # _doc_hash_arrays for why (pushdown below the exchange).
+    docs = docs.filter(
+        F.size(F.split(_norm(F.col("text")), " ")) >= 3
     )
-    bit_sums = sh.groupBy("doc_id").agg(
+    hs = F.transform(_shingle_arr(F.col("text")), _hash60)
+    # Persist = projection-collapse barrier (see _doc_hash_arrays):
+    # without it the 32 per-bit folds each inline and re-evaluate the
+    # full md5-shingle chain.
+    d = _persisted(docs.select("doc_id", hs.alias("hs")))
+    bit_sums = d.select(
+        "doc_id",
         *[
-            F.sum(
-                F.when(
-                    F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1,
-                    1,
-                ).otherwise(-1)
-            ).alias(f"c{b}")
+            F.aggregate("hs", F.lit(0).cast("long"), _bit_fold(b)).alias(
+                f"c{b}"
+            )
             for b in range(SIM_BITS)
-        ]
+        ],
     )
     sim = None
     for b in range(SIM_BITS):

@@ -18,6 +18,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from .operators import (
+    alerts,
     dedup,
     geo,
     headway,
@@ -29,6 +30,7 @@ from .operators import (
     sampling,
     similarity,
     sketches,
+    spatial,
     suggestions,
     textops,
     timeseries,
@@ -37,7 +39,7 @@ from .operators import (
     validation,
 )
 from .ml import demand
-from .sources import generators, jsonfeed
+from .sources import generators, jsonfeed, protofeed
 from .streaming import pipeline as streaming_pipeline
 
 # Order matters: the driver's correctness gate walks this list in
@@ -56,6 +58,8 @@ _MODULES = [
     sketches,
     generators,
     jsonfeed,
+    protofeed,
+    alerts,
     streaming_pipeline,
     hourly,
     headway,
@@ -63,6 +67,7 @@ _MODULES = [
     suggestions,
     validation,
     geo,
+    spatial,
     ingest,
     tpch,
     tpch_ext,

@@ -115,6 +115,36 @@ def load_table_spread(
     return df.repartition(target, *[F.col(k) for k in keys])
 
 
+def assert_baseline_scale(
+    sf_dir: str,
+    name: str,
+    op: str,
+    alternative: str,
+    limit_bytes: int | None = None,
+) -> None:
+    """Refuse to run a brute-force recall BASELINE on production-sized
+    input. The quadratic ops (all-pairs-by-shingle Jaccard, exhaustive
+    cosine) exist to recall-check the LSH/IVF paths at small SF; at
+    100 TB a skewed shingle or a fat query set would explode the join.
+    File-size check only — no Spark job. Override the cap with
+    $SPARK_GRAFT_BASELINE_LIMIT_MB.
+    """
+    if limit_bytes is None:
+        limit_bytes = (
+            int(os.environ.get("SPARK_GRAFT_BASELINE_LIMIT_MB", "1024"))
+            * 1024
+            * 1024
+        )
+    size = _input_bytes(table_path(sf_dir, name))
+    if size > limit_bytes:
+        raise ValueError(
+            f"{op} is a brute-force recall baseline, not a production "
+            f"path: input '{name}' is {size >> 20} MiB "
+            f"(cap {limit_bytes >> 20} MiB). Use {alternative} at scale, "
+            "or raise $SPARK_GRAFT_BASELINE_LIMIT_MB explicitly."
+        )
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view so operators can use spark.sql."""
     for name in TABLES:

@@ -182,7 +182,17 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by exact 3-gram Jaccard >= TAU."""
+    """Near-dup pairs by exact 3-gram Jaccard >= TAU.
+
+    RECALL BASELINE ONLY: the same-shingle equi-join is quadratic in
+    per-shingle frequency (a stop-word-like shingle explodes it at
+    corpus scale) — guarded so it can never be pointed at production
+    data; dedup_minhash_lsh is the scale path."""
+    from ..catalog import assert_baseline_scale
+
+    assert_baseline_scale(
+        sf_dir, "documents", "dedup_ngram_jaccard", "dedup_minhash_lsh"
+    )
     pairs = _jaccard_pairs(_persisted(_shingles(spark, sf_dir)))
     return pairs.filter(F.col("jaccard") >= TAU).select(
         "a_id", "b_id", F.round("jaccard", 6).alias("jaccard")

@@ -90,7 +90,16 @@ def _topk(pairs: DataFrame) -> DataFrame:
 
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-k cosine neighbours: broadcast the query set over the
-    corpus (one scan, no shuffle until the tiny per-query top-k)."""
+    corpus (one scan, no shuffle until the tiny per-query top-k).
+
+    RECALL BASELINE: exhaustive scoring is |queries| x |corpus| —
+    guarded against production-sized input; ann_lsh_topk / ann_ivf_topk
+    are the scale paths."""
+    from ..catalog import assert_baseline_scale
+
+    assert_baseline_scale(
+        sf_dir, "embeddings", "ann_cosine_topk", "ann_lsh_topk/ann_ivf_topk"
+    )
     v = _vectors(spark, sf_dir)
     q = v.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe")

@@ -30,10 +30,22 @@ EXPORTS = {
 }
 
 
+# Export payloads are top-N / summary shaped; a mis-wired caller must
+# not be able to collect a fact table onto the driver.
+MAX_EXPORT_ROWS = 100_000
+
+
 def _rows(df: DataFrame) -> list[dict]:
+    collected = df.limit(MAX_EXPORT_ROWS + 1).collect()
+    if len(collected) > MAX_EXPORT_ROWS:
+        raise ValueError(
+            f"export payload exceeds {MAX_EXPORT_ROWS} rows — exports are "
+            "top-N/summary views; write large relations through "
+            "plans/sinks.py instead"
+        )
     return [
         {k: (str(v) if hasattr(v, "isoformat") else v) for k, v in r.asDict().items()}
-        for r in df.collect()
+        for r in collected
     ]
 
 

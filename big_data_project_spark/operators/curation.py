@@ -1,0 +1,222 @@
+"""Training-set curation audits: benchmark decontamination, intra-doc
+repetition scoring, corpus token frequencies, and a length histogram.
+
+These extend the LLM-pipeline family (operators/dedup.py, textops.py)
+with the remaining curation passes a 100 TB pretraining corpus needs
+before training: finding documents that leak an eval set
+(contamination), measuring boilerplate/repetition, and auditing the
+token distribution. The reference has no analog (its hygiene stops at
+drop_duplicates, src/processing-jobs/gtfs-static-job.py:140-145); the
+shapes here follow the public C4/Gopher/RefinedWeb-style curation
+recipes.
+
+Scale design:
+- The eval-gram set is SMALL by construction (eval benchmarks are tiny
+  versus the corpus), so contamination is a broadcast semi-style join of
+  corpus grams against eval grams — the corpus side streams map-side,
+  never an all-pairs or skew-prone shuffle.
+- Repetition and the histogram are pure map-side column expressions +
+  one aggregation shuffle.
+- Token frequencies are explode + groupBy with map-side combine; the
+  result is vocabulary-sized, not corpus-sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table, load_table_spread
+from ..functions.portable import pround, sql_pround
+from .dedup import _SQL_NORM, _hash60, _norm, _shingle_arr, _sql_hash60
+
+# Every doc_id ≡ 0 (mod EVAL_MOD) plays the held-out benchmark; ~3% of
+# the corpus, mirroring the eval-vs-train size asymmetry that makes the
+# broadcast plan the right one.
+EVAL_MOD = 29
+CONTAM_TAU = 0.15  # fraction of a train doc's distinct grams seen in eval
+
+
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train docs sharing >= CONTAM_TAU of their distinct 3-gram
+    shingles with any single eval doc (doc_id % EVAL_MOD == 0).
+
+    Per (train, eval) pair: |train ∩ eval grams| / |train grams|.
+    The eval side is broadcast (grams of ~3% of docs); candidate
+    pairs form by gram equi-join, so cost is bounded by gram-frequency
+    overlap, never |train| x |eval|.
+    """
+    docs = load_table_spread(spark, sf_dir, "documents", "doc_id")
+    grams = docs.select(
+        "doc_id", F.explode(_shingle_arr(F.col("text"))).alias("sh")
+    ).select("doc_id", _hash60(F.col("sh")).alias("h"))
+    train = grams.filter(F.col("doc_id") % EVAL_MOD != 0)
+    eval_g = grams.filter(F.col("doc_id") % EVAL_MOD == 0).select(
+        F.col("doc_id").alias("eval_id"), F.col("h").alias("eh")
+    )
+    sizes = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        train.join(F.broadcast(eval_g), train.h == eval_g.eh)
+        .groupBy("doc_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        hits.join(F.broadcast(sizes), "doc_id")
+        .withColumn(
+            "overlap_frac",
+            pround(F.col("n_shared") / F.col("n_grams"), 4),
+        )
+        .filter(F.col("overlap_frac") >= CONTAM_TAU)
+        .select("doc_id", "eval_id", "n_shared", "n_grams", "overlap_frac")
+        .orderBy(F.desc("overlap_frac"), "doc_id", "eval_id")
+    )
+
+
+def repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition: 1 - distinct/total 3-grams per doc
+    (Gopher-style repetition signal). Pure map-side arrays + sort;
+    no join, no per-doc shuffle.
+    """
+    docs = load_table_spread(spark, sf_dir, "documents", "doc_id")
+    toks = F.split(_norm(F.col("text")), " ")
+    n = F.size(toks)
+    g2 = F.zip_with(
+        toks,
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda x, y: F.concat(x, F.lit(" "), y),
+    )
+    g3 = F.filter(
+        F.zip_with(
+            g2,
+            F.slice(toks, 3, F.greatest(n - 2, F.lit(0))),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.size(g3).alias("n_grams"),
+            F.size(F.array_distinct(g3)).alias("n_distinct"),
+        )
+        .filter(F.col("n_grams") > 0)
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_distinct",
+            pround(1 - F.col("n_distinct") / F.col("n_grams"), 4).alias(
+                "rep_ratio"
+            ),
+        )
+        .orderBy(F.desc("rep_ratio"), "doc_id")
+    )
+
+
+def token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-50 token frequencies (Zipf audit): explode +
+    one map-side-combined groupBy; output is vocabulary-sized.
+    """
+    docs = load_table_spread(spark, sf_dir, "documents", "doc_id")
+    return (
+        docs.select(F.explode(F.split(_norm(F.col("text")), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "tok")
+        .limit(50)
+    )
+
+
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two length histogram over n_chars. Bucket =
+    floor(log2(n_chars)) computed as length(bin(n_chars)) - 1 —
+    pure integer/string ops, no float log that could straddle a
+    bucket edge differently per engine.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (F.length(F.bin(F.col("n_chars"))) - 1).alias("log2_bucket")
+    return (
+        docs.filter(F.col("n_chars") > 0)
+        .groupBy(bucket)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("log2_bucket")
+    )
+
+
+QUERIES = {
+    "contamination_check": contamination_check,
+    "repetition_score": repetition_score,
+    "token_frequencies": token_frequencies,
+    "doc_length_histogram": doc_length_histogram,
+}
+
+_SQL_G3 = f"""
+    SELECT doc_id,
+           list_filter(list_transform(
+             range(1, greatest(len(toks) - 1, 1)),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+           ), x -> x IS NOT NULL) AS g3
+    FROM (SELECT doc_id, string_split({_SQL_NORM}, ' ') AS toks
+          FROM documents) d
+    WHERE len(toks) >= 3
+"""
+
+_SQL_GRAM_HASH = """
+    SELECT doc_id, {h} AS h
+    FROM (SELECT doc_id, unnest(list_distinct(g3)) AS sh
+          FROM ({g3}) gr) u
+"""
+
+ORACLES = {
+    "contamination_check": f"""
+        WITH grams AS ({_SQL_GRAM_HASH.format(g3=_SQL_G3, h=_sql_hash60('sh'))}),
+        train AS (SELECT * FROM grams WHERE doc_id % {EVAL_MOD} != 0),
+        eval_g AS (SELECT doc_id AS eval_id, h AS eh FROM grams
+                   WHERE doc_id % {EVAL_MOD} = 0),
+        sizes AS (SELECT doc_id, count(*) AS n_grams FROM train
+                  GROUP BY doc_id),
+        hits AS (
+          SELECT t.doc_id, e.eval_id, count(*) AS n_shared
+          FROM train t JOIN eval_g e ON t.h = e.eh
+          GROUP BY t.doc_id, e.eval_id
+        )
+        SELECT h.doc_id, h.eval_id, h.n_shared, s.n_grams,
+               {sql_pround('h.n_shared / s.n_grams', 4)} AS overlap_frac
+        FROM hits h JOIN sizes s ON h.doc_id = s.doc_id
+        WHERE {sql_pround('h.n_shared / s.n_grams', 4)} >= {CONTAM_TAU}
+        ORDER BY overlap_frac DESC, h.doc_id, h.eval_id
+    """,
+    "repetition_score": f"""
+        SELECT doc_id,
+               len(g3) AS n_grams,
+               len(list_distinct(g3)) AS n_distinct,
+               {sql_pround('1 - len(list_distinct(g3)) / len(g3)', 4)}
+                 AS rep_ratio
+        FROM ({_SQL_G3}) g
+        WHERE len(g3) > 0
+        ORDER BY rep_ratio DESC, doc_id
+    """,
+    "token_frequencies": f"""
+        SELECT tok, count(*) AS n
+        FROM (SELECT unnest(string_split({_SQL_NORM}, ' ')) AS tok
+              FROM documents) t
+        WHERE tok != ''
+        GROUP BY tok
+        ORDER BY n DESC, tok
+        LIMIT 50
+    """,
+    "doc_length_histogram": """
+        SELECT length(bin(n_chars)) - 1 AS log2_bucket,
+               count(*) AS n_docs,
+               min(n_chars) AS min_chars,
+               max(n_chars) AS max_chars
+        FROM documents
+        WHERE n_chars > 0
+        GROUP BY 1
+        ORDER BY log2_bucket
+    """,
+}

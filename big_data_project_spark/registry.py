@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .operators import (
     alerts,
+    curation,
     dedup,
     geo,
     headway,
@@ -36,6 +37,7 @@ from .operators import (
     timeseries,
     tpch,
     tpch_ext,
+    tpch_sub,
     validation,
 )
 from .ml import demand
@@ -50,6 +52,7 @@ from .streaming import pipeline as streaming_pipeline
 # driver already covered in round 1 (hourly/kpi/tpch/relational).
 _MODULES = [
     textops,
+    curation,  # new in round 2: no driver evidence yet, lead with it
     sampling,
     multimodal,
     similarity,
@@ -61,6 +64,7 @@ _MODULES = [
     protofeed,
     alerts,
     streaming_pipeline,
+    tpch_sub,  # new in round 2: no driver evidence yet, ahead of checked tail
     hourly,
     headway,
     kpi,

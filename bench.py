@@ -29,6 +29,7 @@ HEADLINE = [
     "headway_hourly",
     "user_sessions",
     "dedup_minhash_lsh",
+    "dedup_exact",
     "ann_cosine_topk",
     "token_count",
 ]

@@ -42,8 +42,14 @@ def _clamp(c: Column, lo: float, hi: float) -> Column:
 
 def _suggestions_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All route-hours with the full rule evaluation (including 'keep')."""
-    kpi = kpi_hourly(spark, sf_dir)
+    return _apply_rules(kpi_hourly(spark, sf_dir))
 
+
+def _apply_rules(kpi: DataFrame) -> DataFrame:
+    """The decide() rule cascade (reference
+    src/optimization/generate_suggestions.py:106-203) as pure Column
+    expressions over any frame with the kpi_hourly schema — no Python in
+    the per-row path, so throughput scales with codegen, not rows."""
     hw_valid = F.col("avg_headway_min").isNotNull() & F.col(
         "avg_headway_min"
     ).between(0.5, 60.0)

@@ -222,6 +222,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 IVF_CELLS = 16
 IVF_NPROBE = 3
 IVF_SEED = 42
+IVF_FIT_SAMPLE = 4096  # fit centroids on vec_id < this (O(1) vs corpus)
+IVF_MAX_ITER = 20
+IVF_TOL = 1e-6
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -229,57 +232,86 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes its IVF_NPROBE nearest cells and ranks exact cosine inside
     them.
 
-    This is the scale path beyond LSH: cell assignment is one
-    pyspark.ml KMeans fit (sampled at 100 TB) + a map-side transform;
-    the probe is an equi-join on cell id, so per-query cost is
+    This is the scale path beyond LSH: centroids are Lloyd-fit
+    driver-side on a bounded deterministic sample (first IVF_FIT_SAMPLE
+    vec_ids — at 100 TB the sample is the same fixed size, so fit cost
+    is O(1) in corpus size), then assignment is one map-side broadcast
+    argmin over the corpus — no per-iteration cluster jobs. The probe
+    is an equi-join on cell id, so per-query cost is
     corpus/IVF_CELLS x IVF_NPROBE. Rows-only entry (k-means centroids
     are not SQL-expressible); recall vs the exact operator is asserted
     in tests.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    import numpy as np
 
     from .dedup import _persisted
 
     v = _vectors(spark, sf_dir)
-    feats = v.withColumn("fv", array_to_vector("e"))
-    km = KMeans(k=IVF_CELLS, seed=IVF_SEED, featuresCol="fv")
-    model = km.fit(feats)
-    assigned = _persisted(
-        model.transform(feats).select(
-            "vec_id", "e", F.col("prediction").alias("cell")
-        )
-    )
 
-    # Tiny centroid table (driver-side list -> broadcast join).
-    centers = spark.createDataFrame(
-        [
-            (i, [float(x) for x in c])
-            for i, c in enumerate(model.clusterCenters())
-        ],
-        "cell int, ce array<double>",
+    # Bounded, deterministic fit sample: ordered by vec_id so the
+    # centroids do not depend on partitioning or row order.
+    sample = np.array(
+        v.filter(F.col("vec_id") < IVF_FIT_SAMPLE)
+        .orderBy("vec_id")
+        .select("e")
+        .toPandas()["e"]
+        .tolist()
     )
-    q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
-    )
-    probe_w = Window.partitionBy("query_id").orderBy(
-        F.col("dist").asc(), F.col("cell").asc()
-    )
-    probes = (
-        q.crossJoin(F.broadcast(centers))
-        .select(
-            "query_id",
-            "qe",
-            "cell",
-            F.aggregate(
-                F.zip_with(F.col("qe"), F.col("ce"), lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias("dist"),
+    rng = np.random.default_rng(IVF_SEED)
+    cent = sample[rng.choice(len(sample), size=IVF_CELLS, replace=False)]
+    for _ in range(IVF_MAX_ITER):
+        d2 = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        lab = d2.argmin(axis=1)
+        new = np.array(
+            [
+                sample[lab == c].mean(axis=0) if (lab == c).any() else cent[c]
+                for c in range(IVF_CELLS)
+            ]
         )
-        .withColumn("pr", F.row_number().over(probe_w))
-        .filter(F.col("pr") <= IVF_NPROBE)
-        .select("query_id", "qe", "cell")
+        shift = float(((new - cent) ** 2).sum())
+        cent = new
+        if shift < IVF_TOL:
+            break
+
+    # Fully map-side assignment: the 16 centroids become literal
+    # arrays inside ONE projection; array_min over (dist, cell) structs
+    # is the argmin (ties break to the lower cell id via struct
+    # ordering). Zero shuffles, zero Lloyd jobs over the corpus.
+    dists = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("e"),
+                        F.array(*[F.lit(float(x)) for x in c]),
+                        lambda x, y: (x - y) * (x - y),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("dist"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(cent)
+        ]
+    )
+    assigned = _persisted(
+        v.select("vec_id", "e", F.array_min(dists)["cell"].alias("cell"))
+    )
+    # Probe cells map-side too: per query, sort the same 16 (dist,
+    # cell) structs and explode the IVF_NPROBE nearest — no crossJoin,
+    # no window, so the broadcast below is a trivial sub-job.
+    probes = (
+        v.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("e").alias("qe"),
+            F.explode(
+                F.transform(
+                    F.slice(F.array_sort(dists), 1, IVF_NPROBE),
+                    lambda s: s["cell"],
+                )
+            ).alias("cell"),
+        )
     )
     pairs = (
         assigned.join(F.broadcast(probes), "cell")

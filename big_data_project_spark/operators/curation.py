@@ -36,6 +36,14 @@ from .dedup import _SQL_NORM, _hash60, _norm, _shingle_arr, _sql_hash60
 EVAL_MOD = 29
 CONTAM_TAU = 0.15  # fraction of a train doc's distinct grams seen in eval
 
+# Filter-cascade policy (C4/RefinedWeb-style, tuned so every rule fires
+# on the synthetic corpus): length floor, source blocklist, language
+# allowlist, distinct-token-ratio floor.
+MIN_CHARS = 100
+BLOCKED_SOURCES = ("src7", "src13")
+ALLOWED_LANGS = ("en", "de", "fr", "es")
+DISTINCT_TAU = 0.32
+
 
 def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train docs sharing >= CONTAM_TAU of their distinct 3-gram
@@ -60,8 +68,12 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "eval_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+    # NO broadcast on sizes: it is corpus-sized (one row per train doc).
+    # hits is the bounded side but can still exceed the broadcast limit
+    # on a dirty corpus, so this stays a shuffle join on doc_id and AQE
+    # may downgrade it to broadcast when hits turns out tiny.
     return (
-        hits.join(F.broadcast(sizes), "doc_id")
+        hits.join(sizes, "doc_id")
         .withColumn(
             "overlap_frac",
             pround(F.col("n_shared") / F.col("n_grams"), 4),
@@ -147,11 +159,71 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_filter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style keep/drop cascade with a per-doc drop reason: first
+    matching rule wins (length floor -> source blocklist -> language
+    allowlist -> distinct-token-ratio floor). Pure map-side column
+    expressions — zero shuffles, linear at any corpus size.
+    """
+    docs = load_table_spread(spark, sf_dir, "documents", "doc_id")
+    toks = F.split(_norm(F.col("text")), " ")
+    ratio = F.size(F.array_distinct(toks)) / F.size(toks)
+    reason = (
+        F.when(F.col("n_chars") < MIN_CHARS, "too_short")
+        .when(F.col("source").isin(*BLOCKED_SOURCES), "blocked_source")
+        .when(~F.col("lang").isin(*ALLOWED_LANGS), "lang_filtered")
+        .when(ratio < DISTINCT_TAU, "too_repetitive")
+        .otherwise("keep")
+    )
+    return docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_chars",
+        reason.alias("reason"),
+        F.when(reason == "keep", "keep").otherwise("drop").alias("verdict"),
+    )
+
+
+def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus share and the sampling weight that would make
+    the training mixture uniform across sources (weight =
+    target_share / actual_char_share). Integer char sums are exact, so
+    shares and weights are order-independent; the global total is a
+    one-row broadcast, not a second corpus scan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+    tot = per.agg(
+        F.sum("sum_chars").alias("tot_chars"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    share = F.col("sum_chars") / F.col("tot_chars")
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "sum_chars",
+            pround(share, 6).alias("char_share"),
+            pround(F.lit(1.0) / F.col("n_sources") / share, 6).alias(
+                "uniform_weight"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "contamination_check": contamination_check,
     "repetition_score": repetition_score,
     "token_frequencies": token_frequencies,
     "doc_length_histogram": doc_length_histogram,
+    "doc_filter_cascade": doc_filter_cascade,
+    "source_mixture_weights": source_mixture_weights,
 }
 
 _SQL_G3 = f"""
@@ -169,6 +241,15 @@ _SQL_GRAM_HASH = """
     SELECT doc_id, {h} AS h
     FROM (SELECT doc_id, unnest(list_distinct(g3)) AS sh
           FROM ({g3}) gr) u
+"""
+
+_SQL_REASON = f"""
+    CASE WHEN n_chars < {MIN_CHARS} THEN 'too_short'
+         WHEN source IN {BLOCKED_SOURCES} THEN 'blocked_source'
+         WHEN lang NOT IN {ALLOWED_LANGS} THEN 'lang_filtered'
+         WHEN len(list_distinct(toks)) / len(toks) < {DISTINCT_TAU}
+           THEN 'too_repetitive'
+         ELSE 'keep' END
 """
 
 ORACLES = {
@@ -218,5 +299,30 @@ ORACLES = {
         WHERE n_chars > 0
         GROUP BY 1
         ORDER BY log2_bucket
+    """,
+    "doc_filter_cascade": f"""
+        SELECT doc_id, source, lang, n_chars,
+               {_SQL_REASON} AS reason,
+               CASE WHEN {_SQL_REASON} = 'keep' THEN 'keep' ELSE 'drop' END
+                 AS verdict
+        FROM (SELECT doc_id, source, lang, n_chars,
+                     string_split({_SQL_NORM}, ' ') AS toks
+              FROM documents) d
+    """,
+    "source_mixture_weights": f"""
+        WITH per AS (
+          SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars
+          FROM documents GROUP BY source
+        ),
+        tot AS (
+          SELECT sum(sum_chars) AS tot_chars, count(*) AS n_sources
+          FROM per
+        )
+        SELECT source, n_docs, sum_chars,
+               {sql_pround('sum_chars / tot_chars', 6)} AS char_share,
+               {sql_pround('1.0 / n_sources / (sum_chars / tot_chars)', 6)}
+                 AS uniform_weight
+        FROM per, tot
+        ORDER BY source
     """,
 }

@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.portable import pround, sql_pround
 
 N_QUERIES = 10  # vec_id < 10 are the query vectors
 TOP_K = 5
@@ -328,12 +329,63 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk(pairs)
 
 
+OUTLIERS_PER_LABEL = 5
+
+
+def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space QC: the OUTLIERS_PER_LABEL vectors farthest (by
+    squared euclidean distance) from their own label's centroid —
+    candidate mislabels / junk embeddings.
+
+    Centroid = per-dim decimal-exact mean rounded to 6 dp (order-
+    independent, both engines agree bit-for-bit), assembled into one
+    array per label; distance = ||e||^2 - 2<e,c> + ||c||^2 via the same
+    sequential-fold dot product the ANN oracles already prove
+    cross-engine. Centroids are a label-count-sized broadcast, so the
+    corpus is scanned twice (centroid pass + distance pass), shuffled
+    only by (label, dim) partial aggregation.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+    dims = v.select("label", F.posexplode("e").alias("d", "x"))
+    cent_d = dims.groupBy("label", "d").agg(
+        pround(
+            F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("c")
+    )
+    cent = cent_d.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "c"))),
+            lambda s: s["c"],
+        ).alias("ce")
+    )
+    dist2 = pround(
+        _dot(F.col("e"), F.col("e"))
+        - 2 * _dot(F.col("e"), F.col("ce"))
+        + _dot(F.col("ce"), F.col("ce")),
+        6,
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("dist2"), "vec_id")
+    return (
+        v.join(F.broadcast(cent), "label")
+        .select("label", "vec_id", dist2.alias("dist2"))
+        .withColumn("out_rank", F.row_number().over(w))
+        .filter(F.col("out_rank") <= OUTLIERS_PER_LABEL)
+        .orderBy("label", "out_rank")
+    )
+
+
 QUERIES = {
     "embedding_norms": embedding_norms,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "embedding_label_outliers": embedding_label_outliers,
 }
 
 _SQL_V = "SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings"
@@ -424,5 +476,40 @@ ORACLES = {
           WHERE q.vec_id < {N_QUERIES}
         )
         {_SQL_TOPK}
+    """,
+    "embedding_label_outliers": f"""
+        WITH v AS (
+          SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+        ),
+        dims AS (
+          SELECT label, i, e[i] AS x
+          FROM v, unnest(range(1, len(e) + 1)) AS t(i)
+        ),
+        cent_d AS (
+          SELECT label, i,
+                 {sql_pround("(sum(x::DECIMAL(28,12)))::DOUBLE / count(*)", 6)}
+                   AS c
+          FROM dims GROUP BY label, i
+        ),
+        cent AS (
+          SELECT label, list(c ORDER BY i) AS ce FROM cent_d GROUP BY label
+        ),
+        d AS (
+          SELECT v.label, v.vec_id,
+                 {sql_pround(
+                     "list_dot_product(e, e) - 2 * list_dot_product(e, ce)"
+                     " + list_dot_product(ce, ce)", 6)} AS dist2
+          FROM v JOIN cent USING (label)
+        )
+        SELECT label, vec_id, dist2, out_rank
+        FROM (
+          SELECT label, vec_id, dist2,
+                 row_number() OVER (
+                   PARTITION BY label ORDER BY dist2 DESC, vec_id
+                 ) AS out_rank
+          FROM d
+        ) r
+        WHERE out_rank <= {OUTLIERS_PER_LABEL}
+        ORDER BY label, out_rank
     """,
 }

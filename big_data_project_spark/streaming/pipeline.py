@@ -93,6 +93,27 @@ def run_available_now(
     return sdf.sparkSession.table(query_name)
 
 
+def stream_dedup_events(
+    spark: SparkSession, events_dir: str, watermark: str = WATERMARK
+) -> DataFrame:
+    """Streaming exact-dedup of an at-least-once feed:
+    ``dropDuplicatesWithinWatermark`` on the event key keeps the first
+    delivery and discards replays arriving within the watermark.
+
+    Parity: the reference ingestor absorbs Kafka redeliveries with
+    Postgres ``ON CONFLICT (key, observed_at) DO NOTHING``
+    (src/db-ingestion-service/ingestor.py:71,100,128). Here the dedup
+    state lives in the state store, sharded by key across executors,
+    and is evicted once the watermark passes — bounded memory at any
+    throughput, where the reference's uniqueness index grows with the
+    table.
+    """
+    src = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
+    return src.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 _SESSION_OUT = StructType(
     [
         StructField("user_id", LongType()),

@@ -153,6 +153,25 @@ def test_stream_hourly_equals_batch(spark, tmp_path):
     assert got == want
 
 
+def test_stream_dedup_drops_redelivered_events(spark, tmp_path):
+    """An at-least-once feed (every event delivered twice, in two files)
+    dedupes to exactly the batch-distinct rows."""
+    events = load_table(spark, SF_DIR, "events").limit(200)
+    src = str(tmp_path / "events_redelivered")
+    events.write.parquet(src)
+    events.write.mode("append").parquet(src)
+
+    streamed = pipeline.run_available_now(
+        pipeline.stream_dedup_events(spark, src),
+        "stream_dedup",
+        output_mode="append",
+    )
+    assert streamed.count() == events.count()
+    got = sorted(r["event_id"] for r in streamed.collect())
+    want = sorted(r["event_id"] for r in events.collect())
+    assert got == want
+
+
 def test_sessionize_stream_closes_gapped_sessions(spark, tmp_path):
     rows = [
         (1, "2026-01-01 10:00:00", 7, "a", 1.0, "{}"),

@@ -65,8 +65,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                     F.expr("(ts - pmod(ts, 1000)) div 1000")
                 ),
             )
-        return df
-    return spark.read.parquet(table_path(sf_dir, name))
+        return _tz_normalized(df)
+    return _tz_normalized(spark.read.parquet(table_path(sf_dir, name)))
+
+
+def _tz_normalized(df: DataFrame) -> DataFrame:
+    """Cast any TIMESTAMP_NTZ column to session-TZ TIMESTAMP.
+
+    Parquet `timestamp[us]` with isAdjustedToUTC=false surfaces as
+    TIMESTAMP_NTZ under Spark's inferTimestampNTZ; the engine (like the
+    DuckDB oracle's naive timestamps) defines all time semantics in a UTC
+    session, so the cast preserves wall-clock values while restoring the
+    TIMESTAMP type every operator (unix_micros, watermarks, windows)
+    expects.
+    """
+    ntz = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, T.TimestampNTZType)
+    ]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
 
 
 def _input_bytes(path: str) -> int:

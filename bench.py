@@ -56,10 +56,24 @@ def main() -> None:
     if missing:
         raise SystemExit(f"HEADLINE names not in registry: {missing}")
 
+    # Untimed full pass: execute every headline query once BEFORE any
+    # timing. C2-compiles each query's actual codegen paths and
+    # materializes the shared rollup tier, so the timed trials below
+    # start from the same steady state in every bench process —
+    # without this, each query's first timed run doubled as its JIT
+    # warm-up and cross-process spreads hit ~30% on sub-second queries.
+    for name in HEADLINE:
+        QUERIES[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
     timings: dict[str, float] = {}
     total = 0.0
-    min_repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
-    max_repeats = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_REPEATS", "12"))
+    # 5 mandatory trials: under ambient host load (other tenants keep
+    # ~4 cores busy) a 3-trial floor still carries ~20-30% cross-process
+    # spread on sub-second queries; the min over 5+ trials is stable.
+    min_repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "5"))
+    max_repeats = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_REPEATS", "15"))
     for name in HEADLINE:
         fn = QUERIES[name]
         # Time a noop-sink write: .count() would let Catalyst prune every
@@ -76,15 +90,22 @@ def main() -> None:
         # load-insensitive estimate of true query cost, which a fixed
         # median-of-3 wasn't (±15% run-to-run observed in round 1-2).
         runs: list[float] = []
+        since_new_min = 0
         while len(runs) < max_repeats:
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
-            if len(runs) >= min_repeats:
-                b1, b2 = sorted(runs)[:2]
-                if b2 - b1 < max(0.02 * b1, 0.020):
-                    break
+            dt_run = time.perf_counter() - t0
+            # Track how long the floor has been stable: ambient host
+            # load only ever ADDS time, so the min converges from above
+            # and "no new floor in 3 trials" is the convergence signal.
+            if runs and dt_run < min(runs) * 0.995:
+                since_new_min = 0
+            else:
+                since_new_min += 1
+            runs.append(dt_run)
+            if len(runs) >= min_repeats and since_new_min >= 3:
+                break
         dt = min(runs)
         n = df.count()  # untimed, display only
         timings[name] = round(dt, 3)

@@ -133,10 +133,29 @@ def kpi_alerts_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def alerts_latest_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest alert per (route, alert_type) — the reference's
+    ``DISTINCT ON ... ORDER BY created_at DESC`` idiom
+    (kpi_views.sql:136) applied to the alerts feed; ties broken by
+    alert_id for engine-deterministic picks."""
+    base = _alerts_base(spark, sf_dir).filter(F.col("route_id").isNotNull())
+    w = Window.partitionBy("route_id", "alert_type").orderBy(
+        F.desc("observed_at"), F.desc("alert_id")
+    )
+    return (
+        base.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "route_id", "alert_type", "alert_id", "observed_at", "description"
+        )
+    )
+
+
 QUERIES = {
     "service_alerts": service_alerts,
     "alerts_hourly": alerts_hourly,
     "kpi_alerts_hourly": kpi_alerts_hourly,
+    "alerts_latest_per_type": alerts_latest_per_type,
 }
 
 _SQL_ATYPE = f"""
@@ -185,6 +204,18 @@ ORACLES = {
         FROM ({_SQL_ALERTS_BASE}) a
     """,
     "alerts_hourly": _SQL_ALERTS_HOURLY,
+    "alerts_latest_per_type": f"""
+        SELECT route_id, alert_type, alert_id, observed_at, description
+        FROM (
+          SELECT *,
+                 row_number() OVER (
+                   PARTITION BY route_id, alert_type
+                   ORDER BY observed_at DESC, alert_id DESC
+                 ) AS rn
+          FROM ({_SQL_ALERTS_BASE}) a
+          WHERE route_id IS NOT NULL
+        ) r WHERE rn = 1
+    """,
     "kpi_alerts_hourly": f"""
         SELECT k.route_id, k.hour_ts,
                k.predicted_passengers, k.observed_passengers,

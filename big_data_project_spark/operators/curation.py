@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table, load_table_spread
 from ..functions.portable import pround, sql_pround
 from .dedup import _SQL_NORM, _hash60, _norm, _shingle_arr, _sql_hash60
+from .textops import _sql_marker_score
 
 # Every doc_id ≡ 0 (mod EVAL_MOD) plays the held-out benchmark; ~3% of
 # the corpus, mirroring the eval-vs-train size asymmetry that makes the
@@ -217,6 +218,42 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_RATIO_BUCKETS = 20  # 5%-wide stopword-density buckets
+
+
+def stopword_density_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profile of English-stopword density: per-doc marker ratio
+    binned into 5% buckets (integer flooring — no float boundary can
+    straddle engines), doc count + ratio bounds per bucket.
+
+    The quality-filter threshold a C4-style cascade uses comes from
+    exactly this histogram; map-side ratio + one aggregation shuffle.
+    """
+    from .textops import _marker_score, _toks
+
+    docs = load_table_spread(spark, sf_dir, "documents", "doc_id")
+    toks = _toks(F.col("text"))
+    d = docs.select(
+        "doc_id",
+        _marker_score(toks, "en").alias("n_stop"),
+        F.size(toks).alias("n_toks"),
+    ).filter(F.col("n_toks") > 0)
+    ratio = F.col("n_stop") / F.col("n_toks")
+    bucket = F.least(
+        F.floor(ratio * N_RATIO_BUCKETS).cast("int"),
+        F.lit(N_RATIO_BUCKETS - 1),
+    )
+    return (
+        d.groupBy(bucket.alias("ratio_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            pround(F.min(ratio), 6).alias("min_ratio"),
+            pround(F.max(ratio), 6).alias("max_ratio"),
+        )
+        .orderBy("ratio_bucket")
+    )
+
+
 QUERIES = {
     "contamination_check": contamination_check,
     "repetition_score": repetition_score,
@@ -224,6 +261,7 @@ QUERIES = {
     "doc_length_histogram": doc_length_histogram,
     "doc_filter_cascade": doc_filter_cascade,
     "source_mixture_weights": source_mixture_weights,
+    "stopword_density_buckets": stopword_density_buckets,
 }
 
 _SQL_G3 = f"""
@@ -308,6 +346,24 @@ ORACLES = {
         FROM (SELECT doc_id, source, lang, n_chars,
                      string_split({_SQL_NORM}, ' ') AS toks
               FROM documents) d
+    """,
+    "stopword_density_buckets": f"""
+        WITH d AS (
+          SELECT doc_id,
+                 {_sql_marker_score('en')} AS n_stop,
+                 len(toks) AS n_toks
+          FROM (SELECT doc_id, string_split({_SQL_NORM}, ' ') AS toks
+                FROM documents) t
+          WHERE len(toks) > 0
+        )
+        SELECT least(CAST(floor((n_stop / n_toks) * {N_RATIO_BUCKETS})
+                          AS INT), {N_RATIO_BUCKETS - 1}) AS ratio_bucket,
+               count(*) AS n_docs,
+               {sql_pround('min(n_stop / n_toks)', 6)} AS min_ratio,
+               {sql_pround('max(n_stop / n_toks)', 6)} AS max_ratio
+        FROM d
+        GROUP BY 1
+        ORDER BY ratio_bucket
     """,
     "source_mixture_weights": f"""
         WITH per AS (

@@ -327,6 +327,98 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality audit: for every LSH candidate pair, the
+    MinHash-estimated Jaccard (fraction of matching signature
+    components) next to the exact Jaccard and the absolute error.
+
+    This is the measurement a pipeline owner runs before trusting the
+    sketch at 100 TB — if the observed error grows past the 1/sqrt(16)
+    theoretical band, the signature width is too small for the corpus.
+    Everything is md5-derived, so the audit itself is oracle-checked.
+
+    Scale: identical dataflow to dedup_minhash_lsh (band equi-join for
+    candidates, per-pair array intersection for exact Jaccard); the
+    signature comparison is a map-side zip_with over 16-element arrays.
+    """
+    docs_arr = _persisted(_doc_hash_arrays(spark, sf_dir))
+    sigs = _persisted(
+        docs_arr.select(
+            "doc_id",
+            F.array(
+                *[
+                    F.array_min(F.transform("hs", _mh_perm(j)))
+                    for j in range(MINHASH_N)
+                ]
+            ).alias("sig"),
+        )
+    )
+    band_cols = F.array(
+        *[
+            F.concat_ws(
+                ",",
+                F.col("sig").getItem(2 * k),
+                F.col("sig").getItem(2 * k + 1),
+            )
+            for k in range(BANDS)
+        ]
+    )
+    bands = sigs.select(
+        "doc_id", F.posexplode(band_cols).alias("band_idx", "band_val")
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("a_id"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("b_id"), F.col("sig").alias("sig_b"))
+    za = docs_arr.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("hs").alias("hs_a"),
+        F.size("hs").alias("na"),
+    )
+    zb = docs_arr.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("hs").alias("hs_b"),
+        F.size("hs").alias("nb"),
+    )
+    n_match = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m
+        )
+    )
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    jacc = inter.cast("double") / (F.col("na") + F.col("nb") - inter)
+    est = F.col("n_match") / F.lit(float(MINHASH_N))
+    return (
+        cand.join(sa, "a_id")
+        .join(sb, "b_id")
+        .withColumn("n_match", n_match)
+        .join(za, "a_id")
+        .join(zb, "b_id")
+        .withColumn("jacc_raw", jacc)
+        .select(
+            "a_id",
+            "b_id",
+            "n_match",
+            F.round(est, 6).alias("est_jaccard"),
+            F.round("jacc_raw", 6).alias("exact_jaccard"),
+            F.round(F.abs(est - F.col("jacc_raw")), 6).alias("abs_err"),
+        )
+        .orderBy("a_id", "b_id")
+    )
+
+
 def _bit_fold(b: int):
     """Two-arg (acc, element) lambda factory for the per-bit SimHash
     fold (same arity constraint as _mh_perm)."""
@@ -415,6 +507,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
+    "minhash_accuracy": minhash_accuracy,
 }
 
 
@@ -498,6 +591,61 @@ _SQL_SIMHASH = f"""
     WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
 """
 
+_SQL_SIG_MATCHES = " + ".join(
+    f"CASE WHEN sa.m{j} = sb.m{j} THEN 1 ELSE 0 END"
+    for j in range(MINHASH_N)
+)
+
+_SQL_MINHASH_ACCURACY = f"""
+    WITH hashed AS ({_SQL_SHINGLE_HASHES.format(h=_sql_hash60("sh"))}),
+    mh AS (
+      SELECT doc_id,
+           {_SQL_MINHASH_AGGS}
+      FROM hashed GROUP BY doc_id
+    ),
+    bands AS (
+{_SQL_BANDS}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM bands a
+      JOIN bands b ON a.band_idx = b.band_idx
+                  AND a.band_val = b.band_val
+                  AND a.doc_id < b.doc_id
+    ),
+    matches AS (
+      SELECT c.a_id, c.b_id,
+             ({_SQL_SIG_MATCHES}) AS n_match
+      FROM cand c
+      JOIN mh sa ON sa.doc_id = c.a_id
+      JOIN mh sb ON sb.doc_id = c.b_id
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM hashed GROUP BY doc_id),
+    inter AS (
+      SELECT c.a_id, c.b_id, count(*) AS i
+      FROM cand c
+      JOIN hashed a ON a.doc_id = c.a_id
+      JOIN hashed b ON b.doc_id = c.b_id AND b.h31 = a.h31
+      GROUP BY c.a_id, c.b_id
+    )
+    SELECT m.a_id, m.b_id, m.n_match,
+           round(m.n_match / {float(MINHASH_N)}, 6) AS est_jaccard,
+           round(coalesce(jacc_raw, 0.0), 6) AS exact_jaccard,
+           round(abs(m.n_match / {float(MINHASH_N)}
+                     - coalesce(jacc_raw, 0.0)), 6) AS abs_err
+    FROM matches m
+    -- LEFT: a band collision with zero shingle overlap has no `inter`
+    -- row but is still a candidate whose exact Jaccard is 0.
+    LEFT JOIN (
+      SELECT i.a_id, i.b_id,
+             CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) AS jacc_raw
+      FROM inter i
+      JOIN sz sa ON sa.doc_id = i.a_id
+      JOIN sz sb ON sb.doc_id = i.b_id
+    ) j ON j.a_id = m.a_id AND j.b_id = m.b_id
+    ORDER BY m.a_id, m.b_id
+"""
+
 ORACLES = {
     "dedup_exact": f"""
         SELECT md5({_SQL_NORM}) AS doc_hash,
@@ -512,4 +660,5 @@ ORACLES = {
     """,
     "dedup_minhash_lsh": _SQL_MINHASH_LSH,
     "dedup_simhash": _SQL_SIMHASH,
+    "minhash_accuracy": _SQL_MINHASH_ACCURACY,
 }

@@ -153,6 +153,84 @@ def customer_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MOVING_MONTHS = 3
+
+
+def nation_revenue_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative + 3-month-moving order revenue per nation: monthly
+    pre-aggregate (one shuffle over the fact), then two window frames
+    over the tiny (nation, month) relation. Decimal partial sums keep
+    every running value order-independent cross-engine."""
+    from ..functions.portable import pround
+
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    # customer is fact-sized: no broadcast hint (AQE may still pick one
+    # at small SF); nation is a true dim and broadcasts unconditionally.
+    monthly = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            "n_name", F.date_trunc("month", "o_orderdate").alias("month_ts")
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(28,6)")).alias("rev")
+        )
+    )
+    cum = (
+        Window.partitionBy("n_name")
+        .orderBy("month_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    mov = (
+        Window.partitionBy("n_name")
+        .orderBy("month_ts")
+        .rowsBetween(-(MOVING_MONTHS - 1), Window.currentRow)
+    )
+    return monthly.select(
+        "n_name",
+        "month_ts",
+        pround(F.col("rev").cast("double"), 2).alias("month_revenue"),
+        pround(F.sum("rev").over(cum).cast("double"), 2).alias(
+            "cumulative_revenue"
+        ),
+        pround(F.sum("rev").over(mov).cast("double"), 2).alias(
+            "moving_3m_revenue"
+        ),
+    )
+
+
+def route_dow_rank_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-function family over one aggregate: per route, rank each
+    day-of-week by total demand with rank / dense_rank / percent_rank /
+    cume_dist — the remaining ANSI window functions not exercised by the
+    ntile/row_number queries. One shuffle for the aggregate; the windows
+    run on the tiny (route, dow) relation."""
+    from ..functions.portable import dsum, pround
+    from ..functions.time import day_of_week
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+    )
+    per = ev.groupBy(
+        F.col("event_type").alias("route_id"),
+        day_of_week("ts").alias("dow"),
+    ).agg(dsum("value", 2).alias("total_value"))
+    w = Window.partitionBy("route_id").orderBy(
+        F.desc("total_value"), F.asc("dow")
+    )
+    return per.select(
+        "route_id",
+        "dow",
+        "total_value",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        pround(F.percent_rank().over(w), 6).alias("pct_rank"),
+        pround(F.cume_dist().over(w), 6).alias("cume_dist"),
+    )
+
+
 QUERIES = {
     "demand_range_window": demand_range_window,
     "customer_balance_quartiles": customer_balance_quartiles,
@@ -160,6 +238,8 @@ QUERIES = {
     "route_hour_pivot": route_hour_pivot,
     "weekday_weekend_routes": weekday_weekend_routes,
     "demand_delay_full_outer": demand_delay_full_outer,
+    "nation_revenue_running": nation_revenue_running,
+    "route_dow_rank_profile": route_dow_rank_profile,
 }
 
 _SQL_PIVOT_COLS = ",\n               ".join(
@@ -245,4 +325,54 @@ ORACLES["demand_delay_full_outer"] = f"""
     FROM d
     FULL OUTER JOIN dl
       ON d.route_id = dl.route_id AND d.hour_ts = dl.hour_ts
+"""
+
+from ..functions.portable import sql_pround  # noqa: E402
+
+ORACLES["nation_revenue_running"] = f"""
+    WITH monthly AS (
+      -- DuckDB's date_trunc('month', ...) yields DATE; Spark yields
+      -- TIMESTAMP — cast so the hash gate sees identical isoformats.
+      SELECT n_name,
+             CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)
+               AS month_ts,
+             sum((o_totalprice)::DECIMAL(28,6)) AS rev
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      GROUP BY n_name, date_trunc('month', o_orderdate)
+    )
+    SELECT n_name, month_ts,
+           {sql_pround('(rev)::DOUBLE', 2)} AS month_revenue,
+           {sql_pround('(sum(rev) OVER cum)::DOUBLE', 2)}
+             AS cumulative_revenue,
+           {sql_pround('(sum(rev) OVER mov)::DOUBLE', 2)}
+             AS moving_3m_revenue
+    FROM monthly
+    WINDOW cum AS (PARTITION BY n_name ORDER BY month_ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           mov AS (PARTITION BY n_name ORDER BY month_ts
+                   ROWS BETWEEN {MOVING_MONTHS - 1} PRECEDING
+                        AND CURRENT ROW)
+"""
+
+from ..functions.portable import sql_dsum  # noqa: E402
+
+ORACLES["route_dow_rank_profile"] = f"""
+    WITH per AS (
+      SELECT event_type AS route_id,
+             dayofweek(ts) AS dow,
+             {sql_dsum('value', 2)} AS total_value
+      FROM events
+      WHERE event_type IS NOT NULL
+      GROUP BY event_type, dayofweek(ts)
+    )
+    SELECT route_id, dow, total_value,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           {sql_pround('percent_rank() OVER w', 6)} AS pct_rank,
+           {sql_pround('cume_dist() OVER w', 6)} AS cume_dist
+    FROM per
+    WINDOW w AS (PARTITION BY route_id
+                 ORDER BY total_value DESC, dow ASC)
 """

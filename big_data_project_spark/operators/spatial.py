@@ -165,6 +165,51 @@ def nearest_stop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RADIUS_M = 500.0
+
+
+def stops_within_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All unordered stop pairs within RADIUS_M meters — the radius/
+    ST_DWithin query shape on the reference's PostGIS schema — via the
+    grid-ring equi-join (never a cross join).
+
+    Completeness is provable, like the SimHash bands: RADIUS_M (500 m)
+    is smaller than one cell in either axis (CELL_DEG = 0.025 deg =
+    ~2783 m lat / ~1971 m lon), so two points within the radius differ
+    by at most one cell per axis and the 3x3 ring always contains the
+    partner. Each pair surfaces exactly once (b's cell is a single cell
+    in a's ring; a < b orders the pair).
+    """
+    stops = stops_geo(spark, sf_dir)
+    offsets = F.array(F.lit(-1), F.lit(0), F.lit(1))
+    ring = (
+        stops.withColumn("dx", F.explode(offsets))
+        .withColumn("dy", F.explode(offsets))
+        .select(
+            F.col("stop_id").alias("a_id"),
+            F.col("lat").alias("a_lat"),
+            F.col("lon").alias("a_lon"),
+            (F.col("cell_x") + F.col("dx")).alias("cell_x"),
+            (F.col("cell_y") + F.col("dy")).alias("cell_y"),
+        )
+    )
+    cand = ring.join(stops, ["cell_x", "cell_y"]).filter(
+        F.col("a_id") < F.col("stop_id")
+    )
+    dlat = (F.col("a_lat") - F.col("lat")) * F.lit(M_PER_DEG_LAT)
+    dlon = (F.col("a_lon") - F.col("lon")) * F.lit(M_PER_DEG_LON)
+    d2 = dlat * dlat + dlon * dlon
+    return (
+        cand.select(
+            "a_id", F.col("stop_id").alias("b_id"), d2.alias("d2")
+        )
+        .filter(F.col("d2") <= F.lit(RADIUS_M * RADIUS_M))
+        .select(
+            "a_id", "b_id", pround(F.sqrt(F.col("d2")), 2).alias("distance_m")
+        )
+    )
+
+
 def haversine_m(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
     """Great-circle distance in meters (the real-deployment distance;
     trig makes it engine-inexact in the last ulp, so it is
@@ -183,6 +228,7 @@ QUERIES = {
     "stops_geo": stops_geo,
     "stop_grid_density": stop_grid_density,
     "nearest_stop": nearest_stop,
+    "stops_within_radius": stops_within_radius,
 }
 
 _CX, _CY = _sql_cell("lat", "lon")
@@ -215,6 +261,30 @@ ORACLES = {
         SELECT cell_x, cell_y, count(*)::int AS n_stops
         FROM ({_SQL_STOPS_GEO}) g
         GROUP BY cell_x, cell_y
+    """,
+    "stops_within_radius": f"""
+        WITH stops AS ({_SQL_STOPS_GEO}),
+        ring AS (
+          SELECT s.stop_id AS a_id, s.lat AS a_lat, s.lon AS a_lon,
+                 s.cell_x + dx.dx AS cell_x, s.cell_y + dy.dy AS cell_y
+          FROM stops s
+          CROSS JOIN (VALUES (-1), (0), (1)) dx(dx)
+          CROSS JOIN (VALUES (-1), (0), (1)) dy(dy)
+        ),
+        cand AS (
+          SELECT r.a_id, s.stop_id AS b_id,
+                 ((r.a_lat - s.lat) * {M_PER_DEG_LAT})
+                   * ((r.a_lat - s.lat) * {M_PER_DEG_LAT})
+                 + ((r.a_lon - s.lon) * {M_PER_DEG_LON})
+                   * ((r.a_lon - s.lon) * {M_PER_DEG_LON}) AS d2
+          FROM ring r
+          JOIN stops s
+            ON s.cell_x = r.cell_x AND s.cell_y = r.cell_y
+          WHERE r.a_id < s.stop_id
+        )
+        SELECT a_id, b_id, {sql_pround("sqrt(d2)", 2)} AS distance_m
+        FROM cand
+        WHERE d2 <= {RADIUS_M * RADIUS_M}
     """,
     "nearest_stop": f"""
         WITH stops AS ({_SQL_STOPS_GEO}),

@@ -23,11 +23,12 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions.portable import pround, sql_pround
-from .hourly import SQL_DEMAND, SQL_WEATHER, weather_hourly
+from .hourly import SQL_DELAY, SQL_DEMAND, SQL_WEATHER, weather_hourly
 
 ASOF_LOOKBACK_H = 3
 ROLLING_HOURS = 3
 TOP_STOPS_K = 3
+P90 = 0.9
 
 
 def asof_join_weather(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -114,10 +115,115 @@ def top_stops_per_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _delay_hourly_ragged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .hourly import delay_hourly
+
+    return delay_hourly(spark, sf_dir)
+
+
+def delay_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style gap fill: the full (route x hour) spine from the
+    feed's global hour bounds, missing route-hours filled with a zero
+    count and flagged.
+
+    The spine is routes x explode(sequence(min_hour, max_hour)) — a
+    map-side explode of a broadcast 1-row bounds aggregate; the fill is
+    a left join at (route, hour) grain. Cost is spine-sized (tiny), the
+    raw feed is only scanned by the hourly rollup itself.
+    """
+    d = _delay_hourly_ragged(spark, sf_dir)
+    bounds = d.agg(
+        F.min("hour_ts").alias("h0"), F.max("hour_ts").alias("h1")
+    )
+    routes = d.select("route_id").distinct()
+    spine = routes.crossJoin(F.broadcast(bounds)).select(
+        "route_id",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour_ts"),
+    )
+    return spine.join(d, ["route_id", "hour_ts"], "left").select(
+        "route_id",
+        "hour_ts",
+        F.coalesce("trip_update_events", F.lit(0)).alias("n_events"),
+        "avg_delay_seconds",
+        F.col("trip_update_events").isNull().cast("int").alias("gap_filled"),
+    )
+
+
+def delay_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill over the gap-filled spine: each missing route-hour
+    carries the last observed avg delay (cumulative last-non-null
+    window; hours before a route's first observation stay NULL)."""
+    filled = delay_gap_fill(spark, sf_dir)
+    w = (
+        Window.partitionBy("route_id")
+        .orderBy("hour_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return filled.select(
+        "route_id",
+        "hour_ts",
+        "gap_filled",
+        F.last("avg_delay_seconds", ignorenulls=True)
+        .over(w)
+        .alias("avg_delay_ffill"),
+    )
+
+
+def route_delay_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-route median + p90 of the delay metric, computed from
+    rank arithmetic (row_number + conditional agg) instead of an engine
+    quantile function — both engines run the identical integer ranks and
+    the identical (lo+hi)/2 double op, so the result hash-matches where
+    native percentile_cont/quantile_cont interpolation could differ in
+    the last ulp.
+
+    Scale: one sort per route partition — the exact-quantile cost by
+    nature. The streaming-friendly scale path is the GK sketch
+    (operators/sketches.py::delay_quantile_sketch); this operator is the
+    exact reference for it.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    wr = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = ev.select(
+        F.col("event_type").alias("route_id"),
+        F.col("value"),
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    lo_rank = F.expr("(n + 1) div 2")
+    hi_rank = F.expr("(n + 2) div 2")
+    p90_rank = F.ceil(F.lit(P90) * F.col("n"))
+    return (
+        ranked.groupBy("route_id")
+        .agg(
+            F.max(F.when(F.col("rn") == lo_rank, F.col("value"))).alias("lo"),
+            F.max(F.when(F.col("rn") == hi_rank, F.col("value"))).alias("hi"),
+            F.max(F.when(F.col("rn") == p90_rank, F.col("value"))).alias(
+                "p90"
+            ),
+            F.max("n").alias("n_values"),
+        )
+        .select(
+            "route_id",
+            pround((F.col("lo") + F.col("hi")) / 2, 4).alias("median_value"),
+            pround("p90", 4).alias("p90_value"),
+            "n_values",
+        )
+    )
+
+
 QUERIES = {
     "asof_join_weather": asof_join_weather,
     "demand_rolling_3h": demand_rolling_3h,
     "top_stops_per_route": top_stops_per_route,
+    "delay_gap_fill": delay_gap_fill,
+    "delay_ffill": delay_ffill,
+    "route_delay_quantiles": route_delay_quantiles,
 }
 
 ORACLES = {
@@ -161,5 +267,69 @@ ORACLES = {
           ) c
         ) r
         WHERE rnk <= {TOP_STOPS_K}
+    """,
+    "delay_gap_fill": f"""
+        WITH d AS ({SQL_DELAY}),
+        bounds AS (SELECT min(hour_ts) AS h0, max(hour_ts) AS h1 FROM d),
+        spine AS (
+          SELECT r.route_id,
+                 unnest(generate_series(b.h0, b.h1, INTERVAL 1 HOUR))
+                   AS hour_ts
+          FROM (SELECT DISTINCT route_id FROM d) r, bounds b
+        )
+        SELECT s.route_id, s.hour_ts,
+               coalesce(d.trip_update_events, 0) AS n_events,
+               d.avg_delay_seconds,
+               (d.trip_update_events IS NULL)::int AS gap_filled
+        FROM spine s
+        LEFT JOIN d ON d.route_id = s.route_id AND d.hour_ts = s.hour_ts
+    """,
+    "delay_ffill": f"""
+        WITH d AS ({SQL_DELAY}),
+        bounds AS (SELECT min(hour_ts) AS h0, max(hour_ts) AS h1 FROM d),
+        spine AS (
+          SELECT r.route_id,
+                 unnest(generate_series(b.h0, b.h1, INTERVAL 1 HOUR))
+                   AS hour_ts
+          FROM (SELECT DISTINCT route_id FROM d) r, bounds b
+        ),
+        filled AS (
+          SELECT s.route_id, s.hour_ts,
+                 d.avg_delay_seconds,
+                 (d.trip_update_events IS NULL)::int AS gap_filled
+          FROM spine s
+          LEFT JOIN d ON d.route_id = s.route_id AND d.hour_ts = s.hour_ts
+        )
+        SELECT route_id, hour_ts, gap_filled,
+               last_value(avg_delay_seconds IGNORE NULLS) OVER (
+                 PARTITION BY route_id ORDER BY hour_ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS avg_delay_ffill
+        FROM filled
+    """,
+    "route_delay_quantiles": f"""
+        WITH ranked AS (
+          SELECT event_type AS route_id, value,
+                 row_number() OVER (
+                   PARTITION BY event_type ORDER BY value, event_id
+                 ) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS n
+          FROM events
+          WHERE value IS NOT NULL AND event_type IS NOT NULL
+        )
+        SELECT route_id,
+               {sql_pround("(lo + hi) / 2", 4)} AS median_value,
+               {sql_pround("p90", 4)} AS p90_value,
+               n_values
+        FROM (
+          SELECT route_id,
+                 max(CASE WHEN rn = (n + 1) // 2 THEN value END) AS lo,
+                 max(CASE WHEN rn = (n + 2) // 2 THEN value END) AS hi,
+                 max(CASE WHEN rn = CAST(ceil({P90} * n) AS BIGINT)
+                          THEN value END) AS p90,
+                 max(n) AS n_values
+          FROM ranked
+          GROUP BY route_id
+        ) q
     """,
 }

@@ -67,15 +67,15 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    best = offers.groupBy(F.col("p_partkey").alias("bp_key")).agg(
-        F.min("supply_cost").alias("min_cost")
-    )
+    # The correlated MIN is a window over p_partkey rather than a
+    # self-join back onto the aggregate: one pass over `offers` instead
+    # of computing the 4-way join + groupBy twice.
+    from pyspark.sql.window import Window as W
+
+    min_cost = F.min("supply_cost").over(W.partitionBy("p_partkey"))
     return (
-        offers.join(
-            F.broadcast(best),
-            (offers.p_partkey == F.col("bp_key"))
-            & (offers.supply_cost == F.col("min_cost")),
-        )
+        offers.withColumn("min_cost", min_cost)
+        .filter(F.col("supply_cost") == F.col("min_cost"))
         .select(
             pround("s_acctbal", 2).alias("s_acctbal"),
             "s_name",

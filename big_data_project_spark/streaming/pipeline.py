@@ -93,6 +93,52 @@ def run_available_now(
     return sdf.sparkSession.table(query_name)
 
 
+def stream_alerts_hourly(
+    spark: SparkSession, events_dir: str, watermark: str = WATERMARK
+) -> DataFrame:
+    """Streaming twin of operators/alerts.py::alerts_hourly counts: the
+    service-alerts topic (reference poller.py:158-188 / ingestor
+    INSERT INTO service_alerts) classified and rolled up per route-hour
+    as the feed arrives — tumbling window + watermark, so alert
+    pressure is servable while the hour is still open.
+
+    The latest-alert pick of the batch twin needs a per-group argmax
+    (max_by), which streaming state supports too; counts and the
+    max alert id are enough for the serving join and keep the state one
+    row per (route, hour).
+    """
+    from ..operators.alerts import ALERT_DELAY, SEVERE_DELAY, STORM_K
+
+    src = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    alerts = src.filter(
+        (F.col("value") >= ALERT_DELAY) | (k >= STORM_K)
+    ).select(
+        "ts",
+        F.col("event_type").alias("route_id"),
+        F.col("event_id").alias("alert_id"),
+        F.when(F.col("value") >= SEVERE_DELAY, 1).otherwise(0).alias(
+            "is_severe"
+        ),
+    )
+    return (
+        alerts.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), F.col("route_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_alerts"),
+            F.sum("is_severe").alias("n_severe"),
+            F.max("alert_id").alias("max_alert_id"),
+        )
+        .select(
+            F.col("win.start").alias("hour_ts"),
+            "route_id",
+            "n_alerts",
+            "n_severe",
+            "max_alert_id",
+        )
+    )
+
+
 def stream_dedup_events(
     spark: SparkSession, events_dir: str, watermark: str = WATERMARK
 ) -> DataFrame:

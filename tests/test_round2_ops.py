@@ -1,0 +1,190 @@
+"""Semantics tests for the round-2 additions: gap fill / forward fill,
+exact rank-based quantiles, the MinHash accuracy audit, the stopword
+histogram, the radius join, the DISTINCT ON alerts pick, and the
+running-revenue windows (oracle parity is covered by test_oracle_parity
+via the registry)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from big_data_project_spark.operators import (
+    alerts,
+    curation,
+    dedup,
+    relational,
+    spatial,
+    timeseries,
+)
+
+from tests.conftest import SF_DIR
+
+
+def test_gap_fill_builds_complete_spine(spark):
+    from big_data_project_spark.operators.hourly import delay_hourly
+
+    filled = timeseries.delay_gap_fill(spark, SF_DIR)
+    d = delay_hourly(spark, SF_DIR)
+    n_routes = d.select("route_id").distinct().count()
+    h0, h1 = d.agg(F.min("hour_ts"), F.max("hour_ts")).first()
+    n_hours = int((h1 - h0).total_seconds() // 3600) + 1
+    assert filled.count() == n_routes * n_hours
+    # every filled gap carries a zero count and a null delay
+    gaps = filled.filter(F.col("gap_filled") == 1)
+    assert gaps.filter(
+        (F.col("n_events") != 0) | F.col("avg_delay_seconds").isNotNull()
+    ).count() == 0
+    # non-gaps reproduce the ragged rollup exactly
+    assert filled.filter(F.col("gap_filled") == 0).count() == d.count()
+
+
+def test_ffill_carries_last_observation(spark):
+    ff = timeseries.delay_ffill(spark, SF_DIR).orderBy("route_id", "hour_ts")
+    last_seen: dict[str, float] = {}
+    for r in ff.collect():
+        if r.gap_filled == 0:
+            last_seen[r.route_id] = r.avg_delay_ffill
+            assert r.avg_delay_ffill is not None
+        else:
+            expect = last_seen.get(r.route_id)
+            assert r.avg_delay_ffill == expect, (
+                f"{r.route_id}@{r.hour_ts}: {r.avg_delay_ffill} != {expect}"
+            )
+
+
+def test_rank_quantiles_match_sorted_positions(spark):
+    from big_data_project_spark.catalog import load_table
+
+    q = {
+        r.route_id: r
+        for r in timeseries.route_delay_quantiles(spark, SF_DIR).collect()
+    }
+    ev = load_table(spark, SF_DIR, "events").filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    vals: dict[str, list[float]] = {}
+    for r in ev.select("event_type", "value").collect():
+        vals.setdefault(r.event_type, []).append(r.value)
+    assert set(q) == set(vals)
+    for route, xs in vals.items():
+        xs.sort()
+        n = len(xs)
+        lo, hi = xs[(n + 1) // 2 - 1], xs[(n + 2) // 2 - 1]
+        med = math.floor(((lo + hi) / 2) * 1e4 + 0.5) / 1e4
+        p90 = xs[math.ceil(0.9 * n) - 1]
+        p90 = math.floor(p90 * 1e4 + 0.5) / 1e4
+        assert q[route].median_value == med
+        assert q[route].p90_value == p90
+        assert q[route].n_values == n
+
+
+def test_minhash_accuracy_covers_lsh_pairs(spark):
+    acc = dedup.minhash_accuracy(spark, SF_DIR)
+    rows = acc.collect()
+    assert rows, "expected candidate pairs at sf0.001"
+    for r in rows:
+        assert 0.0 <= r.est_jaccard <= 1.0
+        assert 0.0 <= r.exact_jaccard <= 1.0
+        assert r.abs_err <= 1.0
+        # every candidate shares >= 1 band => >= 2 matching components
+        assert r.n_match >= 2
+    # the audit covers every pair the dedup op reports (>= TAU)
+    dup = {(r.a_id, r.b_id) for r in dedup.dedup_minhash_lsh(spark, SF_DIR).collect()}
+    audited = {(r.a_id, r.b_id) for r in rows}
+    assert dup <= audited
+
+
+def test_stopword_buckets_partition_the_corpus(spark):
+    from big_data_project_spark.catalog import load_table
+
+    b = curation.stopword_density_buckets(spark, SF_DIR)
+    rows = b.collect()
+    docs = load_table(spark, SF_DIR, "documents")
+    assert sum(r.n_docs for r in rows) == docs.count()
+    for r in rows:
+        assert 0 <= r.ratio_bucket < curation.N_RATIO_BUCKETS
+        lo = r.ratio_bucket / curation.N_RATIO_BUCKETS
+        hi = (r.ratio_bucket + 1) / curation.N_RATIO_BUCKETS
+        assert lo <= r.min_ratio <= r.max_ratio
+        # the top bucket also absorbs ratio == 1.0 via the least() clamp
+        assert r.max_ratio <= hi or r.ratio_bucket == curation.N_RATIO_BUCKETS - 1
+
+
+def test_radius_join_matches_brute_force(spark):
+    pairs = {
+        (r.a_id, r.b_id): r.distance_m
+        for r in spatial.stops_within_radius(spark, SF_DIR).collect()
+    }
+    stops = spatial.stops_geo(spark, SF_DIR).collect()
+    brute = {}
+    for i, a in enumerate(stops):
+        for b in stops[i + 1 :]:
+            x, y = (a, b) if a.stop_id < b.stop_id else (b, a)
+            dlat = (x.lat - y.lat) * spatial.M_PER_DEG_LAT
+            dlon = (x.lon - y.lon) * spatial.M_PER_DEG_LON
+            d2 = dlat * dlat + dlon * dlon
+            if d2 <= spatial.RADIUS_M**2:
+                brute[(x.stop_id, y.stop_id)] = (
+                    math.floor(math.sqrt(d2) * 100 + 0.5) / 100
+                )
+    assert pairs == brute
+
+
+def test_alerts_latest_pick_is_max_observed(spark):
+    latest = alerts.alerts_latest_per_type(spark, SF_DIR)
+    base = alerts._alerts_base(spark, SF_DIR).filter(
+        F.col("route_id").isNotNull()
+    )
+    max_ts = {
+        (r.route_id, r.alert_type): r.m
+        for r in base.groupBy("route_id", "alert_type")
+        .agg(F.max("observed_at").alias("m"))
+        .collect()
+    }
+    rows = latest.collect()
+    assert len(rows) == len(max_ts)
+    for r in rows:
+        assert r.observed_at == max_ts[(r.route_id, r.alert_type)]
+
+
+def test_running_revenue_is_consistent(spark):
+    rows = relational.nation_revenue_running(spark, SF_DIR).collect()
+    assert rows
+    by_nation: dict[str, list] = {}
+    for r in rows:
+        by_nation.setdefault(r.n_name, []).append(r)
+    for xs in by_nation.values():
+        xs.sort(key=lambda r: r.month_ts)
+        # cumulative is nondecreasing and ends at ~sum of months
+        cums = [r.cumulative_revenue for r in xs]
+        assert cums == sorted(cums)
+        total = sum(r.month_revenue for r in xs)
+        assert abs(cums[-1] - total) < 0.05 * len(xs)  # rounding drift only
+        # a 3-month window never exceeds the cumulative total
+        for r in xs:
+            assert r.moving_3m_revenue <= r.cumulative_revenue + 0.01
+
+
+def test_stream_alerts_hourly_equals_batch(spark, tmp_path):
+    from big_data_project_spark.catalog import load_table
+    from big_data_project_spark.streaming import pipeline
+
+    events = load_table(spark, SF_DIR, "events")
+    src = str(tmp_path / "alerts_stream")
+    events.write.parquet(src)
+    streamed = pipeline.run_available_now(
+        pipeline.stream_alerts_hourly(spark, src), "stream_alerts"
+    )
+    base = alerts._alerts_base(spark, SF_DIR)
+    batch = base.groupBy("hour_ts", "route_id").agg(
+        F.count(F.lit(1)).alias("n_alerts"),
+        F.sum(
+            F.when(F.col("alert_type") == "severe_delay", 1).otherwise(0)
+        ).alias("n_severe"),
+        F.max("alert_id").alias("max_alert_id"),
+    )
+    got = sorted(map(tuple, streamed.collect()), key=repr)
+    want = sorted(map(tuple, batch.collect()), key=repr)
+    assert got == want

@@ -379,6 +379,47 @@ def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_embedding_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal dedup audit: for every text near-duplicate pair
+    (MinHash-LSH verified, Jaccard >= dedup TAU), the cosine of the two
+    documents' embeddings and whether the embedding side AGREES the pair
+    is a near-dup (cosine >= COSINE_TAU).
+
+    A healthy embedding space agrees on text duplicates; pairs where it
+    disagrees are the ones a pipeline owner inspects before trusting
+    embedding-based dedup at 100 TB. The doc_id <-> vec_id alignment is
+    the corpus contract (one embedding per document).
+
+    Scale: the pair list is the (tiny) verified-duplicate relation; the
+    embedding join is two hash joins on the id; cosine is a map-side
+    fold. No new corpus scan beyond what the LSH path already does.
+    """
+    from .dedup import dedup_minhash_lsh
+
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    v = _vectors(spark, sf_dir)
+    va = v.select(F.col("vec_id").alias("a_id"), F.col("e").alias("ea"))
+    vb = v.select(F.col("vec_id").alias("b_id"), F.col("e").alias("eb"))
+    cos = _dot(F.col("ea"), F.col("eb")) / (
+        _norm(F.col("ea")) * _norm(F.col("eb"))
+    )
+    return (
+        pairs.join(va, "a_id")
+        .join(vb, "b_id")
+        .withColumn("cos", cos)
+        .select(
+            "a_id",
+            "b_id",
+            "jaccard",
+            F.round("cos", 6).alias("cosine"),
+            (F.round(F.col("cos"), 9) >= COSINE_TAU).cast("int").alias(
+                "embedding_agrees"
+            ),
+        )
+        .orderBy("a_id", "b_id")
+    )
+
+
 QUERIES = {
     "embedding_norms": embedding_norms,
     "ann_cosine_topk": ann_cosine_topk,
@@ -386,6 +427,7 @@ QUERIES = {
     "ann_ivf_topk": ann_ivf_topk,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "embedding_label_outliers": embedding_label_outliers,
+    "text_embedding_agreement": text_embedding_agreement,
 }
 
 _SQL_V = "SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings"
@@ -513,3 +555,23 @@ ORACLES = {
         ORDER BY label, out_rank
     """,
 }
+
+from .dedup import _SQL_MINHASH_LSH  # noqa: E402
+
+ORACLES["text_embedding_agreement"] = f"""
+    WITH pairs AS ({_SQL_MINHASH_LSH}),
+    v AS ({_SQL_V})
+    SELECT p.a_id, p.b_id, p.jaccard,
+           round(cos, 6) AS cosine,
+           (round(cos, 9) >= {COSINE_TAU})::int AS embedding_agrees
+    FROM (
+      SELECT p.*,
+             list_dot_product(va.e, vb.e)
+               / (sqrt(list_dot_product(va.e, va.e))
+                  * sqrt(list_dot_product(vb.e, vb.e))) AS cos
+      FROM pairs p
+      JOIN v va ON va.vec_id = p.a_id
+      JOIN v vb ON vb.vec_id = p.b_id
+    ) p
+    ORDER BY a_id, b_id
+"""

@@ -192,8 +192,8 @@ _SQL_ALERTS_HOURLY = f"""
              count(*) OVER (
                PARTITION BY route_id, hour_ts
              ) AS n_alerts,
-             sum(CASE WHEN alert_type = 'severe_delay' THEN 1 ELSE 0 END)
-               OVER (PARTITION BY route_id, hour_ts) AS n_severe
+             CAST(sum(CASE WHEN alert_type = 'severe_delay' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY route_id, hour_ts) AS BIGINT) AS n_severe
       FROM ({_SQL_ALERTS_BASE}) a
     ) r WHERE rn = 1
 """

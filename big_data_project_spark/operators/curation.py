@@ -367,7 +367,8 @@ ORACLES = {
     """,
     "source_mixture_weights": f"""
         WITH per AS (
-          SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars
+          SELECT source, count(*) AS n_docs,
+                 CAST(sum(n_chars) AS BIGINT) AS sum_chars
           FROM documents GROUP BY source
         ),
         tot AS (

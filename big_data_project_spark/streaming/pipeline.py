@@ -514,9 +514,10 @@ ORACLES = {
         ),
         sessions AS (
           SELECT user_id, ts, value,
-                 sum(is_new) OVER (PARTITION BY user_id
-                                   ORDER BY ts, event_id
-                                   ROWS UNBOUNDED PRECEDING) AS session_id
+                 CAST(sum(is_new) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) AS session_id
           FROM flagged
         )
         SELECT user_id, session_id,

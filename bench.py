@@ -56,16 +56,22 @@ def main() -> None:
     if missing:
         raise SystemExit(f"HEADLINE names not in registry: {missing}")
 
-    # Untimed full pass: execute every headline query once BEFORE any
-    # timing. C2-compiles each query's actual codegen paths and
-    # materializes the shared rollup tier, so the timed trials below
-    # start from the same steady state in every bench process —
-    # without this, each query's first timed run doubled as its JIT
-    # warm-up and cross-process spreads hit ~30% on sub-second queries.
+    # Cold pass: execute every headline query once BEFORE the
+    # steady-state trials, and TIME it. This run pays each query's
+    # one-time costs — codegen C2 compile, AQE planning, and (for the
+    # AMORTIZED queries) materializing the shared rollup tier — so it
+    # is the honest first-run number; the steady-state min below is the
+    # load-insensitive repeat cost. Reporting both keeps
+    # round-over-round deltas like-for-like (round-2 verdict item 4:
+    # r01 was cold-ish n=1, r02 was min-of-N post-warm-up — not
+    # comparable).
+    cold: dict[str, float] = {}
     for name in HEADLINE:
+        t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).write.format("noop").mode(
             "overwrite"
         ).save()
+        cold[name] = round(time.perf_counter() - t0, 3)
 
     timings: dict[str, float] = {}
     total = 0.0
@@ -111,7 +117,11 @@ def main() -> None:
         timings[name] = round(dt, 3)
         total += dt
         runs_s = "/".join(f"{r:.2f}" for r in runs)
-        print(f"# {name}: best {dt:.3f}s of [{runs_s}] rows={n}", flush=True)
+        print(
+            f"# {name}: cold {cold[name]:.3f}s, best {dt:.3f}s of "
+            f"[{runs_s}] rows={n}",
+            flush=True,
+        )
 
     print(
         json.dumps(
@@ -120,6 +130,13 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "queries_cold": cold,
+                "total_cold_sec": round(sum(cold.values()), 3),
+                # These read the persisted shared rollup tier after the
+                # cold pass builds it — their steady number is an
+                # amortized read, not the full pipeline (that cost is in
+                # queries_cold).
+                "amortized": ["kpi_hourly", "suggestions"],
                 "sf": sf,
             }
         )

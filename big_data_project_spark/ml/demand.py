@@ -3,7 +3,17 @@
 Parity: /root/reference/src/ml/train_predict.py — label =
 per-route shift(-1) of hourly passengers, 80/20 time-ordered split,
 RandomForestRegressor, MAE; prediction table (route_id, hour_ts,
-y_true, y_pred) plus a run-metrics row.
+y_true, y_pred) plus a run-metrics row. Run-metadata lineage mirrors
+src/dag/ml-job.py:128-196: `ml_runs` (run_id, model_name,
+model_version, rows_used, split_ratio, mae, features JSON) and
+predictions stamped with run_id/model_name/model_version the way
+`demand_predictions` / `demand_predictions_history` carry them — so
+model vintages can be compared by joining predictions to runs on
+run_id. The reference mints run_id with uuid4 per invocation; here it
+is a deterministic md5 of (model, version, seed, input dir) so repeated
+runs of the same configuration are idempotent (re-running the reference
+job twice yields two ml_runs rows for identical configs; an engine
+rerun should not).
 
 Spark-first deltas: the pandas read-all-rows + sklearn fit becomes a
 pyspark.ml Pipeline (VectorAssembler -> RandomForestRegressor) trained
@@ -18,6 +28,9 @@ oracle-checked share of the prediction surface.
 """
 
 from __future__ import annotations
+
+import hashlib
+import json
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -86,23 +99,49 @@ def _fit_predict(df: DataFrame) -> DataFrame:
     )
 
 
+def run_id(sf_dir: str) -> str:
+    """Deterministic run identifier in UUID shape (the reference's
+    ml_runs.run_id is a uuid4 — ml-job.py:103)."""
+    h = hashlib.md5(
+        f"{MODEL_NAME}:{MODEL_VERSION}:{SEED}:{sf_dir}".encode()
+    ).hexdigest()
+    return f"{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}"
+
+
 def rf_demand_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Test-split predictions (demand_predictions table analog)."""
-    return _fit_predict(training_frame(spark, sf_dir))
+    """Test-split predictions stamped with run lineage
+    (demand_predictions / demand_predictions_history analog —
+    ml-job.py:296-331 carries run_id, model_name, model_version on
+    every prediction row)."""
+    return _fit_predict(training_frame(spark, sf_dir)).select(
+        "route_id",
+        "hour_ts",
+        "y_true",
+        "y_pred",
+        F.lit(run_id(sf_dir)).alias("run_id"),
+        F.lit(MODEL_NAME).alias("model_name"),
+        F.lit(MODEL_VERSION).alias("model_version"),
+    )
 
 
 def rf_demand_model(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Run-metrics row (ml_runs table analog): MAE/RMSE on the held-out
-    time split."""
-    preds = rf_demand_predictions(spark, sf_dir)
+    """Run-metadata row (ml_runs table analog — ml-job.py:128-141,
+    256-287): run_id, model identity, rows_used, split_ratio, MAE/RMSE
+    on the held-out time split, and the feature list as JSON."""
+    df = training_frame(spark, sf_dir)
+    rows_used = df.count()  # scalar metadata, one job (reference: len(df))
+    preds = _fit_predict(df)
     err = preds.select((F.col("y_pred") - F.col("y_true")).alias("e"))
     return err.agg(
+        F.lit(run_id(sf_dir)).alias("run_id"),
         F.lit(MODEL_NAME).alias("model_name"),
         F.lit(MODEL_VERSION).alias("model_version"),
+        F.lit(rows_used).alias("rows_used"),
         F.count(F.lit(1)).alias("rows_test"),
         F.lit(SPLIT_RATIO).alias("split_ratio"),
         F.round(F.avg(F.abs(F.col("e"))), 4).alias("mae"),
         F.round(F.sqrt(F.avg(F.col("e") * F.col("e"))), 4).alias("rmse"),
+        F.lit(json.dumps(FEATURES)).alias("features"),
     )
 
 

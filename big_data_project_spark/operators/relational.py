@@ -160,7 +160,13 @@ def nation_revenue_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative + 3-month-moving order revenue per nation: monthly
     pre-aggregate (one shuffle over the fact), then two window frames
     over the tiny (nation, month) relation. Decimal partial sums keep
-    every running value order-independent cross-engine."""
+    every running value order-independent cross-engine.
+
+    The moving window is a RANGE frame over a month index
+    (year*12+month), so it is a true calendar 3-month window: months
+    with zero orders leave a gap in the index and fall out of the
+    frame, rather than the frame silently widening to the last 3
+    *observed* months as a ROWS frame would (round-2 advice)."""
     from ..functions.portable import pround
 
     cust = load_table(spark, sf_dir, "customer")
@@ -178,6 +184,10 @@ def nation_revenue_running(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast("decimal(28,6)")).alias("rev")
         )
     )
+    monthly = monthly.withColumn(
+        "month_idx",
+        F.year("month_ts") * 12 + F.month("month_ts"),
+    )
     cum = (
         Window.partitionBy("n_name")
         .orderBy("month_ts")
@@ -185,8 +195,8 @@ def nation_revenue_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mov = (
         Window.partitionBy("n_name")
-        .orderBy("month_ts")
-        .rowsBetween(-(MOVING_MONTHS - 1), Window.currentRow)
+        .orderBy("month_idx")
+        .rangeBetween(-(MOVING_MONTHS - 1), 0)
     )
     return monthly.select(
         "n_name",
@@ -342,17 +352,21 @@ ORACLES["nation_revenue_running"] = f"""
       JOIN nation   ON c_nationkey = n_nationkey
       GROUP BY n_name, date_trunc('month', o_orderdate)
     )
+    -- mov is a RANGE frame over the month index so it is a calendar
+    -- 3-month window (zero-order months fall out), matching the Spark
+    -- rangeBetween frame.
     SELECT n_name, month_ts,
            {sql_pround('(rev)::DOUBLE', 2)} AS month_revenue,
            {sql_pround('(sum(rev) OVER cum)::DOUBLE', 2)}
              AS cumulative_revenue,
            {sql_pround('(sum(rev) OVER mov)::DOUBLE', 2)}
              AS moving_3m_revenue
-    FROM monthly
+    FROM (SELECT *, year(month_ts) * 12 + month(month_ts) AS month_idx
+          FROM monthly) m
     WINDOW cum AS (PARTITION BY n_name ORDER BY month_ts
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-           mov AS (PARTITION BY n_name ORDER BY month_ts
-                   ROWS BETWEEN {MOVING_MONTHS - 1} PRECEDING
+           mov AS (PARTITION BY n_name ORDER BY month_idx
+                   RANGE BETWEEN {MOVING_MONTHS - 1} PRECEDING
                         AND CURRENT ROW)
 """
 

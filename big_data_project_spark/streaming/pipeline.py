@@ -96,16 +96,17 @@ def run_available_now(
 def stream_alerts_hourly(
     spark: SparkSession, events_dir: str, watermark: str = WATERMARK
 ) -> DataFrame:
-    """Streaming twin of operators/alerts.py::alerts_hourly counts: the
+    """Streaming twin of operators/alerts.py::alerts_hourly: the
     service-alerts topic (reference poller.py:158-188 / ingestor
     INSERT INTO service_alerts) classified and rolled up per route-hour
     as the feed arrives — tumbling window + watermark, so alert
     pressure is servable while the hour is still open.
 
-    The latest-alert pick of the batch twin needs a per-group argmax
-    (max_by), which streaming state supports too; counts and the
-    max alert id are enough for the serving join and keep the state one
-    row per (route, hour).
+    Full column parity with the batch twin, including the latest-alert
+    pick: ``max_by`` keyed on struct(ts, alert_id) is the streaming
+    per-group argmax with the same (observed_at, alert_id) tie-break
+    the batch row_number uses, and it keeps state at one row per
+    (route, hour).
     """
     from ..operators.alerts import ALERT_DELAY, SEVERE_DELAY, STORM_K
 
@@ -117,24 +118,30 @@ def stream_alerts_hourly(
         "ts",
         F.col("event_type").alias("route_id"),
         F.col("event_id").alias("alert_id"),
-        F.when(F.col("value") >= SEVERE_DELAY, 1).otherwise(0).alias(
-            "is_severe"
-        ),
+        F.when(F.col("value") >= SEVERE_DELAY, F.lit("severe_delay"))
+        .when(F.col("value") >= ALERT_DELAY, F.lit("delay"))
+        .otherwise(F.lit("weather"))
+        .alias("alert_type"),
     )
+    latest_key = F.struct(F.col("ts"), F.col("alert_id"))
     return (
         alerts.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("win"), F.col("route_id"))
         .agg(
             F.count(F.lit(1)).alias("n_alerts"),
-            F.sum("is_severe").alias("n_severe"),
-            F.max("alert_id").alias("max_alert_id"),
+            F.sum(
+                F.when(F.col("alert_type") == "severe_delay", 1).otherwise(0)
+            ).alias("n_severe"),
+            F.max_by("alert_id", latest_key).alias("last_alert_id"),
+            F.max_by("alert_type", latest_key).alias("last_alert_type"),
         )
         .select(
             F.col("win.start").alias("hour_ts"),
             "route_id",
             "n_alerts",
             "n_severe",
-            "max_alert_id",
+            "last_alert_id",
+            "last_alert_type",
         )
     )
 

@@ -210,3 +210,21 @@ def test_multimodal_decode_stub(spark, tmp_path):
     assert r["payload_sha256"] == hashlib.sha256(b"abc").hexdigest()
     assert r["fake_width"] == 16 + 3 % 64
     assert r["fake_height"] == 16 + 21 % 64
+
+
+def test_text_embedding_agreement_semantics(spark):
+    """Round-2 advice: the agreement audit must cover every verified
+    MinHash-LSH pair (non-empty at the test SF) with a valid cosine —
+    a zero-row doc_id<->vec_id join would otherwise pass the oracle
+    gate trivially."""
+    pairs = {
+        (r["a_id"], r["b_id"])
+        for r in dedup.dedup_minhash_lsh(spark, SF_DIR).collect()
+    }
+    assert pairs  # test data plants near-dups; the audit must see them
+    rows = similarity.text_embedding_agreement(spark, SF_DIR).collect()
+    audited = {(r["a_id"], r["b_id"]) for r in rows}
+    assert audited == pairs
+    for r in rows:
+        assert -1.0 - 1e-9 <= r["cosine"] <= 1.0 + 1e-9
+        assert r["embedding_agrees"] in (0, 1)

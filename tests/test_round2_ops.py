@@ -177,14 +177,17 @@ def test_stream_alerts_hourly_equals_batch(spark, tmp_path):
     streamed = pipeline.run_available_now(
         pipeline.stream_alerts_hourly(spark, src), "stream_alerts"
     )
-    base = alerts._alerts_base(spark, SF_DIR)
-    batch = base.groupBy("hour_ts", "route_id").agg(
-        F.count(F.lit(1)).alias("n_alerts"),
-        F.sum(
-            F.when(F.col("alert_type") == "severe_delay", 1).otherwise(0)
-        ).alias("n_severe"),
-        F.max("alert_id").alias("max_alert_id"),
-    )
-    got = sorted(map(tuple, streamed.collect()), key=repr)
+    # Full-column parity with the batch twin, latest-alert pick included
+    # (round-2 verdict item 6).
+    cols = [
+        "hour_ts",
+        "route_id",
+        "n_alerts",
+        "n_severe",
+        "last_alert_id",
+        "last_alert_type",
+    ]
+    batch = alerts.alerts_hourly(spark, SF_DIR).select(*cols)
+    got = sorted(map(tuple, streamed.select(*cols).collect()), key=repr)
     want = sorted(map(tuple, batch.collect()), key=repr)
     assert got == want

@@ -491,3 +491,27 @@ def test_rf_predictions_cover_test_split_only(spark):
     preds = demand.rf_demand_predictions(spark, SF_DIR)
     assert preds.count() == test.count()
     assert preds.filter(F.col("y_pred").isNull()).count() == 0
+
+
+def test_rf_run_lineage(spark):
+    """Predictions join back to the ml_runs row on run_id (the
+    reference's demand_predictions_history ↔ ml_runs relation), the
+    run_id is deterministic, and run metadata is faithful."""
+    import json as _json
+
+    runs = demand.rf_demand_model(spark, SF_DIR)
+    preds = demand.rf_demand_predictions(spark, SF_DIR)
+    run = runs.head()
+    assert run["run_id"] == demand.run_id(SF_DIR)  # deterministic
+    assert run["run_id"] != demand.run_id(SF_DIR + "/other")
+    assert _json.loads(run["features"]) == demand.FEATURES
+    assert run["rows_used"] == demand.training_frame(spark, SF_DIR).count()
+    assert run["model_version"] == demand.MODEL_VERSION
+    # every prediction row carries the run's lineage triplet
+    orphan = preds.join(
+        runs.select("run_id", "model_name", "model_version"),
+        ["run_id", "model_name", "model_version"],
+        "left_anti",
+    )
+    assert orphan.count() == 0
+    assert preds.count() == run["rows_test"]

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .operators import (
     alerts,
+    corpus,
     curation,
     dedup,
     geo,
@@ -60,6 +61,7 @@ _MODULES = [
     alerts,  # alerts_hourly / kpi_alerts_hourly oracles re-cast to BIGINT
     streaming_pipeline,  # user_sessions oracle re-cast to BIGINT
     curation,  # source_mixture_weights oracle re-cast to BIGINT
+    corpus,  # new in round 3: no driver evidence yet
     textops,
     sampling,
     multimodal,

@@ -228,3 +228,61 @@ def test_text_embedding_agreement_semantics(spark):
     for r in rows:
         assert -1.0 - 1e-9 <= r["cosine"] <= 1.0 + 1e-9
         assert r["embedding_agrees"] in (0, 1)
+
+
+# ----------------------------------------------------------- round 3: corpus
+
+
+def test_vocab_coverage_monotone(spark):
+    from big_data_project_spark.operators import corpus
+
+    rows = sorted(
+        corpus.vocab_coverage(spark, SF_DIR).collect(),
+        key=lambda r: r["vocab_size"],
+    )
+    assert [r["vocab_size"] for r in rows] == list(corpus.VOCAB_SIZES)
+    covs = [r["coverage"] for r in rows]
+    assert covs == sorted(covs)  # more vocab never covers less
+    assert all(0.0 < c <= 1.0 for c in covs)
+    assert all(r["covered_tokens"] <= r["total_tokens"] for r in rows)
+
+
+def test_dedup_incremental_verdicts(spark):
+    from big_data_project_spark.operators import corpus
+
+    rows = corpus.dedup_incremental(spark, SF_DIR).collect()
+    assert rows
+    nbrs = {}
+    for r in dedup.dedup_minhash_lsh(spark, SF_DIR).collect():
+        nbrs.setdefault(r["a_id"], set()).add(r["b_id"])
+        nbrs.setdefault(r["b_id"], set()).add(r["a_id"])
+    for r in rows:
+        assert r["doc_id"] % corpus.INC_MOD == corpus.INC_REM
+        if r["verdict"] == "new":
+            assert r["dup_of"] is None
+        else:
+            assert r["dup_of"] in nbrs.get(r["doc_id"], set())
+            if r["verdict"] == "dup_of_base":
+                assert r["dup_of"] % corpus.INC_MOD != corpus.INC_REM
+            else:
+                assert r["dup_of"] % corpus.INC_MOD == corpus.INC_REM
+                assert r["dup_of"] < r["doc_id"]
+
+
+def test_dedup_method_agreement_counts(spark):
+    from big_data_project_spark.operators import corpus
+
+    r = corpus.dedup_method_agreement(spark, SF_DIR).head()
+    assert r["n_both"] <= min(r["n_minhash"], r["n_simhash"])
+    assert r["n_either"] == r["n_minhash"] + r["n_simhash"] - r["n_both"]
+    assert 0.0 <= r["method_jaccard"] <= 1.0
+
+
+def test_chunk_dup_rate_bounds(spark):
+    from big_data_project_spark.operators import corpus
+
+    rows = corpus.chunk_dup_rate(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["n_distinct_chunks"] <= r["n_chunks"]
+        assert 0.0 <= r["dup_rate"] < 1.0

@@ -29,8 +29,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table, load_table_spread
-from ..functions.portable import pround, sql_pround
-from .dedup import _SQL_NORM, _norm
+from ..functions.portable import davg, pround, sql_davg, sql_pround
+from .dedup import _SQL_NORM, _norm, _shingle_arr
 from . import dedup as _dedup
 from . import textops as _textops
 
@@ -257,7 +257,98 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bigram_arr(c):
+    """Token-bigram array (WITH multiplicity — LM counts need it), pure
+    map-side: zip the token array with its own 1-shifted slice; the
+    null-padded tail concats to null and is filtered off."""
+    toks = F.split(_norm(c), " ")
+    shifted = F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
+    pairs = F.zip_with(
+        toks, shifted, lambda a, b: F.concat(a, F.lit(" "), b)
+    )
+    return F.filter(pairs, lambda x: x.isNotNull())
+
+
+def lm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KenLM-style quality filter stand-in: score every document's
+    average token-bigram log-probability under the corpus's own bigram
+    model (unigram-free MLE: p(bg) = count(bg) / total bigrams), plus
+    the perplexity proxy exp(-avg). Low-probability docs are the
+    gibberish/boilerplate candidates a perplexity filter drops.
+
+    Determinism: the per-doc mean is a decimal-exact fold (davg) over
+    ln values, so accumulation order cannot flip the rounded digit, and
+    the perplexity is derived from the already-rounded mean.
+
+    Scale: two linear passes over the exploded bigram stream (model
+    aggregate, then per-doc score join+aggregate); the model relation is
+    bigram-vocabulary-sized and the join is a hash equi-join on the
+    bigram — never all-pairs. Docs with < 2 tokens have no bigrams and
+    drop out (both engines).
+    """
+    docs = load_table_spread(spark, sf_dir, "documents", "doc_id")
+    bg = docs.select(
+        "doc_id", F.explode(_bigram_arr(F.col("text"))).alias("bg")
+    )
+    model = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("cnt"))
+    total = model.agg(F.sum("cnt").alias("total"))
+    scored = (
+        bg.join(model, "bg")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            davg(F.log(F.col("cnt") / F.col("total")), 6).alias(
+                "avg_logprob"
+            ),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        "avg_logprob",
+        pround(F.exp(-F.col("avg_logprob")), 4).alias("ppl_proxy"),
+    ).orderBy("doc_id")
+
+
+def shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of its distinct 3-gram word
+    shingles that occur in NO other document — the inverse boilerplate
+    signal (novelty 1.0 = fully original text, near 0 = assembled from
+    corpus-common fragments).
+
+    Scale: shingle explode + one groupBy on the shingle (document
+    frequency) + one groupBy back on the doc — two linear shuffles,
+    the same shape as the dedup shingle pipeline."""
+    docs = load_table_spread(spark, sf_dir, "documents", "doc_id")
+    sh = docs.select(
+        "doc_id", F.explode(_shingle_arr(F.col("text"))).alias("sh")
+    )
+    sh_df = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(sh_df, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias(
+                "n_novel"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            pround(F.col("n_novel") / F.col("n_shingles"), 6).alias(
+                "novelty"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
+    "lm_bigram_logprob": lm_bigram_logprob,
+    "shingle_novelty": shingle_novelty,
     "tfidf_top_terms": tfidf_top_terms,
     "vocab_coverage": vocab_coverage,
     "dedup_incremental": dedup_incremental,
@@ -278,7 +369,58 @@ _SQL_MINHASH_PAIRS = _dedup.ORACLES["dedup_minhash_lsh"]
 _SQL_SIMHASH_PAIRS = _dedup.ORACLES["dedup_simhash"]
 _SQL_CHUNKS = _textops.ORACLES["doc_chunking"]
 
+_SQL_BIGRAMS = f"""
+    SELECT doc_id,
+           unnest(list_transform(
+             range(1, greatest(len(toks), 1)),
+             i -> toks[i] || ' ' || toks[i+1]
+           )) AS bg
+    FROM (SELECT doc_id, string_split({_SQL_NORM}, ' ') AS toks
+          FROM documents) d
+    WHERE len(toks) >= 2
+"""
+
+_SQL_SHINGLES_ALL = f"""
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+             range(1, greatest(len(toks) - 1, 1)),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+           ))) AS sh
+    FROM (SELECT doc_id, string_split({_SQL_NORM}, ' ') AS toks
+          FROM documents) d
+    WHERE len(toks) >= 3
+"""
+
 ORACLES = {
+    "lm_bigram_logprob": f"""
+        WITH bg AS ({_SQL_BIGRAMS}),
+        model AS (SELECT bg AS g, count(*) AS cnt FROM bg GROUP BY bg),
+        tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM model),
+        scored AS (
+          SELECT doc_id, count(*) AS n_bigrams,
+                 {sql_davg('ln(cnt::DOUBLE / total)', 6)} AS avg_logprob
+          FROM bg JOIN model ON bg.bg = model.g, tot
+          GROUP BY doc_id
+        )
+        SELECT doc_id, n_bigrams, avg_logprob,
+               {sql_pround('exp(-avg_logprob)', 4)} AS ppl_proxy
+        FROM scored
+        ORDER BY doc_id
+    """,
+    "shingle_novelty": f"""
+        WITH sh AS ({_SQL_SHINGLES_ALL}),
+        dfq AS (SELECT sh AS g, count(*) AS df FROM sh GROUP BY sh)
+        SELECT doc_id,
+               count(*) AS n_shingles,
+               CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_novel,
+               {sql_pround(
+                   'sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::DOUBLE '
+                   '/ count(*)', 6)} AS novelty
+        FROM sh JOIN dfq ON sh.sh = dfq.g
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
     "tfidf_top_terms": f"""
         WITH t AS ({_SQL_TOKENS}),
         n AS (SELECT count(*) AS n_docs FROM documents),

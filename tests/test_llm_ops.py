@@ -286,3 +286,35 @@ def test_chunk_dup_rate_bounds(spark):
     for r in rows:
         assert 0 < r["n_distinct_chunks"] <= r["n_chunks"]
         assert 0.0 <= r["dup_rate"] < 1.0
+
+
+def test_lm_bigram_logprob_bounds(spark):
+    from big_data_project_spark.operators import corpus
+
+    rows = corpus.lm_bigram_logprob(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["n_bigrams"] >= 1
+        assert r["avg_logprob"] <= 0.0  # MLE probs are <= 1
+        assert r["ppl_proxy"] >= 1.0 - 1e-9
+
+
+def test_shingle_novelty_planted(spark, tmp_path):
+    from big_data_project_spark.operators import corpus
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon", "en", "s1", 30),
+            (2, "alpha beta gamma delta epsilon", "en", "s1", 30),
+            (3, "zeta eta theta iota kappa", "en", "s1", 25),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = tmp_path / "sf"
+    docs.write.parquet(str(d / "documents.parquet"))
+    got = {
+        r["doc_id"]: r["novelty"]
+        for r in corpus.shingle_novelty(spark, str(d)).collect()
+    }
+    # duplicated docs share every shingle -> novelty 0; unique doc -> 1
+    assert got == {1: 0.0, 2: 0.0, 3: 1.0}

@@ -126,8 +126,12 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _near_dup_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Symmetric (doc, nbr) view of the MinHash-LSH verified pair list."""
-    pairs = _dedup.dedup_minhash_lsh(spark, sf_dir)
+    """Symmetric (doc, nbr) view of the MinHash-LSH verified pair list.
+    Both union branches consume the pair list, so it is persisted once
+    rather than re-running the LSH pipeline per branch."""
+    from .dedup import _persisted
+
+    pairs = _persisted(_dedup.dedup_minhash_lsh(spark, sf_dir))
     return pairs.select(
         F.col("a_id").alias("doc_id"), F.col("b_id").alias("nbr")
     ).union(
@@ -284,11 +288,18 @@ def lm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate, then per-doc score join+aggregate); the model relation is
     bigram-vocabulary-sized and the join is a hash equi-join on the
     bigram — never all-pairs. Docs with < 2 tokens have no bigrams and
-    drop out (both engines).
+    drop out (both engines). The exploded bigram stream feeds both the
+    model aggregate and the scoring join, so it is persisted once
+    (Spark re-executes shared subplans per consumer otherwise — two
+    corpus-scale tokenize+explode passes instead of one).
     """
+    from .dedup import _persisted
+
     docs = load_table_spread(spark, sf_dir, "documents", "doc_id")
-    bg = docs.select(
-        "doc_id", F.explode(_bigram_arr(F.col("text"))).alias("bg")
+    bg = _persisted(
+        docs.select(
+            "doc_id", F.explode(_bigram_arr(F.col("text"))).alias("bg")
+        )
     )
     model = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("cnt"))
     total = model.agg(F.sum("cnt").alias("total"))
@@ -319,10 +330,16 @@ def shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: shingle explode + one groupBy on the shingle (document
     frequency) + one groupBy back on the doc — two linear shuffles,
-    the same shape as the dedup shingle pipeline."""
+    the same shape as the dedup shingle pipeline. The exploded shingle
+    stream feeds both the frequency aggregate and the scoring join, so
+    it is persisted once."""
+    from .dedup import _persisted
+
     docs = load_table_spread(spark, sf_dir, "documents", "doc_id")
-    sh = docs.select(
-        "doc_id", F.explode(_shingle_arr(F.col("text"))).alias("sh")
+    sh = _persisted(
+        docs.select(
+            "doc_id", F.explode(_shingle_arr(F.col("text"))).alias("sh")
+        )
     )
     sh_df = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     return (

@@ -32,7 +32,11 @@ HEADLINE = [
     "dedup_exact",
     "ann_cosine_topk",
     "token_count",
+    # round-3 corpus family representatives
+    "tfidf_top_terms",
+    "dedup_incremental",
 ]
+_R2_KEYS = frozenset(HEADLINE[:16])
 
 
 def main() -> None:
@@ -129,6 +133,11 @@ def main() -> None:
                 "metric": "total_headline_sec",
                 "value": round(total, 3),
                 "unit": "sec",
+                # like-for-like total over the 16 keys benched since
+                # round 2 (the round-3 headline adds two corpus keys)
+                "total_r2_keys_sec": round(
+                    sum(v for k, v in timings.items() if k in _R2_KEYS), 3
+                ),
                 "queries": timings,
                 "queries_cold": cold,
                 "total_cold_sec": round(sum(cold.values()), 3),

@@ -42,6 +42,9 @@ EVENTS_SCHEMA = (
     "event_id long, ts timestamp, user_id long, event_type string, "
     "value double, props string"
 )
+DOCS_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
 SESSION_GAP_MINUTES = 30
 WATERMARK = "2 hours"
 
@@ -164,6 +167,34 @@ def stream_dedup_events(
     src = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
     return src.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
+    )
+
+
+def stream_dedup_incremental(
+    spark: SparkSession, docs_dir: str, base_hashes: DataFrame
+) -> DataFrame:
+    """Streaming twin of operators/corpus.py::dedup_incremental's
+    base-corpus filtering, at exact-dup grain: an incoming document
+    stream is content-hashed map-side, deduped in-stream (state keyed
+    by the hash keeps the first delivery), and anti-joined against the
+    STATIC hash list of the already-ingested corpus — only never-seen
+    documents flow to the sink. This is the ingest-time gate in front
+    of the batch near-dup pipeline.
+
+    Scale: the stream side is map-side until the dedup state shuffle
+    (sharded by hash); the base list is a static relation joined
+    stream-static left_anti, so the stream never rescans the corpus.
+    Documents carry no event time, so this uses unwatermarked
+    dropDuplicates (state grows with distinct content hashes); a feed
+    with an ingest timestamp would use dropDuplicatesWithinWatermark
+    as stream_dedup_events does.
+    """
+    from ..operators.dedup import _norm as _doc_norm
+
+    src = spark.readStream.schema(DOCS_SCHEMA).parquet(docs_dir)
+    hashed = src.withColumn("doc_hash", F.md5(_doc_norm(F.col("text"))))
+    return hashed.dropDuplicates(["doc_hash"]).join(
+        base_hashes, "doc_hash", "left_anti"
     )
 
 

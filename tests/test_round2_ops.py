@@ -191,3 +191,33 @@ def test_stream_alerts_hourly_equals_batch(spark, tmp_path):
     got = sorted(map(tuple, streamed.select(*cols).collect()), key=repr)
     want = sorted(map(tuple, batch.collect()), key=repr)
     assert got == want
+
+
+def test_stream_dedup_incremental_equals_batch(spark, tmp_path):
+    from big_data_project_spark.catalog import load_table
+    from big_data_project_spark.operators.dedup import _norm
+    from big_data_project_spark.streaming import pipeline
+
+    docs = load_table(spark, SF_DIR, "documents")
+    src = str(tmp_path / "docs_stream")
+    docs.write.parquet(src)
+    base = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select(F.md5(_norm(F.col("text"))).alias("doc_hash"))
+        .distinct()
+    )
+    streamed = pipeline.run_available_now(
+        pipeline.stream_dedup_incremental(spark, src, base),
+        "stream_inc",
+        output_mode="append",
+    )
+    want = {
+        r["doc_id"]
+        for r in docs.withColumn("doc_hash", F.md5(_norm(F.col("text"))))
+        .join(base, "doc_hash", "left_anti")
+        .collect()
+    }
+    got = {r["doc_id"] for r in streamed.collect()}
+    # sf docs have unique content hashes, so first-delivery dedup keeps
+    # every doc and only the base anti-join filters
+    assert got == want and got

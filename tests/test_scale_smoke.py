@@ -67,3 +67,72 @@ def test_sessionization_scales_by_user(spark, scaled_dir):
     base_n = sessionize_batch(spark, SF_DIR).count()
     scaled_n = sessionize_batch(spark, scaled_dir).count()
     assert scaled_n == SCALE * base_n
+
+
+@pytest.fixture(scope="module")
+def scaled_docs_dir(spark, tmp_path_factory):
+    """documents x SCALE: replicas get disjoint doc_ids but identical
+    text, so content statistics are exactly invariant and exact-dup
+    group sizes scale exactly."""
+    d = tmp_path_factory.mktemp("scaled_docs")
+    docs = load_table(spark, SF_DIR, "documents")
+    reps = docs.crossJoin(
+        F.broadcast(
+            docs.sparkSession.range(SCALE).select(F.col("id").alias("rep"))
+        )
+    )
+    reps.select(
+        (F.col("doc_id") * SCALE + F.col("rep")).alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+    ).write.parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_dedup_exact_scales(spark, scaled_docs_dir):
+    from big_data_project_spark.operators import dedup
+
+    rows = dedup.dedup_exact(spark, scaled_docs_dir).collect()
+    assert len(rows) == 500  # one group per distinct content
+    for r in rows:
+        assert r["n_docs"] == SCALE
+        assert r["keep_doc_id"] % SCALE == 0  # rep-0 replica is the min
+
+
+def test_lm_logprob_scale_invariant(spark, scaled_docs_dir):
+    """Replicating every doc k-fold multiplies bigram counts AND the
+    total by k, so p(bg) — and therefore every score — is bit-identical.
+    A scale-sensitive implementation (e.g. one that samples or
+    accumulates in float) would drift here."""
+    from big_data_project_spark.operators import corpus
+
+    base = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logprob"], r["ppl_proxy"])
+        for r in corpus.lm_bigram_logprob(spark, SF_DIR).collect()
+    }
+    scaled = corpus.lm_bigram_logprob(spark, scaled_docs_dir).collect()
+    assert len(scaled) == SCALE * len(base)
+    for r in scaled:
+        assert (
+            r["n_bigrams"],
+            r["avg_logprob"],
+            r["ppl_proxy"],
+        ) == base[r["doc_id"] // SCALE]
+
+
+def test_tfidf_terms_scale_invariant(spark, scaled_docs_dir):
+    """tf, df, and N all scale by k, so idf = ln(kN/(k df)) and the
+    ranked term set are invariant (scores scale by k)."""
+    from big_data_project_spark.operators import corpus
+
+    base = {
+        (r["source"], r["rank"]): r["tok"]
+        for r in corpus.tfidf_top_terms(spark, SF_DIR).collect()
+    }
+    scaled = {
+        (r["source"], r["rank"]): r["tok"]
+        for r in corpus.tfidf_top_terms(spark, scaled_docs_dir).collect()
+    }
+    assert base == scaled

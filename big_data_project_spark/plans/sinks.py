@@ -74,3 +74,32 @@ def write_partitioned(
 ) -> None:
     """Hive-partitioned parquet append (partition pruning for readers)."""
     df.write.mode("append").partitionBy(*partition_cols).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int,
+    sort_col: str | None = None,
+    path: str | None = None,
+) -> None:
+    """Bucketed (hash-clustered) table: rows are pre-shuffled into
+    ``n_buckets`` files by ``bucket_col`` at WRITE time, so every later
+    join or aggregation on that key reads co-located data and skips its
+    Exchange entirely — the standard way to amortize the shuffle of a
+    100 TB fact table across all downstream queries. Optionally
+    sort-within-buckets so sort-merge joins also skip their Sort.
+
+    Parquet `saveAsTable` with Spark's native bucketing (no Hive
+    needed); both sides of a join must be bucketed with the same count
+    on the join key for the exchange-free plan.
+    """
+    w = df.write.mode("overwrite").format("parquet").bucketBy(
+        n_buckets, bucket_col
+    )
+    if sort_col is not None:
+        w = w.sortBy(sort_col)
+    if path is not None:
+        w = w.option("path", path)  # external table, caller-owned dir
+    w.saveAsTable(table)

@@ -515,3 +515,42 @@ def test_rf_run_lineage(spark):
     )
     assert orphan.count() == 0
     assert preds.count() == run["rows_test"]
+
+
+def test_bucketed_join_skips_exchange(spark, tmp_path):
+    """Both sides bucketed on the join key with the same count -> the
+    join plan has NO shuffle at all (the write-time bucketing is the
+    amortized shuffle); with sortBy, the streams zip without a Sort on
+    the bucketed key either."""
+    from big_data_project_spark.catalog import load_table
+    from big_data_project_spark.plans import sinks
+
+    orders = load_table(spark, SF_DIR, "orders")
+    cust = load_table(spark, SF_DIR, "customer")
+    sinks.write_bucketed(
+        orders, "orders_b", "o_custkey", 8, sort_col="o_custkey",
+        path=str(tmp_path / "orders_b"),
+    )
+    sinks.write_bucketed(
+        cust, "customer_b", "c_custkey", 8, sort_col="c_custkey",
+        path=str(tmp_path / "customer_b"),
+    )
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("orders_b").join(
+            spark.table("customer_b"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # no shuffle on either side
+        # sanity: result matches the unbucketed join
+        n_plain = orders.join(
+            cust, orders.o_custkey == cust.c_custkey
+        ).count()
+        assert joined.count() == n_plain
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS customer_b")

@@ -14,6 +14,9 @@ View name mapping (reference -> here):
   ml_dataset_hourly          -> ml_dataset_hourly
   kpi_hourly                 -> kpi_hourly
   route_suggestions_latest   -> suggestions_latest
+  service_alerts table       -> service_alerts
+  latest-alert DISTINCT ON   -> alerts_latest_per_type
+  (+ alerts_hourly / kpi_alerts_hourly, the alert-enriched KPI row)
 """
 
 from __future__ import annotations
@@ -35,6 +38,10 @@ ANALYTICS_VIEWS = (
     "suggestions",
     "suggestions_latest",
     "peak_hours_summary",
+    "service_alerts",
+    "alerts_hourly",
+    "alerts_latest_per_type",
+    "kpi_alerts_hourly",
 )
 
 

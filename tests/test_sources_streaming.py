@@ -312,6 +312,13 @@ def test_sql_view_surface(spark):
     n_df = kpi_hourly(spark, SF_DIR).filter(F.col("is_peak_hour") == 1).count()
     assert n_sql == n_df
     assert spark.sql("SELECT * FROM suggestions_latest").count() > 0
+    # alert views join by name like the reference's SQL surface
+    joined = spark.sql(
+        """SELECT count(*) AS n FROM kpi_alerts_hourly k
+           JOIN alerts_hourly a USING (route_id, hour_ts)"""
+    ).head()["n"]
+    assert joined > 0
+    assert spark.sql("SELECT * FROM alerts_latest_per_type").count() > 0
 
 
 def test_stream_interval_join(spark, tmp_path):

@@ -217,8 +217,64 @@ def route_delay_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ANOMALY_Z = 2.0
+ANOMALY_MIN_HOURS = 5
+_VAR_FLOOR = 1e-12
+
+
+def delay_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-route anomalous hours: z-score of the hourly average delay
+    against the route's own mean/std, keeping |z| >= ANOMALY_Z — the
+    alerting precursor (which hours deviate from this route's norm,
+    rather than crossing a global threshold like service_alerts).
+
+    Determinism: mean and variance come from decimal-exact folds
+    (sum x, sum x² as DECIMAL(28,6)), so they are order-independent;
+    z is rounded before the threshold so the boundary is engine-
+    portable. Routes need ANOMALY_MIN_HOURS observed hours and
+    variance above a floor for a meaningful score.
+
+    Scale: one (route, hour) rollup shuffle (shared shape with
+    delay_hourly), one route-sized stats aggregate broadcast back —
+    the fact table is never joined to itself."""
+    from .hourly import delay_hourly
+
+    d = delay_hourly(spark, sf_dir).filter(
+        F.col("avg_delay_seconds").isNotNull()
+    )
+    x = F.col("avg_delay_seconds")
+    stats = d.groupBy("route_id").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum(x.cast("decimal(28,6)")).cast("double").alias("sx"),
+        F.sum((x * x).cast("decimal(28,6)")).cast("double").alias("sxx"),
+    )
+    mean = F.col("sx") / F.col("n_hours")
+    var = F.col("sxx") / F.col("n_hours") - mean * mean
+    # greatest() floor: rows with var <= _VAR_FLOOR are filtered out
+    # anyway, but sqrt must never see a numerically-negative variance
+    # (DuckDB's sqrt raises on negatives; projections may evaluate
+    # before the filter prunes)
+    z = pround((x - mean) / F.sqrt(F.greatest(var, F.lit(_VAR_FLOOR))), 4)
+    return (
+        d.join(F.broadcast(stats), "route_id")
+        .filter(
+            (F.col("n_hours") >= ANOMALY_MIN_HOURS) & (var > _VAR_FLOOR)
+        )
+        .select(
+            "route_id",
+            "hour_ts",
+            "avg_delay_seconds",
+            pround(mean, 4).alias("route_mean_delay"),
+            z.alias("z_score"),
+        )
+        .filter(F.abs(F.col("z_score")) >= ANOMALY_Z)
+        .orderBy("route_id", "hour_ts")
+    )
+
+
 QUERIES = {
     "asof_join_weather": asof_join_weather,
+    "delay_anomaly_hours": delay_anomaly_hours,
     "demand_rolling_3h": demand_rolling_3h,
     "top_stops_per_route": top_stops_per_route,
     "delay_gap_fill": delay_gap_fill,
@@ -227,6 +283,34 @@ QUERIES = {
 }
 
 ORACLES = {
+    "delay_anomaly_hours": f"""
+        WITH d AS (
+          SELECT * FROM ({SQL_DELAY}) t WHERE avg_delay_seconds IS NOT NULL
+        ),
+        s AS (
+          SELECT route_id, count(*) AS n_hours,
+                 (sum((avg_delay_seconds)::DECIMAL(28,6)))::DOUBLE AS sx,
+                 (sum((avg_delay_seconds * avg_delay_seconds)
+                      ::DECIMAL(28,6)))::DOUBLE AS sxx
+          FROM d GROUP BY route_id
+        )
+        SELECT route_id, hour_ts, avg_delay_seconds,
+               route_mean_delay, z_score
+        FROM (
+          SELECT d.route_id, hour_ts, avg_delay_seconds, n_hours,
+                 sxx / n_hours - (sx / n_hours) * (sx / n_hours) AS var,
+                 {sql_pround('sx / n_hours', 4)} AS route_mean_delay,
+                 {sql_pround(
+                     '(avg_delay_seconds - sx / n_hours) '
+                     f'/ sqrt(greatest(sxx / n_hours '
+                     f'- (sx / n_hours) * (sx / n_hours), {_VAR_FLOOR}))',
+                     4)} AS z_score
+          FROM d JOIN s USING (route_id)
+        ) x
+        WHERE n_hours >= {ANOMALY_MIN_HOURS} AND var > {_VAR_FLOOR}
+          AND abs(z_score) >= {ANOMALY_Z}
+        ORDER BY route_id, hour_ts
+    """,
     # DuckDB's native ASOF JOIN is the oracle for the composed Spark
     # form; the lookback bound is applied as a post-filter on both sides
     # of the contract.

@@ -221,3 +221,31 @@ def test_stream_dedup_incremental_equals_batch(spark, tmp_path):
     # sf docs have unique content hashes, so first-delivery dedup keeps
     # every doc and only the base anti-join filters
     assert got == want and got
+
+
+def test_delay_anomaly_zscores(spark):
+    """z-scores recompute exactly from the hourly rollup; every flagged
+    hour clears the threshold and every route clears the min-hours bar."""
+    from big_data_project_spark.operators.hourly import delay_hourly
+
+    rows = timeseries.delay_anomaly_hours(spark, SF_DIR).collect()
+    assert rows
+    d = [
+        r
+        for r in delay_hourly(spark, SF_DIR).collect()
+        if r["avg_delay_seconds"] is not None
+    ]
+    by_route: dict[str, list[float]] = {}
+    for r in d:
+        by_route.setdefault(r["route_id"], []).append(
+            r["avg_delay_seconds"]
+        )
+    for r in rows:
+        xs = by_route[r["route_id"]]
+        assert len(xs) >= timeseries.ANOMALY_MIN_HOURS
+        assert abs(r["z_score"]) >= timeseries.ANOMALY_Z
+        n = len(xs)
+        mean = sum(xs) / n
+        var = sum(x * x for x in xs) / n - mean * mean
+        z = (r["avg_delay_seconds"] - mean) / math.sqrt(var)
+        assert abs(z - r["z_score"]) < 2e-3  # float-fold vs decimal-fold

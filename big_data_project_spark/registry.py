@@ -62,12 +62,12 @@ _MODULES = [
     streaming_pipeline,  # user_sessions oracle re-cast to BIGINT
     curation,  # source_mixture_weights oracle re-cast to BIGINT
     corpus,  # new in round 3: no driver evidence yet
+    timeseries,  # delay_anomaly_hours new in round 3 — keep in window
     textops,
     sampling,
     multimodal,
     similarity,
     dedup,
-    timeseries,
     sketches,
     generators,
     jsonfeed,

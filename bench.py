@@ -15,7 +15,10 @@ import time
 from big_data_project_spark.registry import QUERIES
 from big_data_project_spark.session import get_spark
 
-HEADLINE = [
+# Keys benched since round 2 — keep this list frozen so
+# total_r2_keys_sec stays like-for-like across rounds; append new
+# rounds' keys to the round lists below instead.
+R2_HEADLINE = [
     "q1_pricing_summary",
     "q3_top_unshipped",
     "q5_supplier_volume",
@@ -32,11 +35,14 @@ HEADLINE = [
     "dedup_exact",
     "ann_cosine_topk",
     "token_count",
+]
+R3_HEADLINE = [
     # round-3 corpus family representatives
     "tfidf_top_terms",
     "dedup_incremental",
 ]
-_R2_KEYS = frozenset(HEADLINE[:16])
+HEADLINE = R2_HEADLINE + R3_HEADLINE
+_R2_KEYS = frozenset(R2_HEADLINE)
 
 
 def main() -> None:

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table, load_table_spread
 from ..functions.portable import davg, pround, sql_davg, sql_pround
-from .dedup import _SQL_NORM, _norm, _shingle_arr
+from .dedup import _SQL_NORM, _SQL_SHINGLES, _norm, _persisted, _shingle_arr
 from . import dedup as _dedup
 from . import textops as _textops
 
@@ -129,8 +129,6 @@ def _near_dup_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric (doc, nbr) view of the MinHash-LSH verified pair list.
     Both union branches consume the pair list, so it is persisted once
     rather than re-running the LSH pipeline per branch."""
-    from .dedup import _persisted
-
     pairs = _persisted(_dedup.dedup_minhash_lsh(spark, sf_dir))
     return pairs.select(
         F.col("a_id").alias("doc_id"), F.col("b_id").alias("nbr")
@@ -293,8 +291,6 @@ def lm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Spark re-executes shared subplans per consumer otherwise — two
     corpus-scale tokenize+explode passes instead of one).
     """
-    from .dedup import _persisted
-
     docs = load_table_spread(spark, sf_dir, "documents", "doc_id")
     bg = _persisted(
         docs.select(
@@ -333,8 +329,6 @@ def shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same shape as the dedup shingle pipeline. The exploded shingle
     stream feeds both the frequency aggregate and the scoring join, so
     it is persisted once."""
-    from .dedup import _persisted
-
     docs = load_table_spread(spark, sf_dir, "documents", "doc_id")
     sh = _persisted(
         docs.select(
@@ -397,17 +391,6 @@ _SQL_BIGRAMS = f"""
     WHERE len(toks) >= 2
 """
 
-_SQL_SHINGLES_ALL = f"""
-    SELECT doc_id,
-           unnest(list_distinct(list_transform(
-             range(1, greatest(len(toks) - 1, 1)),
-             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
-           ))) AS sh
-    FROM (SELECT doc_id, string_split({_SQL_NORM}, ' ') AS toks
-          FROM documents) d
-    WHERE len(toks) >= 3
-"""
-
 ORACLES = {
     "lm_bigram_logprob": f"""
         WITH bg AS ({_SQL_BIGRAMS}),
@@ -425,7 +408,7 @@ ORACLES = {
         ORDER BY doc_id
     """,
     "shingle_novelty": f"""
-        WITH sh AS ({_SQL_SHINGLES_ALL}),
+        WITH sh AS ({_SQL_SHINGLES}),
         dfq AS (SELECT sh AS g, count(*) AS df FROM sh GROUP BY sh)
         SELECT doc_id,
                count(*) AS n_shingles,

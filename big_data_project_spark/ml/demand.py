@@ -10,10 +10,12 @@ predictions stamped with run_id/model_name/model_version the way
 `demand_predictions` / `demand_predictions_history` carry them — so
 model vintages can be compared by joining predictions to runs on
 run_id. The reference mints run_id with uuid4 per invocation; here it
-is a deterministic md5 of (model, version, seed, input dir) so repeated
-runs of the same configuration are idempotent (re-running the reference
-job twice yields two ml_runs rows for identical configs; an engine
-rerun should not).
+is a deterministic md5 of (model, version, seed, input dir[, run_seq])
+so a bare rerun of the same configuration is idempotent (the rows-only
+driver gate needs that), while a caller that WANTS history — the
+reference's ml_runs accumulating one row per invocation — passes an
+increasing ``run_seq`` (and optionally a ``trained_at`` ISO timestamp)
+and gets distinguishable, joinable lineage rows per vintage.
 
 Spark-first deltas: the pandas read-all-rows + sklearn fit becomes a
 pyspark.ml Pipeline (VectorAssembler -> RandomForestRegressor) trained
@@ -99,43 +101,77 @@ def _fit_predict(df: DataFrame) -> DataFrame:
     )
 
 
-def run_id(sf_dir: str) -> str:
+def run_id(sf_dir: str, run_seq: int | None = None) -> str:
     """Deterministic run identifier in UUID shape (the reference's
-    ml_runs.run_id is a uuid4 — ml-job.py:103)."""
-    h = hashlib.md5(
-        f"{MODEL_NAME}:{MODEL_VERSION}:{SEED}:{sf_dir}".encode()
-    ).hexdigest()
+    ml_runs.run_id is a uuid4 — ml-job.py:103). A caller-supplied
+    ``run_seq`` is folded into the hash so repeated trainings of the
+    same configuration mint DISTINGUISHABLE lineage rows, restoring the
+    reference's one-ml_runs-row-per-invocation history semantics
+    (ml-job.py:276-286, train_predict.py:176-183) without giving up
+    determinism; the default (None) keeps the idempotent single-id
+    behavior the rows-only driver gate depends on."""
+    basis = f"{MODEL_NAME}:{MODEL_VERSION}:{SEED}:{sf_dir}"
+    if run_seq is not None:
+        basis += f":seq={run_seq}"
+    h = hashlib.md5(basis.encode()).hexdigest()
     return f"{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}"
 
 
-def rf_demand_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _lineage_cols(sf_dir: str, run_seq: int | None, trained_at: str | None):
+    """Shared lineage columns for predictions and the ml_runs row: the
+    run_seq/trained_at pair is what lets two vintages of the same model
+    config coexist and be compared (the reference's demand_predictions
+    vs demand_predictions_history split). trained_at is caller-supplied
+    (ISO string), never wall-clock — determinism is the engine's
+    contract, so 'when' is an input, not a side effect."""
+    return [
+        F.lit(run_id(sf_dir, run_seq)).alias("run_id"),
+        F.lit(MODEL_NAME).alias("model_name"),
+        F.lit(MODEL_VERSION).alias("model_version"),
+        F.lit(0 if run_seq is None else run_seq)
+        .cast("long")
+        .alias("run_seq"),
+        F.lit(trained_at).cast("timestamp").alias("trained_at"),
+    ]
+
+
+def rf_demand_predictions(
+    spark: SparkSession,
+    sf_dir: str,
+    run_seq: int | None = None,
+    trained_at: str | None = None,
+) -> DataFrame:
     """Test-split predictions stamped with run lineage
     (demand_predictions / demand_predictions_history analog —
     ml-job.py:296-331 carries run_id, model_name, model_version on
-    every prediction row)."""
+    every prediction row). Successive invocations with increasing
+    ``run_seq`` accumulate joinable history rows (join to the ml_runs
+    rows on run_id)."""
     return _fit_predict(training_frame(spark, sf_dir)).select(
         "route_id",
         "hour_ts",
         "y_true",
         "y_pred",
-        F.lit(run_id(sf_dir)).alias("run_id"),
-        F.lit(MODEL_NAME).alias("model_name"),
-        F.lit(MODEL_VERSION).alias("model_version"),
+        *_lineage_cols(sf_dir, run_seq, trained_at),
     )
 
 
-def rf_demand_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+def rf_demand_model(
+    spark: SparkSession,
+    sf_dir: str,
+    run_seq: int | None = None,
+    trained_at: str | None = None,
+) -> DataFrame:
     """Run-metadata row (ml_runs table analog — ml-job.py:128-141,
-    256-287): run_id, model identity, rows_used, split_ratio, MAE/RMSE
-    on the held-out time split, and the feature list as JSON."""
+    256-287): run_id, model identity, run_seq/trained_at vintage,
+    rows_used, split_ratio, MAE/RMSE on the held-out time split, and
+    the feature list as JSON."""
     df = training_frame(spark, sf_dir)
     rows_used = df.count()  # scalar metadata, one job (reference: len(df))
     preds = _fit_predict(df)
     err = preds.select((F.col("y_pred") - F.col("y_true")).alias("e"))
     return err.agg(
-        F.lit(run_id(sf_dir)).alias("run_id"),
-        F.lit(MODEL_NAME).alias("model_name"),
-        F.lit(MODEL_VERSION).alias("model_version"),
+        *_lineage_cols(sf_dir, run_seq, trained_at),
         F.lit(rows_used).alias("rows_used"),
         F.count(F.lit(1)).alias("rows_test"),
         F.lit(SPLIT_RATIO).alias("split_ratio"),

@@ -61,9 +61,12 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     One corpus-scale shuffle only: tokens aggregate once on
     (tok, source, doc_id); tf and df both derive from that relation
     ((tok, doc) rows are unique since a doc has one source, so
-    df = per-tok row count), with the df fold as a window over the
-    vocabulary×sources relation rather than a second pass over the
-    token stream.
+    df = per-tok row count). df is PRE-AGGREGATED to a vocabulary-sized
+    relation and joined back on tok (round-3 verdict item 6) rather
+    than computed as a window over the vocabulary×sources relation —
+    the grouped fold carries no per-(tok,source) window state and its
+    exchange is AQE-coalescible; the vocabulary-sized per_source
+    relation feeds both sides, so it is persisted once.
     """
     toks = _tokens(spark, sf_dir)
     n_docs = load_table(spark, sf_dir, "documents").agg(
@@ -72,13 +75,16 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_doc = toks.groupBy("tok", "source", "doc_id").agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    per_source = per_doc.groupBy("tok", "source").agg(
-        F.sum("cnt").alias("tf"),
-        F.count(F.lit(1)).alias("docs_in_source"),
+    per_source = _persisted(
+        per_doc.groupBy("tok", "source").agg(
+            F.sum("cnt").alias("tf"),
+            F.count(F.lit(1)).alias("docs_in_source"),
+        )
     )
-    scored = per_source.withColumn(
-        "df", F.sum("docs_in_source").over(Window.partitionBy("tok"))
+    dfq = per_source.groupBy("tok").agg(
+        F.sum("docs_in_source").alias("df")
     )
+    scored = per_source.join(dfq, "tok")
     score = pround(
         F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
     )

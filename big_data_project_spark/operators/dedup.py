@@ -112,11 +112,12 @@ def _persisted(df: DataFrame) -> DataFrame:
     """MEMORY_AND_DISK-persist a relation the plan consumes several
     times. Spark re-executes shared subplans per use (no automatic CTE
     materialization), so the pair ops below would otherwise tokenize the
-    corpus 3-4x; at cluster scale this is the step you'd persist or
-    checkpoint to the shuffle store anyway."""
-    from pyspark import StorageLevel
+    corpus 3-4x. Tracked centrally (caching.py) so long-lived sessions
+    can release the accumulated cache footprint via
+    ``caching.release_caches()``."""
+    from ..caching import persisted
 
-    return df.persist(StorageLevel.MEMORY_AND_DISK)
+    return persisted(df)
 
 
 def _jaccard_pairs(shingles: DataFrame) -> DataFrame:

@@ -222,6 +222,54 @@ ANOMALY_MIN_HOURS = 5
 _VAR_FLOOR = 1e-12
 
 
+def route_delay_stats(hourly_delay: DataFrame) -> DataFrame:
+    """Per-route (n_hours, sum x, sum x²) over the hourly delay rollup —
+    the decimal-exact sufficient statistics the z-score derives from.
+    Shared by the batch operator below and the streaming twin
+    (streaming/pipeline.py::stream_delay_anomaly uses the BATCH stats
+    as the stream-static reference model, the reference's live-alerting
+    shape)."""
+    x = F.col("avg_delay_seconds")
+    return (
+        hourly_delay.filter(x.isNotNull())
+        .groupBy("route_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.sum(x.cast("decimal(28,6)")).cast("double").alias("sx"),
+            F.sum((x * x).cast("decimal(28,6)")).cast("double").alias("sxx"),
+        )
+    )
+
+
+def apply_delay_anomaly(d: DataFrame, stats: DataFrame) -> DataFrame:
+    """Join the (route-sized, broadcast) stats back onto the hourly
+    rollup and keep the |z| >= ANOMALY_Z hours. Works identically on a
+    batch rollup and a streaming one (no batch-only expressions)."""
+    x = F.col("avg_delay_seconds")
+    mean = F.col("sx") / F.col("n_hours")
+    var = F.col("sxx") / F.col("n_hours") - mean * mean
+    # greatest() floor: rows with var <= _VAR_FLOOR are filtered out
+    # anyway, but sqrt must never see a numerically-negative variance
+    # (DuckDB's sqrt raises on negatives; projections may evaluate
+    # before the filter prunes)
+    z = pround((x - mean) / F.sqrt(F.greatest(var, F.lit(_VAR_FLOOR))), 4)
+    return (
+        d.filter(x.isNotNull())
+        .join(F.broadcast(stats), "route_id")
+        .filter(
+            (F.col("n_hours") >= ANOMALY_MIN_HOURS) & (var > _VAR_FLOOR)
+        )
+        .select(
+            "route_id",
+            "hour_ts",
+            "avg_delay_seconds",
+            pround(mean, 4).alias("route_mean_delay"),
+            z.alias("z_score"),
+        )
+        .filter(F.abs(F.col("z_score")) >= ANOMALY_Z)
+    )
+
+
 def delay_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-route anomalous hours: z-score of the hourly average delay
     against the route's own mean/std, keeping |z| >= ANOMALY_Z — the
@@ -239,36 +287,9 @@ def delay_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fact table is never joined to itself."""
     from .hourly import delay_hourly
 
-    d = delay_hourly(spark, sf_dir).filter(
-        F.col("avg_delay_seconds").isNotNull()
-    )
-    x = F.col("avg_delay_seconds")
-    stats = d.groupBy("route_id").agg(
-        F.count(F.lit(1)).alias("n_hours"),
-        F.sum(x.cast("decimal(28,6)")).cast("double").alias("sx"),
-        F.sum((x * x).cast("decimal(28,6)")).cast("double").alias("sxx"),
-    )
-    mean = F.col("sx") / F.col("n_hours")
-    var = F.col("sxx") / F.col("n_hours") - mean * mean
-    # greatest() floor: rows with var <= _VAR_FLOOR are filtered out
-    # anyway, but sqrt must never see a numerically-negative variance
-    # (DuckDB's sqrt raises on negatives; projections may evaluate
-    # before the filter prunes)
-    z = pround((x - mean) / F.sqrt(F.greatest(var, F.lit(_VAR_FLOOR))), 4)
-    return (
-        d.join(F.broadcast(stats), "route_id")
-        .filter(
-            (F.col("n_hours") >= ANOMALY_MIN_HOURS) & (var > _VAR_FLOOR)
-        )
-        .select(
-            "route_id",
-            "hour_ts",
-            "avg_delay_seconds",
-            pround(mean, 4).alias("route_mean_delay"),
-            z.alias("z_score"),
-        )
-        .filter(F.abs(F.col("z_score")) >= ANOMALY_Z)
-        .orderBy("route_id", "hour_ts")
+    d = delay_hourly(spark, sf_dir)
+    return apply_delay_anomaly(d, route_delay_stats(d)).orderBy(
+        "route_id", "hour_ts"
     )
 
 

@@ -47,31 +47,15 @@ from .streaming import pipeline as streaming_pipeline
 
 # Order matters: the driver's correctness gate walks this list in
 # registration order under a wall-time budget (~50 entries/round so
-# far). Round 3: lead with the 13 keys no CORRECTNESS artifact has ever
-# reached (spatial family, tpch_sub q12-q20, relational's running/rank
-# entries, rf_*) plus the modules whose oracles were re-typed this
-# round (alerts, streaming user_sessions, curation
-# source_mixture_weights) so the fixes show up green in the driver
-# artifact; families already double-evidenced (r01+r02) trail.
+# far). Round 4: evidence rotation (round-3 verdict item 7) — every key
+# is green in the union of r01-r03, so the window now re-covers the
+# keys whose newest driver row is OLDEST. The r01 cohort (42 keys:
+# hourly..tpch_ext) leads, then the r02 cohort fills the remainder of
+# the window (sources + textops); the r03-evidenced families trail.
+# Keep any NEW keys directly behind the r01 cohort so they land inside
+# the window on their first round.
 _MODULES = [
-    spatial,  # never reached by the driver in r01/r02
-    tpch_sub,  # q12 (oracle re-cast), q13/q15/q17/q20 never reached
-    relational,  # nation_revenue_running / route_dow_rank_profile unreached
-    demand,  # rf_* rows-only entries, never reached
-    alerts,  # alerts_hourly / kpi_alerts_hourly oracles re-cast to BIGINT
-    streaming_pipeline,  # user_sessions oracle re-cast to BIGINT
-    curation,  # source_mixture_weights oracle re-cast to BIGINT
-    corpus,  # new in round 3: no driver evidence yet
-    timeseries,  # delay_anomaly_hours new in round 3 — keep in window
-    textops,
-    sampling,
-    multimodal,
-    similarity,
-    dedup,
-    sketches,
-    generators,
-    jsonfeed,
-    protofeed,
+    # --- r01 cohort: newest driver evidence is CORRECTNESS_r01 ---
     hourly,
     headway,
     kpi,
@@ -81,6 +65,26 @@ _MODULES = [
     ingest,
     tpch,
     tpch_ext,
+    # --- r02 cohort: newest driver evidence is CORRECTNESS_r02 ---
+    generators,
+    jsonfeed,
+    protofeed,
+    textops,
+    dedup,
+    sampling,
+    similarity,
+    multimodal,
+    sketches,
+    # --- r03 cohort: evidenced by CORRECTNESS_r03 last round ---
+    spatial,
+    tpch_sub,
+    relational,
+    demand,
+    alerts,
+    streaming_pipeline,
+    curation,
+    corpus,
+    timeseries,
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

@@ -149,6 +149,49 @@ def stream_alerts_hourly(
     )
 
 
+def stream_delay_anomaly(
+    spark: SparkSession,
+    events_dir: str,
+    route_stats: DataFrame,
+    watermark: str = WATERMARK,
+) -> DataFrame:
+    """Streaming twin of operators/timeseries.py::delay_anomaly_hours —
+    the live alerting path (reference poller.py:158-188 feeding the
+    ingestor): hourly average delay per route is rolled up as the feed
+    arrives and z-scored against ``route_stats``, the BATCH-computed
+    per-route reference model (timeseries.route_delay_stats output).
+    Hours whose |z| clears ANOMALY_Z surface while the stream runs —
+    the op you'd page on, with the same thresholds and decimal-exact
+    arithmetic as the batch operator.
+
+    Stats as stream-static: the per-route model is a small static
+    relation (route-sized) broadcast onto the windowed aggregate, so
+    the stream never rescans history; refreshing the model is a
+    re-deploy of the static side (or a foreachBatch re-read), exactly
+    how a production anomaly detector separates slow model refresh from
+    fast scoring. State is the windowed aggregation's, bounded by the
+    watermark."""
+    from ..functions.portable import davg
+    from ..operators.timeseries import apply_delay_anomaly
+
+    src = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
+    hourly = (
+        src.filter(F.col("event_type").isNotNull())
+        .withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", "1 hour").alias("win"),
+            F.col("event_type").alias("route_id"),
+        )
+        .agg(davg("value", 4).alias("avg_delay_seconds"))
+        .select(
+            F.col("win.start").alias("hour_ts"),
+            "route_id",
+            "avg_delay_seconds",
+        )
+    )
+    return apply_delay_anomaly(hourly, route_stats)
+
+
 def stream_dedup_events(
     spark: SparkSession, events_dir: str, watermark: str = WATERMARK
 ) -> DataFrame:
@@ -188,6 +231,15 @@ def stream_dedup_incremental(
     dropDuplicates (state grows with distinct content hashes); a feed
     with an ingest timestamp would use dropDuplicatesWithinWatermark
     as stream_dedup_events does.
+
+    Representative choice DIVERGES from the batch twins on purpose:
+    for intra-stream duplicate content this keeps the FIRST-ARRIVING
+    replica (arrival order is nondeterministic under parallel parquet
+    reads), where dedup_exact / dedup_incremental keep the min-doc_id
+    representative — an ingest gate cares that exactly one replica
+    passes, not which, and first-delivery is the only rule a stream
+    can apply without buffering. Exactly-one-survivor-per-hash is
+    asserted by test_stream_dedup_incremental_intra_stream_dups.
     """
     from ..operators.dedup import _norm as _doc_norm
 
@@ -494,7 +546,14 @@ def materialize_hourly(
     foreachBatch gives exactly-once-per-batch semantics via the
     checkpoint; the upsert keys on (route_id, hour_ts) so re-processing
     a batch converges instead of duplicating. Complete-mode output keeps
-    per-hour counts correct when one hour spans micro-batches."""
+    per-hour counts correct when one hour spans micro-batches.
+
+    The served table is hive-partitioned by hour_date (derived from the
+    key hour_ts, so a key can never change partitions) and the upsert is
+    PARTITION-SCOPED: each batch rewrites only the dates its delta
+    touches — O(delta) per batch like the reference ingestor's per-row
+    ON CONFLICT upsert (ingestor.py:71-137), where a full-table rewrite
+    would make the serving loop O(history) per hour at 100 TB."""
     from ..functions.portable import davg
     from ..plans.sinks import upsert_parquet
 
@@ -518,13 +577,16 @@ def materialize_hourly(
     )
 
     def _upsert(batch_df, batch_id: int) -> None:
-        delta = batch_df.withColumn("version", F.lit(batch_id))
+        delta = batch_df.withColumn("version", F.lit(batch_id)).withColumn(
+            "hour_date", F.date_format("hour_ts", "yyyy-MM-dd")
+        )
         upsert_parquet(
             batch_df.sparkSession,
             target_path,
             delta,
             keys=["route_id", "hour_ts"],
             version_col="version",
+            partition_col="hour_date",
         )
 
     q = (

@@ -13,6 +13,9 @@ SF_DIR_MED = "/root/testdata/sf0.01"
 def spark():
     spark = get_spark("tests")
     yield spark
+    from big_data_project_spark.caching import release_caches
+
+    release_caches()
     spark.stop()
 
 

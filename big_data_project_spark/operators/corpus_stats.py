@@ -1,0 +1,308 @@
+"""Round-4 corpus statistics: per-document information metrics and
+corpus-law audits a pretraining pipeline reads before setting filter
+thresholds — token entropy (gibberish/boilerplate signal), robust
+winnowing fingerprints (the MOSS/plagiarism-detection sketch, Schleimer
+et al. SIGMOD'03), the Zipf-law fit of the token frequency curve, and
+the near-dup cluster-size histogram (the C4/RefinedWeb-style dedup
+report).
+
+The reference has no analog (its text hygiene is drop_duplicates —
+gtfs-static-job.py:140-145); these follow public corpus-audit recipes,
+re-expressed as Spark plans.
+
+Scale design:
+- ``doc_token_entropy``: two linear shuffles over the exploded token
+  stream ((doc, tok) aggregate, then per-doc fold) — the dedup_exact
+  shape at token grain. The entropy fold is decimal-exact, so it is
+  accumulation-order independent.
+- ``winnowing_fingerprint``: gram hashing is map-side; the sliding
+  window runs per document (partitioned by doc_id), so state never
+  exceeds one document's grams — embarrassingly parallel at any corpus
+  size.
+- ``zipf_slope``: the regression runs on the top-N vocabulary relation
+  (N = 1000 rows after one corpus-scale token count) — audit-sized,
+  like vocab_coverage.
+- ``dedup_cluster_sizes``: two tiny aggregates over the (output-sized)
+  connected-components labeling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table_spread
+from ..functions.portable import pround, sql_pround
+from . import sampling as _sampling
+from .dedup import _SQL_NORM, _hash60, _norm, _sql_hash60
+
+WINNOW_W = 4  # winnowing window: guarantee ~every 4th gram fingerprinted
+CHECKSUM_P = 1_000_000_007
+ZIPF_TOP_N = 1000
+
+
+def doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each document's token distribution (nats):
+    H = ln(n) - (Σ c·ln c)/n over per-token counts c. Low entropy =
+    repetitive/boilerplate text, near-ln(n_distinct) = no token reuse —
+    the per-doc complement of curation.repetition_score's n-gram view.
+
+    Determinism: the Σ c·ln c fold is decimal-exact (each addend has
+    one double rounding, identical in both engines; the sum is then
+    order-independent)."""
+    docs = load_table_spread(spark, sf_dir, "documents", "doc_id")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(_norm(F.col("text")), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    per = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    clnc = (F.col("cnt") * F.log("cnt")).cast("decimal(28,6)")
+    return (
+        per.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct_tokens"),
+            F.sum(clnc).cast("double").alias("sclnc"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct_tokens",
+            pround(
+                F.log(F.col("n_tokens").cast("double"))
+                - F.col("sclnc") / F.col("n_tokens"),
+                4,
+            ).alias("token_entropy"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03): hash
+    every positional 3-gram word shingle (WITH multiplicity — position
+    matters here, unlike the dedup shingle set), slide a window of
+    WINNOW_W consecutive hashes, keep each window's minimum, and report
+    the per-document distinct fingerprint set as (count, checksum).
+    Guarantees any shared run of WINNOW_W+2 tokens between two
+    documents yields at least one shared fingerprint — the
+    sub-document-overlap sketch MOSS uses for plagiarism detection.
+
+    Documents with fewer than WINNOW_W grams get a single whole-doc
+    window. The checksum is Σ (fp mod P) mod P over DISTINCT
+    fingerprints (distinct BEFORE the mod, so colliding residues still
+    count separately)."""
+    docs = load_table_spread(spark, sf_dir, "documents", "doc_id")
+    toks = F.split(_norm(F.col("text")), " ")
+    n = F.size(toks)
+    g2 = F.zip_with(
+        toks,
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda x, y: F.concat(x, F.lit(" "), y),
+    )
+    g3 = F.filter(
+        F.zip_with(
+            g2,
+            F.slice(toks, 3, F.greatest(n - 2, F.lit(0))),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    grams = docs.select(
+        "doc_id",
+        F.size(g3).alias("n_grams"),
+        F.posexplode(g3).alias("pos", "sh"),
+    ).withColumn("h", _hash60(F.col("sh")))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(0, WINNOW_W - 1)
+    )
+    # full windows start at pos 0..n_grams-WINNOW_W (0-based); a short
+    # doc keeps only pos 0, whose frame spans every gram it has
+    sel = grams.withColumn("fp", F.min("h").over(w)).filter(
+        F.col("pos") <= F.greatest(
+            F.col("n_grams") - WINNOW_W, F.lit(0)
+        )
+    )
+    fps = sel.select("doc_id", "n_grams", "fp").distinct()
+    return (
+        fps.groupBy("doc_id", "n_grams")
+        .agg(
+            F.count(F.lit(1)).alias("n_fingerprints"),
+            (F.sum(F.col("fp") % CHECKSUM_P) % CHECKSUM_P).alias(
+                "fp_checksum"
+            ),
+        )
+        .select("doc_id", "n_grams", "n_fingerprints", "fp_checksum")
+        .orderBy("doc_id")
+    )
+
+
+def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus-health audit: least-squares slope of
+    ln(freq) ~ ln(rank) over the top-N token frequencies. Natural text
+    sits near slope -1 (Zipf's law); a corpus drifting toward 0 is
+    template/boilerplate-heavy, steeper than -1 is vocabulary-starved.
+    Closed-form regression over decimal-exact sums, so the fit is
+    engine-identical; the regression relation is N rows (audit-sized),
+    produced by one corpus-scale token count."""
+    docs = load_table_spread(spark, sf_dir, "documents", "doc_id")
+    toks = docs.select(
+        F.explode(F.split(_norm(F.col("text")), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    ranked = (
+        counts.withColumn(
+            "rnk", F.row_number().over(Window.orderBy(F.desc("n"), "tok"))
+        )
+        .filter(F.col("rnk") <= ZIPF_TOP_N)
+        .select(
+            F.log(F.col("rnk").cast("double")).alias("x"),
+            F.log(F.col("n").cast("double")).alias("y"),
+        )
+    )
+    def dec(c):
+        return F.sum(c.cast("decimal(28,6)")).cast("double")
+
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        dec(F.col("x")).alias("sx"),
+        dec(F.col("y")).alias("sy"),
+        dec(F.col("x") * F.col("x")).alias("sxx"),
+        dec(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    slope = (
+        F.col("n_terms") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ) / (F.col("n_terms") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    return agg.select(
+        "n_terms",
+        pround(slope, 6).alias("zipf_slope"),
+        pround(
+            (F.col("sy") - slope * F.col("sx")) / F.col("n_terms"), 6
+        ).alias("intercept"),
+    )
+
+
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of near-duplicate cluster sizes — the dedup report a
+    curation run publishes (how much of the corpus sits in 2-doc
+    mirrors vs mass-duplicated boilerplate). Two aggregates over the
+    output-sized connected-components labeling."""
+    clusters = _sampling.dedup_clusters(spark, sf_dir)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
+
+
+QUERIES = {
+    "doc_token_entropy": doc_token_entropy,
+    "winnowing_fingerprint": winnowing_fingerprint,
+    "zipf_slope": zipf_slope,
+    "dedup_cluster_sizes": dedup_cluster_sizes,
+}
+
+_SQL_DOC_TOKENS = f"""
+    SELECT doc_id, tok
+    FROM (SELECT doc_id,
+                 unnest(string_split({_SQL_NORM}, ' ')) AS tok
+          FROM documents) t
+    WHERE tok != ''
+"""
+
+ORACLES = {
+    "doc_token_entropy": f"""
+        WITH t AS ({_SQL_DOC_TOKENS}),
+        per AS (
+          SELECT doc_id, tok, count(*) AS cnt
+          FROM t GROUP BY doc_id, tok
+        )
+        SELECT doc_id,
+               CAST(sum(cnt) AS BIGINT) AS n_tokens,
+               count(*) AS n_distinct_tokens,
+               {sql_pround(
+                   'ln((sum(cnt))::DOUBLE) - '
+                   '(sum((cnt * ln(cnt))::DECIMAL(28,6)))::DOUBLE '
+                   '/ sum(cnt)', 4)} AS token_entropy
+        FROM per GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+    "winnowing_fingerprint": f"""
+        WITH g0 AS (
+          SELECT doc_id, toks, len(toks) - 2 AS n_grams,
+                 unnest(range(1, len(toks) - 1)) AS i
+          FROM (SELECT doc_id, string_split({_SQL_NORM}, ' ') AS toks
+                FROM documents) d
+          WHERE len(toks) >= 3
+        ),
+        g AS (
+          SELECT doc_id, n_grams, i - 1 AS pos,
+                 {_sql_hash60(
+                     "toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]")} AS h
+          FROM g0
+        ),
+        sel AS (
+          SELECT doc_id, n_grams,
+                 min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN CURRENT ROW
+                              AND {WINNOW_W - 1} FOLLOWING) AS fp
+          FROM g
+          QUALIFY pos <= greatest(n_grams - {WINNOW_W}, 0)
+        ),
+        fps AS (SELECT DISTINCT doc_id, n_grams, fp FROM sel)
+        SELECT doc_id, n_grams,
+               count(*) AS n_fingerprints,
+               CAST(sum(fp % {CHECKSUM_P}) % {CHECKSUM_P} AS BIGINT)
+                 AS fp_checksum
+        FROM fps GROUP BY doc_id, n_grams
+        ORDER BY doc_id
+    """,
+    "zipf_slope": f"""
+        WITH counts AS (
+          SELECT tok, count(*) AS n
+          FROM (SELECT
+                  unnest(string_split({_SQL_NORM}, ' ')) AS tok
+                FROM documents) t
+          WHERE tok != ''
+          GROUP BY tok
+        ),
+        xy AS (
+          SELECT ln(rnk::DOUBLE) AS x, ln(n::DOUBLE) AS y
+          FROM (SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS rnk
+                FROM counts) r
+          WHERE rnk <= {ZIPF_TOP_N}
+        ),
+        s AS (
+          SELECT count(*) AS n_terms,
+                 (sum((x)::DECIMAL(28,6)))::DOUBLE AS sx,
+                 (sum((y)::DECIMAL(28,6)))::DOUBLE AS sy,
+                 (sum((x * x)::DECIMAL(28,6)))::DOUBLE AS sxx,
+                 (sum((x * y)::DECIMAL(28,6)))::DOUBLE AS sxy
+          FROM xy
+        )
+        SELECT n_terms,
+               {sql_pround(
+                   '(n_terms * sxy - sx * sy) '
+                   '/ (n_terms * sxx - sx * sx)', 6)} AS zipf_slope,
+               {sql_pround(
+                   '(sy - ((n_terms * sxy - sx * sy) '
+                   '/ (n_terms * sxx - sx * sx)) * sx) / n_terms',
+                   6)} AS intercept
+        FROM s
+    """,
+    "dedup_cluster_sizes": f"""
+        SELECT cluster_size, count(*) AS n_clusters
+        FROM (
+          SELECT cluster_id, count(*) AS cluster_size
+          FROM ({_sampling.ORACLES["dedup_clusters"]}) c
+          GROUP BY cluster_id
+        ) s
+        GROUP BY cluster_size
+        ORDER BY cluster_size
+    """,
+}

@@ -1,0 +1,189 @@
+"""Round-4 trend diagnostics over the hourly rollups: CUSUM
+change-point detection on delay (did this route's delay regime SHIFT,
+vs delay_anomaly_hours' which single hours spiked) and headway
+regularity (coefficient of variation of service gaps — the
+schedule-adherence metric transit agencies publish).
+
+Parity: the reference's alerting reads the hourly views and flags
+threshold crossings (poller.py:158-188 feeding service_alerts;
+kpi_views.sql hourly rollups); these are the two standard next steps a
+monitoring stack layers on the same rollups, re-expressed as Spark
+plans over the shared delay_hourly / headway_hourly tiers.
+
+Scale: both run entirely on the (route × hour)-sized rollup relations —
+one corpus-scale shuffle inherited from the underlying rollup, then
+route-partitioned windows / route-sized aggregates. The fact table is
+never re-scanned or self-joined.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.portable import pround, sql_pround
+from .headway import SQL_HEADWAY, headway_hourly
+from .hourly import SQL_DELAY, delay_hourly
+
+CUSUM_MIN_HOURS = 5
+REGULAR_MIN_HOURS = 5
+_VAR_FLOOR = 1e-12
+
+
+def delay_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-route CUSUM change-point: cumulative sum of
+    (hourly delay − route mean) over the hour sequence; the hour where
+    |CUSUM| peaks is the most likely regime-shift point (Page's
+    cumulative-sum test, the standard sequential change detector).
+    Routes with a real shift show a large peak; flat routes hover near
+    zero.
+
+    Determinism: the route mean comes from a decimal-exact fold rounded
+    to 6 dp, deviations are then ≤6-dp doubles accumulated as
+    DECIMAL(28,6) over the SAME (hour-ordered) sequence in both
+    engines; the peak is picked on the ROUNDED |CUSUM| with the hour as
+    tie-break, so the argmax is engine-portable."""
+    d = delay_hourly(spark, sf_dir).filter(
+        F.col("avg_delay_seconds").isNotNull()
+    )
+    x = F.col("avg_delay_seconds")
+    stats = d.groupBy("route_id").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        pround(
+            F.sum(x.cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("route_mean"),
+    )
+    wseq = (
+        Window.partitionBy("route_id")
+        .orderBy("hour_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cusum = (
+        F.sum((x - F.col("route_mean")).cast("decimal(28,6)"))
+        .over(wseq)
+        .cast("double")
+    )
+    scored = (
+        d.join(F.broadcast(stats), "route_id")
+        .filter(F.col("n_hours") >= CUSUM_MIN_HOURS)
+        .withColumn("cusum", cusum)
+        .withColumn("abs_cusum", pround(F.abs(F.col("cusum")), 6))
+    )
+    wpick = Window.partitionBy("route_id").orderBy(
+        F.desc("abs_cusum"), F.col("hour_ts")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(wpick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "route_id",
+            F.col("hour_ts").alias("changepoint_hour"),
+            pround("cusum", 4).alias("cusum_peak"),
+            "route_mean",
+            "n_hours",
+        )
+        .orderBy("route_id")
+    )
+
+
+def headway_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-route headway regularity: coefficient of variation
+    (std/mean) of the hourly average headway — the industry
+    wait-time-reliability metric (CV < 0.3 ≈ regular service, > 0.75 ≈
+    effectively unscheduled). Decimal-exact folds as in
+    delay_anomaly_hours; routes need REGULAR_MIN_HOURS observed hours
+    and a positive mean."""
+    h = headway_hourly(spark, sf_dir).filter(
+        F.col("avg_headway_min").isNotNull()
+    )
+    x = F.col("avg_headway_min")
+    agg = h.groupBy("route_id").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum(x.cast("decimal(28,6)")).cast("double").alias("sx"),
+        F.sum((x * x).cast("decimal(28,6)")).cast("double").alias("sxx"),
+    )
+    mean = F.col("sx") / F.col("n_hours")
+    var = F.col("sxx") / F.col("n_hours") - mean * mean
+    std = F.sqrt(F.greatest(var, F.lit(_VAR_FLOOR)))
+    return (
+        agg.filter(
+            (F.col("n_hours") >= REGULAR_MIN_HOURS) & (mean > 0)
+        )
+        .select(
+            "route_id",
+            "n_hours",
+            pround(mean, 4).alias("mean_headway_min"),
+            pround(std, 4).alias("std_headway_min"),
+            pround(std / mean, 4).alias("cv_headway"),
+        )
+        .orderBy("route_id")
+    )
+
+
+QUERIES = {
+    "delay_cusum_changepoint": delay_cusum_changepoint,
+    "headway_regularity": headway_regularity,
+}
+
+ORACLES = {
+    "delay_cusum_changepoint": f"""
+        WITH d AS (
+          SELECT * FROM ({SQL_DELAY}) t WHERE avg_delay_seconds IS NOT NULL
+        ),
+        s AS (
+          SELECT route_id, count(*) AS n_hours,
+                 {sql_pround(
+                     '(sum((avg_delay_seconds)::DECIMAL(28,6)))::DOUBLE '
+                     '/ count(*)', 6)} AS route_mean
+          FROM d GROUP BY route_id
+        ),
+        c AS (
+          SELECT d.route_id, hour_ts, route_mean, n_hours,
+                 (sum(((avg_delay_seconds - route_mean))::DECIMAL(28,6))
+                    OVER (PARTITION BY d.route_id ORDER BY hour_ts
+                          ROWS UNBOUNDED PRECEDING))::DOUBLE AS cusum
+          FROM d JOIN s USING (route_id)
+          WHERE n_hours >= {CUSUM_MIN_HOURS}
+        ),
+        picked AS (
+          SELECT route_id, hour_ts, cusum, route_mean, n_hours,
+                 row_number() OVER (
+                   PARTITION BY route_id
+                   ORDER BY {sql_pround('abs(cusum)', 6)} DESC, hour_ts
+                 ) AS rn
+          FROM c
+        )
+        SELECT route_id, hour_ts AS changepoint_hour,
+               {sql_pround('cusum', 4)} AS cusum_peak,
+               route_mean, n_hours
+        FROM picked WHERE rn = 1
+        ORDER BY route_id
+    """,
+    "headway_regularity": f"""
+        WITH h AS (
+          SELECT * FROM ({SQL_HEADWAY}) t WHERE avg_headway_min IS NOT NULL
+        ),
+        s AS (
+          SELECT route_id, count(*) AS n_hours,
+                 (sum((avg_headway_min)::DECIMAL(28,6)))::DOUBLE AS sx,
+                 (sum((avg_headway_min * avg_headway_min)
+                      ::DECIMAL(28,6)))::DOUBLE AS sxx
+          FROM h GROUP BY route_id
+        )
+        SELECT route_id, n_hours,
+               {sql_pround('sx / n_hours', 4)} AS mean_headway_min,
+               {sql_pround(
+                   'sqrt(greatest(sxx / n_hours '
+                   f'- (sx / n_hours) * (sx / n_hours), {_VAR_FLOOR}))',
+                   4)} AS std_headway_min,
+               {sql_pround(
+                   'sqrt(greatest(sxx / n_hours '
+                   f'- (sx / n_hours) * (sx / n_hours), {_VAR_FLOOR})) '
+                   '/ (sx / n_hours)', 4)} AS cv_headway
+        FROM s
+        WHERE n_hours >= {REGULAR_MIN_HOURS} AND sx / n_hours > 0
+        ORDER BY route_id
+    """,
+}

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from .operators import (
     alerts,
     corpus,
+    corpus_stats,
     curation,
     dedup,
     geo,
@@ -39,6 +40,7 @@ from .operators import (
     tpch,
     tpch_ext,
     tpch_sub,
+    trend,
     validation,
 )
 from .ml import demand
@@ -65,6 +67,9 @@ _MODULES = [
     ingest,
     tpch,
     tpch_ext,
+    # --- NEW in round 4: must land inside the window on first round ---
+    corpus_stats,
+    trend,
     # --- r02 cohort: newest driver evidence is CORRECTNESS_r02 ---
     generators,
     jsonfeed,

@@ -91,7 +91,16 @@ def winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     Documents with fewer than WINNOW_W grams get a single whole-doc
     window. The checksum is Σ (fp mod P) mod P over DISTINCT
     fingerprints (distinct BEFORE the mod, so colliding residues still
-    count separately)."""
+    count separately).
+
+    Plan: ENTIRELY map-side — grams, hashes, sliding-window minima,
+    distinct, count, and checksum are all array expressions inside one
+    projection; the only exchange in the whole query is the output
+    sort. (The window-function formulation — posexplode + min OVER
+    (PARTITION BY doc ORDER BY pos) — computes the same thing but
+    shuffles and sorts the entire gram stream; per-doc state never
+    needs to leave the scan task. The oracle keeps the window form,
+    which is the readable spec.)"""
     docs = load_table_spread(spark, sf_dir, "documents", "doc_id")
     toks = F.split(_norm(F.col("text")), " ")
     n = F.size(toks)
@@ -108,33 +117,34 @@ def winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         lambda x: x.isNotNull(),
     )
-    grams = docs.select(
+    hashed = docs.select(
         "doc_id",
+        F.transform(g3, _hash60).alias("hs"),
         F.size(g3).alias("n_grams"),
-        F.posexplode(g3).alias("pos", "sh"),
-    ).withColumn("h", _hash60(F.col("sh")))
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(0, WINNOW_W - 1)
+    ).filter(F.col("n_grams") >= 1)
+    # window starts: 1-based slice positions 1..n_grams-W+1 (a short doc
+    # gets the single window 1, whose slice is truncated to what exists)
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.col("n_grams") - WINNOW_W + 1, F.lit(1))
     )
-    # full windows start at pos 0..n_grams-WINNOW_W (0-based); a short
-    # doc keeps only pos 0, whose frame spans every gram it has
-    sel = grams.withColumn("fp", F.min("h").over(w)).filter(
-        F.col("pos") <= F.greatest(
-            F.col("n_grams") - WINNOW_W, F.lit(0)
+    fps = F.array_distinct(
+        F.transform(
+            starts,
+            lambda i: F.array_min(F.slice(F.col("hs"), i, WINNOW_W)),
         )
     )
-    fps = sel.select("doc_id", "n_grams", "fp").distinct()
+    checksum = F.aggregate(
+        fps,
+        F.lit(0).cast("long"),
+        lambda acc, fp: (acc + fp % CHECKSUM_P) % CHECKSUM_P,
+    )
     return (
-        fps.groupBy("doc_id", "n_grams")
-        .agg(
-            F.count(F.lit(1)).alias("n_fingerprints"),
-            (F.sum(F.col("fp") % CHECKSUM_P) % CHECKSUM_P).alias(
-                "fp_checksum"
-            ),
+        hashed.select(
+            "doc_id",
+            "n_grams",
+            F.size(fps).alias("n_fingerprints"),
+            checksum.alias("fp_checksum"),
         )
-        .select("doc_id", "n_grams", "n_fingerprints", "fp_checksum")
         .orderBy("doc_id")
     )
 

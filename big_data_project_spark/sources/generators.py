@@ -181,7 +181,21 @@ def passenger_flow_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("hourly_passengers"),
     )
 
-    buckets = demand.select(
+    # Repartition the (stop-sized, small) demand relation on stop_id
+    # BEFORE the 100x bucket explode. Without this, AQE coalesces the
+    # tiny stops aggregate to ONE partition (20k rows is far under the
+    # 64 MB advisory size) and the whole downstream — bucket explode,
+    # two md5s per bucket, the per-stop normalization window — runs as
+    # a single task: AQE sizes the exchange on its INPUT bytes and
+    # cannot see the 100x expansion behind the Generate. The explicit
+    # count makes the exchange non-coalescible, and a count distinct
+    # from spark.sql.shuffle.partitions keeps EnsureRequirements from
+    # eliminating it as redundant with the aggregate's own exchange;
+    # hashpartitioning(stop_id, 2N) still satisfies the window's
+    # required distribution, so the exploded stream itself (stops x 100
+    # rows) never shuffles.
+    n_parts = 2 * spark.sparkContext.defaultParallelism
+    buckets = demand.repartition(n_parts, F.col("stop_id")).select(
         "stop_id",
         "h",
         "hourly_passengers",

@@ -136,3 +136,72 @@ def test_tfidf_terms_scale_invariant(spark, scaled_docs_dir):
         for r in corpus.tfidf_top_terms(spark, scaled_docs_dir).collect()
     }
     assert base == scaled
+
+
+def test_token_entropy_scale_invariant(spark, scaled_docs_dir):
+    """Entropy is a per-doc content statistic: every replica scores
+    exactly its original's value."""
+    from big_data_project_spark.operators import corpus_stats
+
+    base = {
+        r["doc_id"]: (
+            r["n_tokens"], r["n_distinct_tokens"], r["token_entropy"]
+        )
+        for r in corpus_stats.doc_token_entropy(spark, SF_DIR).collect()
+    }
+    scaled = corpus_stats.doc_token_entropy(spark, scaled_docs_dir).collect()
+    assert len(scaled) == SCALE * len(base)
+    for r in scaled:
+        assert (
+            r["n_tokens"], r["n_distinct_tokens"], r["token_entropy"]
+        ) == base[r["doc_id"] // SCALE]
+
+
+def test_winnowing_scale_invariant(spark, scaled_docs_dir):
+    from big_data_project_spark.operators import corpus_stats
+
+    base = {
+        r["doc_id"]: (r["n_grams"], r["n_fingerprints"], r["fp_checksum"])
+        for r in corpus_stats.winnowing_fingerprint(spark, SF_DIR).collect()
+    }
+    scaled = corpus_stats.winnowing_fingerprint(
+        spark, scaled_docs_dir
+    ).collect()
+    assert len(scaled) == SCALE * len(base)
+    for r in scaled:
+        assert (
+            r["n_grams"], r["n_fingerprints"], r["fp_checksum"]
+        ) == base[r["doc_id"] // SCALE]
+
+
+def test_zipf_slope_scale_invariant(spark, scaled_docs_dir):
+    """k-fold replication multiplies every token count by k: ranks are
+    unchanged, ln(freq) shifts by ln k — the slope is invariant and the
+    intercept shifts by exactly ln k."""
+    import math
+
+    from big_data_project_spark.operators import corpus_stats
+
+    b = corpus_stats.zipf_slope(spark, SF_DIR).collect()[0]
+    s = corpus_stats.zipf_slope(spark, scaled_docs_dir).collect()[0]
+    assert s["n_terms"] == b["n_terms"]
+    assert s["zipf_slope"] == pytest.approx(b["zipf_slope"], abs=2e-6)
+    assert s["intercept"] - b["intercept"] == pytest.approx(
+        math.log(SCALE), abs=1e-5
+    )
+
+
+def test_cusum_changepoint_scale_invariant(spark, scaled_dir):
+    """Per-(route,hour) averages are invariant under replication, so
+    the whole CUSUM trajectory — and the change-point — is identical."""
+    from big_data_project_spark.operators import trend
+
+    base = {
+        r["route_id"]: (str(r["changepoint_hour"]), r["cusum_peak"])
+        for r in trend.delay_cusum_changepoint(spark, SF_DIR).collect()
+    }
+    scaled = {
+        r["route_id"]: (str(r["changepoint_hour"]), r["cusum_peak"])
+        for r in trend.delay_cusum_changepoint(spark, scaled_dir).collect()
+    }
+    assert base == scaled

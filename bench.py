@@ -53,6 +53,10 @@ R4_HEADLINE = [
     # round-4: first streaming-path key (availableNow end-to-end drain;
     # not a registry query — resolved via _EXTRA below)
     "stream_events_hourly",
+    # round-4 additions whose plans were tuned this round: the map-side
+    # winnowing sketch and the repartition-pinned flow simulator
+    "winnowing_fingerprint",
+    "passenger_flow_sim",
 ]
 HEADLINE = R2_HEADLINE + R3_HEADLINE + R4_HEADLINE
 _R2_KEYS = frozenset(R2_HEADLINE)

@@ -42,6 +42,11 @@ ANALYTICS_VIEWS = (
     "alerts_hourly",
     "alerts_latest_per_type",
     "kpi_alerts_hourly",
+    # round-4 monitoring tier over the same rollups (the views an
+    # operations dashboard would read next to kpi_hourly)
+    "delay_anomaly_hours",
+    "delay_cusum_changepoint",
+    "headway_regularity",
 )
 
 

@@ -319,6 +319,12 @@ def test_sql_view_surface(spark):
     ).head()["n"]
     assert joined > 0
     assert spark.sql("SELECT * FROM alerts_latest_per_type").count() > 0
+    # round-4 monitoring tier: the anomaly/trend views read by name
+    assert spark.sql("SELECT * FROM delay_anomaly_hours").count() > 0
+    assert spark.sql(
+        """SELECT count(*) AS n FROM delay_cusum_changepoint c
+           JOIN headway_regularity h USING (route_id)"""
+    ).head()["n"] > 0
 
 
 def test_stream_interval_join(spark, tmp_path):

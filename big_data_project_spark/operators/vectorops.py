@@ -1,0 +1,201 @@
+"""Round-4 vector-infrastructure audits over the embeddings table:
+int8 quantization error (the memory-4x step every large-scale ANN
+deployment applies before sharding an index) and per-dimension corpus
+statistics (dead/degenerate dimension detection before choosing an
+index or a projection).
+
+The reference has no vector surface (its feature space is the demand
+model's, src/ml/train_predict.py); these extend the similarity family
+(operators/similarity.py) with the operational checks run before
+serving vectors at 100 TB.
+
+Scale design:
+- ``embedding_quantize_audit`` is pure map-side array math (transform /
+  fold inside one projection) — embarrassingly parallel, no shuffle
+  except the output sort.
+- ``embedding_dim_stats`` explodes to (dim_idx, value) and aggregates
+  once on dim_idx — a single corpus-scale shuffle whose output is
+  dimension-sized (64 rows here, a few thousand anywhere), with
+  decimal-exact folds so the stats are engine- and order-identical.
+
+Portability: quantization rounds with the floor(x + 0.5) form (Spark
+round() is HALF_UP, DuckDB's is half-to-even — they disagree exactly on
+the .5 grid a quantizer lands on); per-element double arithmetic and
+left-to-right array folds are bit-identical across engines (same
+precedent as similarity._dot).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.portable import pround, sql_pround
+
+QBITS_MAX = 127  # symmetric int8: q in [-127, 127]
+_EPS = 1e-12  # zero-vector guard: scale never divides by zero
+
+
+def _fold_sum(arr: Column) -> Column:
+    return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def embedding_quantize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization audit: scale =
+    max|x|/127, q_i = clamp(floor(x_i/scale + 0.5)), reconstruction
+    x'_i = q_i * scale; reports the scale, reconstruction RMSE, worst
+    per-dimension error, and the cosine between original and
+    reconstruction — the numbers that decide whether an index can serve
+    int8 (cos ~0.999+) or must stay float."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    max_abs = F.array_max(F.transform(e, lambda x: F.abs(x)))
+    scale = F.greatest(max_abs, F.lit(_EPS)) / F.lit(float(QBITS_MAX))
+
+    def recon(x: Column) -> Column:
+        """Dequantized value of one element (clamp∘round∘scale)."""
+        return (
+            F.greatest(
+                F.lit(-float(QBITS_MAX)),
+                F.least(
+                    F.lit(float(QBITS_MAX)),
+                    F.floor(x / scale + F.lit(0.5)).cast("double"),
+                ),
+            )
+            * scale
+        )
+
+    sq_err = _fold_sum(
+        F.transform(e, lambda x: (x - recon(x)) * (x - recon(x)))
+    )
+    max_err = F.array_max(F.transform(e, lambda x: F.abs(x - recon(x))))
+    dot = _fold_sum(F.transform(e, lambda x: x * recon(x)))
+    norm_e = F.sqrt(_fold_sum(F.transform(e, lambda x: x * x)))
+    norm_r = F.sqrt(
+        _fold_sum(F.transform(e, lambda x: recon(x) * recon(x)))
+    )
+    return (
+        emb.select(
+            "vec_id",
+            F.size(e).alias("dim"),
+            pround(scale, 9).alias("scale"),
+            pround(F.sqrt(sq_err / F.size(e)), 9).alias("rmse"),
+            pround(max_err, 9).alias("max_abs_err"),
+            pround(
+                dot / F.greatest(norm_e * norm_r, F.lit(_EPS)), 6
+            ).alias("cos_recon"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension corpus statistics: n, mean, min, max, std for every
+    embedding dimension — the audit that catches dead (zero-variance)
+    or runaway dimensions before an index/projection choice. One
+    shuffle on dim_idx; decimal-exact mean/variance folds."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim_idx", "x"
+        )
+    )
+    x = F.col("x")
+    agg = exploded.groupBy("dim_idx").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum(x.cast("decimal(28,6)")).cast("double").alias("sx"),
+        F.sum((x * x).cast("decimal(28,6)")).cast("double").alias("sxx"),
+        pround(F.min(x), 6).alias("min_val"),
+        pround(F.max(x), 6).alias("max_val"),
+    )
+    mean = F.col("sx") / F.col("n_vectors")
+    var = F.col("sxx") / F.col("n_vectors") - mean * mean
+    return (
+        agg.select(
+            "dim_idx",
+            "n_vectors",
+            pround(mean, 6).alias("mean_val"),
+            "min_val",
+            "max_val",
+            pround(F.sqrt(F.greatest(var, F.lit(0.0))), 6).alias(
+                "std_val"
+            ),
+        )
+        .orderBy("dim_idx")
+    )
+
+
+QUERIES = {
+    "embedding_quantize_audit": embedding_quantize_audit,
+    "embedding_dim_stats": embedding_dim_stats,
+}
+
+_SQL_E = "list_transform(embedding, x -> x::DOUBLE)"
+
+# dequantized element (clamp . round-half-up . scale) — inlined per use
+# so the lambda only captures e's element and the scale column
+_SQL_RECON = (
+    f"(greatest(-{float(QBITS_MAX)}, least({float(QBITS_MAX)}, "
+    "floor(x / scale + 0.5))) * scale)"
+)
+
+ORACLES = {
+    "embedding_quantize_audit": f"""
+        WITH base AS (
+          SELECT vec_id, {_SQL_E} AS e,
+                 greatest(
+                   list_max(list_transform({_SQL_E}, x -> abs(x))),
+                   {_EPS}
+                 ) / {float(QBITS_MAX)} AS scale
+          FROM embeddings
+        ),
+        m AS (
+          SELECT vec_id, len(e) AS dim, scale,
+                 list_sum(list_transform(e,
+                   x -> (x - {_SQL_RECON}) * (x - {_SQL_RECON})))
+                   AS sq_err,
+                 list_max(list_transform(e,
+                   x -> abs(x - {_SQL_RECON}))) AS max_err,
+                 list_sum(list_transform(e,
+                   x -> x * {_SQL_RECON})) AS dot,
+                 sqrt(list_sum(list_transform(e, x -> x * x))) AS norm_e,
+                 sqrt(list_sum(list_transform(e,
+                   x -> {_SQL_RECON} * {_SQL_RECON}))) AS norm_r
+          FROM base
+        )
+        SELECT vec_id, dim,
+               {sql_pround('scale', 9)} AS scale,
+               {sql_pround('sqrt(sq_err / dim)', 9)} AS rmse,
+               {sql_pround('max_err', 9)} AS max_abs_err,
+               {sql_pround(
+                   'dot / greatest(norm_e * norm_r, ' + str(_EPS) + ')',
+                   6)} AS cos_recon
+        FROM m
+        ORDER BY vec_id
+    """,
+    "embedding_dim_stats": f"""
+        WITH x AS (
+          SELECT unnest(range(0, len(embedding))) AS dim_idx,
+                 unnest({_SQL_E}) AS x
+          FROM embeddings
+        ),
+        s AS (
+          SELECT dim_idx, count(*) AS n_vectors,
+                 (sum((x)::DECIMAL(28,6)))::DOUBLE AS sx,
+                 (sum((x * x)::DECIMAL(28,6)))::DOUBLE AS sxx,
+                 {sql_pround('min(x)', 6)} AS min_val,
+                 {sql_pround('max(x)', 6)} AS max_val
+          FROM x GROUP BY dim_idx
+        )
+        SELECT dim_idx, n_vectors,
+               {sql_pround('sx / n_vectors', 6)} AS mean_val,
+               min_val, max_val,
+               {sql_pround(
+                   'sqrt(greatest(sxx / n_vectors '
+                   '- (sx / n_vectors) * (sx / n_vectors), 0.0))',
+                   6)} AS std_val
+        FROM s
+        ORDER BY dim_idx
+    """,
+}

@@ -42,6 +42,7 @@ from .operators import (
     tpch_sub,
     trend,
     validation,
+    vectorops,
 )
 from .ml import demand
 from .sources import generators, jsonfeed, protofeed
@@ -70,6 +71,7 @@ _MODULES = [
     # --- NEW in round 4: must land inside the window on first round ---
     corpus_stats,
     trend,
+    vectorops,
     # --- r02 cohort: newest driver evidence is CORRECTNESS_r02 ---
     generators,
     jsonfeed,

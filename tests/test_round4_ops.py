@@ -424,3 +424,33 @@ def test_headway_regularity_bounds(spark):
             r["cv_headway"]
             - round(r["std_headway_min"] / r["mean_headway_min"], 2)
         ) < 0.05  # cv consistent with its own components
+
+
+def test_quantize_audit_error_bounds(spark):
+    """Symmetric int8 round-to-nearest: every per-dimension error is
+    bounded by scale/2, so rmse <= max_abs_err <= scale/2 (+rounding),
+    and 64-dim reconstructions stay near-parallel to the original."""
+    from big_data_project_spark.operators import vectorops
+
+    rows = vectorops.embedding_quantize_audit(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        half = r["scale"] / 2 + 1e-9
+        assert 0 <= r["rmse"] <= r["max_abs_err"] + 1e-9
+        assert r["max_abs_err"] <= half
+        assert r["cos_recon"] >= 0.999  # int8 keeps direction
+        assert r["dim"] == 64
+
+
+def test_embedding_dim_stats_consistent(spark):
+    from big_data_project_spark.catalog import load_table
+    from big_data_project_spark.operators import vectorops
+
+    rows = vectorops.embedding_dim_stats(spark, SF_DIR).collect()
+    n_vec = load_table(spark, SF_DIR, "embeddings").count()
+    assert len(rows) == 64
+    assert sorted(r["dim_idx"] for r in rows) == list(range(64))
+    for r in rows:
+        assert r["n_vectors"] == n_vec
+        assert r["min_val"] <= r["mean_val"] <= r["max_val"]
+        assert r["std_val"] >= 0

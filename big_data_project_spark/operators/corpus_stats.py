@@ -162,11 +162,15 @@ def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(_norm(F.col("text")), " ")).alias("tok")
     ).filter(F.col("tok") != "")
     counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    # Distributed top-k, NOT a whole-vocabulary rank window: orderBy +
+    # limit compiles to TakeOrderedAndProject (per-partition heaps, no
+    # single-partition sort of the full vocabulary); the row_number
+    # that assigns ranks then runs on the 1000-row result only.
+    top = counts.orderBy(F.desc("n"), "tok").limit(ZIPF_TOP_N)
     ranked = (
-        counts.withColumn(
+        top.withColumn(
             "rnk", F.row_number().over(Window.orderBy(F.desc("n"), "tok"))
         )
-        .filter(F.col("rnk") <= ZIPF_TOP_N)
         .select(
             F.log(F.col("rnk").cast("double")).alias("x"),
             F.log(F.col("n").cast("double")).alias("y"),

@@ -1,0 +1,391 @@
+"""User-behavior analytics over the ``events`` stream: ordered funnel
+conversion, cohort retention, DAU/WAU engagement, event-transition
+matrix, and conversion-lag profiling.
+
+Parity: the reference's product surface reads per-user event rollups
+(reference kpi_views.sql hourly views + the sessionized usage feed the
+frontend charts); funnel / retention / stickiness are the standard
+product-analytics layer built on exactly that event stream. The event
+taxonomy here is the driver's own (view / click / purchase / signup /
+error, TESTDATA.md), so stages are view -> click -> purchase with
+strict event-time ordering per user.
+
+Scale design:
+- The per-user funnel is ONE exchange: all three stage timestamps are
+  chained window-mins over the same ``user_id`` hash partitioning, so
+  Catalyst plans a single shuffle + sort reused by every Window node
+  and the follow-up per-user aggregate.
+- Retention and DAU/WAU run on the deduplicated (user, day) relation —
+  corpus-scale input collapses to |users| x |active days| before any
+  join. The day spine is days-sized and broadcast; the rolling-WAU
+  range join fans out at most 7x the user-day relation.
+- The transition matrix is a lead() window over the same user_id
+  partitioning plus one |event_types|^2-sized aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..caching import persisted
+from ..catalog import load_table
+from ..functions.portable import davg, pround, sql_davg, sql_pround
+
+# Ordered funnel stages over the driver taxonomy. Strict ordering:
+# a click only counts after the user's FIRST view; a purchase only
+# after that first qualifying click (classic strict-funnel semantics).
+STAGE_NAMES = {1: "view", 2: "click_after_view", 3: "purchase_after_click"}
+WAU_DAYS = 7  # rolling window width for the stickiness ratio
+
+
+def _user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per user with the three stage-entry timestamps
+    (fv / fc / fp, each nullable). Single exchange on user_id: the
+    three window-mins and the final per-user aggregate all reuse the
+    same hash partitioning."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    w = Window.partitionBy("user_id")
+    t = F.col("event_type")
+    per = (
+        ev.withColumn(
+            "fv", F.min(F.when(t == "view", F.col("ts"))).over(w)
+        )
+        .withColumn(
+            "fc",
+            F.min(
+                F.when(
+                    (t == "click") & (F.col("ts") > F.col("fv")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "fp",
+            F.min(
+                F.when(
+                    (t == "purchase") & (F.col("ts") > F.col("fc")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    # fv/fc/fp are constant per user; max() collapses to one row per
+    # user without a new exchange (partitioning on user_id preserved).
+    return per.groupBy("user_id").agg(
+        F.max("fv").alias("fv"),
+        F.max("fc").alias("fc"),
+        F.max("fp").alias("fp"),
+    )
+
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order funnel: users reaching each stage (cumulative),
+    as a fraction of stage-1 entrants. Three rows, always all three
+    stages (spine left-join), so the output shape is input-invariant.
+    """
+    per = _user_funnel(spark, sf_dir)
+    stage = (
+        F.when(F.col("fp").isNotNull(), 3)
+        .when(F.col("fc").isNotNull(), 2)
+        .when(F.col("fv").isNotNull(), 1)
+        .otherwise(0)
+    )
+    counts = (
+        per.select(stage.alias("stage"))
+        .filter(F.col("stage") >= 1)
+        .groupBy("stage")
+        .agg(F.count(F.lit(1)).alias("n_at_stage"))
+    )
+    spine = spark.createDataFrame(
+        [(k, v) for k, v in STAGE_NAMES.items()], "stage INT, stage_name STRING"
+    )
+    wcum = (
+        Window.orderBy(F.desc("stage"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        spine.join(counts, "stage", "left")
+        .withColumn(
+            "n_users",
+            F.sum(F.coalesce(F.col("n_at_stage"), F.lit(0))).over(wcum),
+        )
+    )
+    total = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        cum.withColumn(
+            "conversion",
+            pround(F.col("n_users") / F.max("n_users").over(total), 4),
+        )
+        .select("stage", "stage_name", "n_users", "conversion")
+        .orderBy("stage")
+    )
+
+
+def _user_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+
+
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort-retention triangle: cohort = date of a user's
+    first event; for each (cohort_day, day_offset) the count of cohort
+    members active that day and the retention fraction.
+
+    user_day dedup is the only corpus-scale shuffle; firsts reuse the
+    user_id partitioning; cohort sizes are days-sized and broadcast.
+    """
+    ud = _user_days(spark, sf_dir)
+    firsts = ud.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    sizes = firsts.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    )
+    act = (
+        ud.join(firsts, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).alias(
+                "day_offset"
+            ),
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    return (
+        act.join(F.broadcast(sizes), "cohort_day")
+        .withColumn(
+            "retention", pround(F.col("n_active") / F.col("cohort_users"), 4)
+        )
+        .select(
+            "cohort_day", "day_offset", "n_active", "cohort_users",
+            "retention",
+        )
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+def dau_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day DAU, trailing-7-day WAU (distinct users), and the
+    DAU/WAU stickiness ratio. The user-day relation (users x active
+    days — far smaller than events) is persisted so the spine branch
+    and the join branch share one corpus scan; the day spine is
+    broadcast, the range join fans user-day out at most WAU_DAYS
+    times, and DAU + WAU come from ONE distinct-aggregate per spine
+    day (conditional count for DAU — no second pass or extra join)."""
+    ud = persisted(_user_days(spark, sf_dir))
+    days = ud.select(F.col("day").alias("d")).distinct()
+    return (
+        ud.join(
+            F.broadcast(days),
+            (F.col("day") <= F.col("d"))
+            & (F.col("day") >= F.date_sub(F.col("d"), WAU_DAYS - 1)),
+        )
+        .groupBy("d")
+        .agg(
+            F.countDistinct("user_id").alias("wau"),
+            F.count(F.when(F.col("day") == F.col("d"), 1)).alias("dau"),
+        )
+        .withColumn("stickiness", pround(F.col("dau") / F.col("wau"), 4))
+        .select(F.col("d").alias("day"), "dau", "wau", "stickiness")
+        .orderBy("day")
+    )
+
+
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix between consecutive events
+    per user (event-time order, event_id tie-break): counts and
+    row-normalized probabilities. One window shuffle on user_id; the
+    aggregate output is |event_types|^2-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wrow = Window.partitionBy("from_type")
+    return (
+        pairs.withColumn(
+            "prob", pround(F.col("n") / F.sum("n").over(wrow), 4)
+        )
+        .select("from_type", "to_type", "n", "prob")
+        .orderBy("from_type", "to_type")
+    )
+
+
+def funnel_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For fully-converted users (stage 3), time-to-convert per
+    first-view cohort day: view->click and click->purchase lags in
+    seconds (decimal-exact averages). Runs on the per-user funnel
+    relation — users-sized, one aggregate on the cohort day."""
+    per = _user_funnel(spark, sf_dir).filter(F.col("fp").isNotNull())
+    v2c = (F.unix_micros("fc") - F.unix_micros("fv")) / F.lit(1e6)
+    c2p = (F.unix_micros("fp") - F.unix_micros("fc")) / F.lit(1e6)
+    return (
+        per.select(
+            F.to_date("fv").alias("cohort_day"),
+            v2c.alias("v2c_s"),
+            c2p.alias("c2p_s"),
+        )
+        .groupBy("cohort_day")
+        .agg(
+            F.count(F.lit(1)).alias("n_converted"),
+            davg("v2c_s", 4).alias("avg_view_to_click_s"),
+            davg("c2p_s", 4).alias("avg_click_to_purchase_s"),
+        )
+        .orderBy("cohort_day")
+    )
+
+
+QUERIES = {
+    "funnel_conversion": funnel_conversion,
+    "retention_cohorts": retention_cohorts,
+    "dau_rolling_wau": dau_rolling_wau,
+    "event_transition_matrix": event_transition_matrix,
+    "funnel_conversion_lag": funnel_conversion_lag,
+}
+
+# Shared per-user funnel CTE: fv = first view; fc = first click after
+# fv; fp = first purchase after fc (strict > on both, matching the
+# Spark window-min conditions exactly).
+_SQL_FUNNEL = """
+    per AS (
+      SELECT user_id,
+             min(ts) FILTER (WHERE event_type = 'view') AS fv
+      FROM events GROUP BY user_id
+    ),
+    clk AS (
+      SELECT e.user_id, min(e.ts) AS fc
+      FROM events e JOIN per p ON e.user_id = p.user_id
+      WHERE e.event_type = 'click' AND e.ts > p.fv
+      GROUP BY e.user_id
+    ),
+    pur AS (
+      SELECT e.user_id, min(e.ts) AS fp
+      FROM events e JOIN clk c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.fc
+      GROUP BY e.user_id
+    ),
+    funnel AS (
+      SELECT per.user_id, per.fv, clk.fc, pur.fp
+      FROM per
+      LEFT JOIN clk ON per.user_id = clk.user_id
+      LEFT JOIN pur ON per.user_id = pur.user_id
+    )
+"""
+
+_SQL_USER_DAYS = """
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+"""
+
+_STAGE_SPINE = ", ".join(
+    f"({k}, '{v}')" for k, v in sorted(STAGE_NAMES.items())
+)
+
+ORACLES = {
+    "funnel_conversion": f"""
+        WITH {_SQL_FUNNEL},
+        staged AS (
+          SELECT CASE WHEN fp IS NOT NULL THEN 3
+                      WHEN fc IS NOT NULL THEN 2
+                      WHEN fv IS NOT NULL THEN 1 ELSE 0 END AS stage
+          FROM funnel
+        ),
+        counts AS (
+          SELECT stage, count(*) AS n_at_stage FROM staged
+          WHERE stage >= 1 GROUP BY stage
+        ),
+        spine(stage, stage_name) AS (VALUES {_STAGE_SPINE}),
+        cum AS (
+          SELECT s.stage, s.stage_name,
+                 sum(coalesce(c.n_at_stage, 0))
+                   OVER (ORDER BY s.stage DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS n_users
+          FROM spine s LEFT JOIN counts c ON s.stage = c.stage
+        )
+        SELECT stage, stage_name, n_users,
+               {sql_pround('n_users / (max(n_users) OVER ())', 4)}
+                 AS conversion
+        FROM cum
+        ORDER BY stage
+    """,
+    "retention_cohorts": f"""
+        WITH ud AS ({_SQL_USER_DAYS}),
+        firsts AS (
+          SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY user_id
+        ),
+        sizes AS (
+          SELECT cohort_day, count(*) AS cohort_users FROM firsts
+          GROUP BY cohort_day
+        ),
+        act AS (
+          SELECT f.cohort_day,
+                 datediff('day', f.cohort_day, u.day) AS day_offset,
+                 count(*) AS n_active
+          FROM ud u JOIN firsts f ON u.user_id = f.user_id
+          GROUP BY f.cohort_day, datediff('day', f.cohort_day, u.day)
+        )
+        SELECT a.cohort_day, a.day_offset, a.n_active, s.cohort_users,
+               {sql_pround('a.n_active / s.cohort_users', 4)} AS retention
+        FROM act a JOIN sizes s ON a.cohort_day = s.cohort_day
+        ORDER BY a.cohort_day, a.day_offset
+    """,
+    "dau_rolling_wau": f"""
+        WITH ud AS ({_SQL_USER_DAYS}),
+        days AS (SELECT DISTINCT day AS d FROM ud),
+        wau AS (
+          SELECT dd.d, count(DISTINCT u.user_id) AS wau
+          FROM ud u JOIN days dd
+            ON u.day <= dd.d AND u.day >= dd.d - {WAU_DAYS - 1}
+          GROUP BY dd.d
+        ),
+        dau AS (SELECT day AS d, count(*) AS dau FROM ud GROUP BY day)
+        SELECT dau.d AS day, dau.dau, wau.wau,
+               {sql_pround('dau.dau / wau.wau', 4)} AS stickiness
+        FROM dau JOIN wau ON dau.d = wau.d
+        ORDER BY day
+    """,
+    "event_transition_matrix": f"""
+        WITH pairs AS (
+          SELECT event_type AS from_type,
+                 lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                 ) AS to_type
+          FROM events
+        ),
+        counts AS (
+          SELECT from_type, to_type, count(*) AS n FROM pairs
+          WHERE to_type IS NOT NULL GROUP BY from_type, to_type
+        )
+        SELECT from_type, to_type, n,
+               {sql_pround(
+                   'n / (sum(n) OVER (PARTITION BY from_type))', 4
+               )} AS prob
+        FROM counts
+        ORDER BY from_type, to_type
+    """,
+    "funnel_conversion_lag": f"""
+        WITH {_SQL_FUNNEL}
+        SELECT CAST(fv AS DATE) AS cohort_day,
+               count(*) AS n_converted,
+               {sql_davg('(epoch_us(fc) - epoch_us(fv)) / 1e6', 4)}
+                 AS avg_view_to_click_s,
+               {sql_davg('(epoch_us(fp) - epoch_us(fc)) / 1e6', 4)}
+                 AS avg_click_to_purchase_s
+        FROM funnel
+        WHERE fp IS NOT NULL
+        GROUP BY CAST(fv AS DATE)
+        ORDER BY cohort_day
+    """,
+}

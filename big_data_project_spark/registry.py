@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .operators import (
     alerts,
+    behavior,
     corpus,
     corpus_stats,
     curation,
@@ -29,6 +30,7 @@ from .operators import (
     ingest,
     kpi,
     multimodal,
+    quality,
     relational,
     sampling,
     similarity,
@@ -72,6 +74,8 @@ _MODULES = [
     corpus_stats,
     trend,
     vectorops,
+    behavior,
+    quality,
     # --- r02 cohort: newest driver evidence is CORRECTNESS_r02 ---
     generators,
     jsonfeed,

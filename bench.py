@@ -57,6 +57,10 @@ R4_HEADLINE = [
     # winnowing sketch and the repartition-pinned flow simulator
     "winnowing_fingerprint",
     "passenger_flow_sim",
+    # round-4 behavior/quality families: the single-exchange window
+    # funnel and the map-side Gopher rule audit
+    "funnel_conversion",
+    "gopher_rule_flags",
 ]
 HEADLINE = R2_HEADLINE + R3_HEADLINE + R4_HEADLINE
 _R2_KEYS = frozenset(R2_HEADLINE)

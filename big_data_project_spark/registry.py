@@ -53,13 +53,19 @@ from .streaming import pipeline as streaming_pipeline
 # Order matters: the driver's correctness gate walks this list in
 # registration order under a wall-time budget (~50 entries/round so
 # far). Round 4: evidence rotation (round-3 verdict item 7) — every key
-# is green in the union of r01-r03, so the window now re-covers the
-# keys whose newest driver row is OLDEST. The r01 cohort (42 keys:
-# hourly..tpch_ext) leads, then the r02 cohort fills the remainder of
-# the window (sources + textops); the r03-evidenced families trail.
-# Keep any NEW keys directly behind the r01 cohort so they land inside
-# the window on their first round.
+# is green in the union of r01-r03, so after the never-evidenced
+# round-4 additions (16 keys, which lead: first-round keys MUST get a
+# driver row) the window re-covers the keys whose newest driver row is
+# OLDEST: the r01 cohort (42 keys: hourly..tpch_ext), then the r02
+# cohort; the r03-evidenced families trail.
 _MODULES = [
+    # --- NEW in round 4 (16 keys): lead the list so every first-round
+    # key is guaranteed driver evidence even if the window shrinks ---
+    corpus_stats,
+    trend,
+    vectorops,
+    behavior,
+    quality,
     # --- r01 cohort: newest driver evidence is CORRECTNESS_r01 ---
     hourly,
     headway,
@@ -70,12 +76,6 @@ _MODULES = [
     ingest,
     tpch,
     tpch_ext,
-    # --- NEW in round 4: must land inside the window on first round ---
-    corpus_stats,
-    trend,
-    vectorops,
-    behavior,
-    quality,
     # --- r02 cohort: newest driver evidence is CORRECTNESS_r02 ---
     generators,
     jsonfeed,

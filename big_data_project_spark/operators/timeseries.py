@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.portable import pround, sql_pround
+from ..functions.portable import davg, pround, sql_davg, sql_pround
 from .hourly import SQL_DELAY, SQL_DEMAND, SQL_WEATHER, weather_hourly
 
 ASOF_LOOKBACK_H = 3
@@ -293,9 +293,46 @@ def delay_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def delay_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal decomposition of per-route delay: for each
+    (route, hour-of-day) the seasonal mean over the hourly rollup, the
+    route's overall mean, and the seasonal index (their difference) —
+    the additive-seasonality profile an anomaly detector subtracts
+    before z-scoring (delay_anomaly_hours treats all hours as one
+    population; this is its seasonal refinement).
+
+    Scale: both aggregates run on the (route x hour)-sized rollup;
+    the route-mean relation is route-sized and broadcast. Decimal-exact
+    folds keep the means engine-portable."""
+    from .hourly import delay_hourly
+
+    x = F.col("avg_delay_seconds")
+    base = delay_hourly(spark, sf_dir).filter(x.isNotNull())
+    seas = base.groupBy(
+        "route_id", F.hour("hour_ts").alias("hour_of_day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        davg(x, 6).alias("seasonal_mean"),
+    )
+    rm = base.groupBy("route_id").agg(davg(x, 6).alias("route_mean"))
+    return (
+        seas.join(F.broadcast(rm), "route_id")
+        .withColumn(
+            "seasonal_index",
+            pround(F.col("seasonal_mean") - F.col("route_mean"), 6),
+        )
+        .select(
+            "route_id", "hour_of_day", "n_hours", "seasonal_mean",
+            "route_mean", "seasonal_index",
+        )
+        .orderBy("route_id", "hour_of_day")
+    )
+
+
 QUERIES = {
     "asof_join_weather": asof_join_weather,
     "delay_anomaly_hours": delay_anomaly_hours,
+    "delay_seasonal_profile": delay_seasonal_profile,
     "demand_rolling_3h": demand_rolling_3h,
     "top_stops_per_route": top_stops_per_route,
     "delay_gap_fill": delay_gap_fill,
@@ -304,6 +341,28 @@ QUERIES = {
 }
 
 ORACLES = {
+    "delay_seasonal_profile": f"""
+        WITH d AS (
+          SELECT * FROM ({SQL_DELAY}) t WHERE avg_delay_seconds IS NOT NULL
+        ),
+        seas AS (
+          SELECT route_id, hour(hour_ts) AS hour_of_day,
+                 count(*) AS n_hours,
+                 {sql_davg('avg_delay_seconds', 6)} AS seasonal_mean
+          FROM d GROUP BY route_id, hour(hour_ts)
+        ),
+        rm AS (
+          SELECT route_id,
+                 {sql_davg('avg_delay_seconds', 6)} AS route_mean
+          FROM d GROUP BY route_id
+        )
+        SELECT s.route_id, s.hour_of_day, s.n_hours, s.seasonal_mean,
+               rm.route_mean,
+               {sql_pround('s.seasonal_mean - rm.route_mean', 6)}
+                 AS seasonal_index
+        FROM seas s JOIN rm ON s.route_id = rm.route_id
+        ORDER BY s.route_id, s.hour_of_day
+    """,
     "delay_anomaly_hours": f"""
         WITH d AS (
           SELECT * FROM ({SQL_DELAY}) t WHERE avg_delay_seconds IS NOT NULL

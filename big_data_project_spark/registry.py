@@ -110,3 +110,15 @@ for _mod in _MODULES:
         if _name not in _mod.QUERIES:
             raise ValueError(f"oracle without query: {_name}")
         ORACLES[_name] = _sql
+
+# Key-level promotion: first-round keys added to modules that sit late
+# in _MODULES (their siblings already have driver evidence) are hoisted
+# to the front of the walk so they get a driver row this round.
+_PROMOTED = ["countmin_heavy_hitters", "delay_seasonal_profile"]
+_missing = [k for k in _PROMOTED if k not in QUERIES]
+if _missing:
+    raise ValueError(f"promoted keys not registered: {_missing}")
+QUERIES = {
+    **{k: QUERIES[k] for k in _PROMOTED},
+    **{k: v for k, v in QUERIES.items() if k not in _PROMOTED},
+}

@@ -454,3 +454,38 @@ def test_embedding_dim_stats_consistent(spark):
         assert r["n_vectors"] == n_vec
         assert r["min_val"] <= r["mean_val"] <= r["max_val"]
         assert r["std_val"] >= 0
+
+
+def test_countmin_never_underestimates(spark):
+    from big_data_project_spark.operators import sketches
+
+    rows = sketches.countmin_heavy_hitters(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= sketches.CM_TOPK
+    for r in rows:
+        # the count-min guarantee: estimate >= true count, always
+        assert r["overestimate"] >= 0
+        assert r["cm_est"] >= r["exact_n"] > 0
+        assert r["rel_error"] >= 0
+    # width < vocab forces collisions somewhere in the sketch; the
+    # audited top-K should surface at least one real overestimate
+    assert any(r["overestimate"] > 0 for r in rows)
+
+
+def test_seasonal_profile_weighted_mean_recovers_route_mean(spark):
+    from collections import defaultdict
+
+    from big_data_project_spark.operators import timeseries
+
+    rows = timeseries.delay_seasonal_profile(spark, SF_DIR).collect()
+    by_route = defaultdict(list)
+    for r in rows:
+        assert 0 <= r["hour_of_day"] <= 23
+        assert abs(
+            r["seasonal_index"] - (r["seasonal_mean"] - r["route_mean"])
+        ) < 1e-6
+        by_route[r["route_id"]].append(r)
+    for route_rows in by_route.values():
+        n = sum(r["n_hours"] for r in route_rows)
+        wmean = sum(r["seasonal_mean"] * r["n_hours"] for r in route_rows) / n
+        # hour-bucket means recombine to the route mean (up to rounding)
+        assert abs(wmean - route_rows[0]["route_mean"]) < 1e-4

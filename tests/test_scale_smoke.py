@@ -205,3 +205,104 @@ def test_cusum_changepoint_scale_invariant(spark, scaled_dir):
         for r in trend.delay_cusum_changepoint(spark, scaled_dir).collect()
     }
     assert base == scaled
+
+
+def test_funnel_scales_by_user(spark, scaled_dir):
+    """Replicated users run identical funnels, so stage counts scale
+    exactly by SCALE and conversion fractions are invariant."""
+    from big_data_project_spark.operators import behavior
+
+    base = {
+        r["stage"]: r for r in behavior.funnel_conversion(spark, SF_DIR).collect()
+    }
+    scaled = {
+        r["stage"]: r
+        for r in behavior.funnel_conversion(spark, scaled_dir).collect()
+    }
+    assert set(base) == set(scaled) == {1, 2, 3}
+    for k in base:
+        assert scaled[k]["n_users"] == SCALE * base[k]["n_users"]
+        assert scaled[k]["conversion"] == pytest.approx(
+            base[k]["conversion"], abs=1e-4
+        )
+
+
+def test_retention_scales_by_cohort(spark, scaled_dir):
+    from big_data_project_spark.operators import behavior
+
+    base = {
+        (str(r["cohort_day"]), r["day_offset"]): r
+        for r in behavior.retention_cohorts(spark, SF_DIR).collect()
+    }
+    scaled = {
+        (str(r["cohort_day"]), r["day_offset"]): r
+        for r in behavior.retention_cohorts(spark, scaled_dir).collect()
+    }
+    assert set(base) == set(scaled)
+    for k in base:
+        assert scaled[k]["n_active"] == SCALE * base[k]["n_active"]
+        assert scaled[k]["retention"] == base[k]["retention"]
+
+
+def test_gopher_flags_scale_by_source(spark, scaled_docs_dir):
+    from big_data_project_spark.operators import quality
+
+    base = {
+        r["source"]: r
+        for r in quality.gopher_rule_flags(spark, SF_DIR).collect()
+    }
+    scaled = {
+        r["source"]: r
+        for r in quality.gopher_rule_flags(spark, scaled_docs_dir).collect()
+    }
+    assert set(base) == set(scaled)
+    for k in base:
+        assert scaled[k]["n_docs"] == SCALE * base[k]["n_docs"]
+        assert scaled[k]["n_pass"] == SCALE * base[k]["n_pass"]
+        assert scaled[k]["pass_rate"] == base[k]["pass_rate"]
+
+
+def test_countmin_scale_equivariant(spark, scaled_docs_dir):
+    """Every bucket count scales by SCALE, so estimates and exact
+    counts scale together and the relative error is invariant."""
+    from big_data_project_spark.operators import sketches
+
+    base = {
+        r["tok"]: r
+        for r in sketches.countmin_heavy_hitters(spark, SF_DIR).collect()
+    }
+    scaled = {
+        r["tok"]: r
+        for r in sketches.countmin_heavy_hitters(
+            spark, scaled_docs_dir
+        ).collect()
+    }
+    assert set(base) == set(scaled)
+    for k in base:
+        assert scaled[k]["exact_n"] == SCALE * base[k]["exact_n"]
+        assert scaled[k]["cm_est"] == SCALE * base[k]["cm_est"]
+        assert scaled[k]["rel_error"] == base[k]["rel_error"]
+
+
+def test_seasonal_profile_scale_invariant(spark, scaled_dir):
+    from big_data_project_spark.operators import timeseries
+
+    base = {
+        (r["route_id"], r["hour_of_day"]): r
+        for r in timeseries.delay_seasonal_profile(spark, SF_DIR).collect()
+    }
+    scaled = {
+        (r["route_id"], r["hour_of_day"]): r
+        for r in timeseries.delay_seasonal_profile(
+            spark, scaled_dir
+        ).collect()
+    }
+    assert set(base) == set(scaled)
+    for k in base:
+        assert scaled[k]["n_hours"] == base[k]["n_hours"]
+        assert scaled[k]["seasonal_mean"] == pytest.approx(
+            base[k]["seasonal_mean"], abs=1e-4
+        )
+        assert scaled[k]["seasonal_index"] == pytest.approx(
+            base[k]["seasonal_index"], abs=1e-4
+        )

@@ -439,6 +439,92 @@ def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FUNNEL_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("stage", LongType()),
+        StructField("fv", TimestampType()),
+        StructField("fc", TimestampType()),
+        StructField("fp", TimestampType()),
+    ]
+)
+
+_FUNNEL_STATE = StructType(
+    [
+        StructField("fv", LongType()),  # epoch micros, None until reached
+        StructField("fc", LongType()),
+        StructField("fp", LongType()),
+    ]
+)
+
+
+def _funnel_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user funnel state machine (view -> click-after -> purchase-
+    after), events applied in event-time order within each batch. State
+    is three timestamps — O(1) per user, the property that lets the
+    state store hold hundreds of millions of users sharded on user_id.
+
+    Cross-batch caveat (same class as stream_dedup_incremental's
+    documented divergence): a view arriving in a LATER batch with an
+    EARLIER timestamp than the consumed prefix cannot retroactively
+    re-qualify clicks already seen — batch-equivalence holds for feeds
+    ordered across batches (tested), which is what a watermarked
+    event-time source delivers."""
+    (user_id,) = key
+    fv, fc, fp = state.get if state.exists else (None, None, None)
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    if not pdf.empty:
+        pdf = pdf.sort_values(["ts", "event_id"])
+    stage0 = 3 if fp is not None else 2 if fc is not None else (
+        1 if fv is not None else 0
+    )
+    for ts, et in zip(pdf["ts"], pdf["event_type"]):
+        t = int(ts.value // 1000)  # ns -> us
+        if et == "view":
+            if fv is None:
+                fv = t
+        elif et == "click":
+            if fc is None and fv is not None and t > fv:
+                fc = t
+        elif et == "purchase":
+            if fp is None and fc is not None and t > fc:
+                fp = t
+    state.update((fv, fc, fp))
+    stage = 3 if fp is not None else 2 if fc is not None else (
+        1 if fv is not None else 0
+    )
+    if stage > stage0:
+        out = pd.DataFrame(
+            [(user_id, stage, fv, fc, fp)],
+            columns=["user_id", "stage", "fv", "fc", "fp"],
+        )
+        for c in ("fv", "fc", "fp"):
+            out[c] = pd.to_datetime(out[c], unit="us")
+        yield out
+
+
+def stream_funnel(sdf: DataFrame) -> DataFrame:
+    """Streaming twin of operators/behavior.py::_user_funnel: emits a
+    row whenever a user's funnel stage ADVANCES (append mode), carrying
+    the three stage-entry timestamps. The latest row per user is the
+    live funnel position; max-stage-per-user aggregated downstream
+    reproduces funnel_conversion's cumulative counts."""
+    return sdf.groupBy("user_id").applyInPandasWithState(
+        _funnel_fn,
+        outputStructType=_FUNNEL_OUT,
+        stateStructType=_FUNNEL_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_funnel_from_dir(spark: SparkSession, events_dir: str) -> DataFrame:
+    src = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
+    return stream_funnel(src)
+
+
 def stream_interval_join(
     spark: SparkSession,
     positions_dir: str,

@@ -567,3 +567,92 @@ def test_bucketed_join_skips_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS customer_b")
+
+
+def test_stream_funnel_equals_batch(spark, tmp_path):
+    """Draining the whole events table through the stateful funnel must
+    reproduce the batch per-user funnel exactly (stage AND stage-entry
+    timestamps), taking the max-stage row per user."""
+    from big_data_project_spark.catalog import load_table
+    from big_data_project_spark.operators import behavior
+
+    src = str(tmp_path / "funnel_src")
+    load_table(spark, "/root/testdata/sf0.001", "events").write.parquet(src)
+    out = pipeline.run_available_now(
+        pipeline.stream_funnel_from_dir(spark, src),
+        "funnel_out",
+        output_mode="append",
+    ).collect()
+    latest = {}
+    for r in out:
+        if r["user_id"] not in latest or r["stage"] > latest[r["user_id"]]["stage"]:
+            latest[r["user_id"]] = r
+    batch = {}
+    for r in behavior._user_funnel(spark, "/root/testdata/sf0.001").collect():
+        stage = 3 if r["fp"] else 2 if r["fc"] else 1 if r["fv"] else 0
+        if stage >= 1:
+            batch[r["user_id"]] = (stage, r["fv"], r["fc"], r["fp"])
+    assert set(latest) == set(batch)
+    for uid, r in latest.items():
+        assert (r["stage"], r["fv"], r["fc"], r["fp"]) == batch[uid]
+
+
+def test_stream_funnel_state_machine_across_batches():
+    """Direct state-machine check: stage advances accumulate across
+    batches and each advance emits exactly one row."""
+    import pandas as pd
+
+    from big_data_project_spark.streaming.pipeline import _funnel_fn
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    def batch(rows):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "event_type"]
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        return pdf
+
+    st = FakeState()
+    # batch 1: view then a too-early click (before the view) -> stage 1
+    out1 = list(
+        _funnel_fn(
+            (7,),
+            iter([batch([(1, "2026-01-01 09:00:00", "click"),
+                         (2, "2026-01-01 10:00:00", "view")])]),
+            st,
+        )
+    )
+    assert len(out1) == 1 and out1[0]["stage"].iloc[0] == 1
+    # batch 2: qualifying click -> stage 2
+    out2 = list(
+        _funnel_fn(
+            (7,), iter([batch([(3, "2026-01-01 10:30:00", "click")])]), st
+        )
+    )
+    assert len(out2) == 1 and out2[0]["stage"].iloc[0] == 2
+    # batch 3: no advance -> no emission
+    out3 = list(
+        _funnel_fn(
+            (7,), iter([batch([(4, "2026-01-01 10:40:00", "click")])]), st
+        )
+    )
+    assert out3 == []
+    # batch 4: purchase after the click -> stage 3
+    out4 = list(
+        _funnel_fn(
+            (7,), iter([batch([(5, "2026-01-01 11:00:00", "purchase")])]), st
+        )
+    )
+    assert len(out4) == 1 and out4[0]["stage"].iloc[0] == 3

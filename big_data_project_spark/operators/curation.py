@@ -23,7 +23,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table, load_table_spread
@@ -218,6 +218,101 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RESAMPLE_MOD = 1_000_000  # hash-threshold granularity for keep decisions
+PACK_BUDGET_TOKENS = 256  # sequence-packing bin size (tokens)
+
+
+def lang_rebalance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic downsample to a language-balanced mixture: each
+    language's keep fraction is min-lang-chars / its-chars (the
+    over-represented languages are thinned to the smallest one's
+    volume), and a doc survives iff its content-hash bucket falls under
+    the threshold — reproducible, order-independent, and exact-dup
+    consistent (same text -> same decision).
+
+    Per-lang audit: target fraction, docs kept, chars kept. Scale: the
+    lang table is languages-sized and broadcast; the keep decision is
+    pure map-side hash math; one final aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("lang").agg(
+        F.sum("n_chars").alias("lang_chars")
+    )
+    mn = per.agg(F.min("lang_chars").alias("min_chars"))
+    frac = F.col("min_chars") / F.col("lang_chars")
+    lang_frac = per.crossJoin(F.broadcast(mn)).select(
+        "lang",
+        "lang_chars",
+        F.floor(frac * RESAMPLE_MOD).cast("long").alias("keep_threshold"),
+        pround(frac, 6).alias("target_frac"),
+    )
+    kept = (
+        docs.join(F.broadcast(lang_frac), "lang")
+        .withColumn(
+            "keep",
+            F.pmod(_hash60(_norm(F.col("text"))), F.lit(RESAMPLE_MOD))
+            < F.col("keep_threshold"),
+        )
+    )
+    return (
+        kept.groupBy("lang", "lang_chars", "target_frac")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("keep"), 1)).alias("n_kept"),
+            F.sum(F.when(F.col("keep"), F.col("n_chars"))).alias(
+                "kept_chars"
+            ),
+        )
+        .select(
+            "lang", "n_docs", "n_kept", "lang_chars", "kept_chars",
+            "target_frac",
+        )
+        .orderBy("lang")
+    )
+
+
+def sequence_packing_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence-packing audit: documents fill contiguous
+    PACK_BUDGET_TOKENS-token bins per source in doc_id order (a doc
+    belongs to the bin where its cumulative span STARTS — the
+    contiguous-fill discipline a pretraining loader uses when packing
+    samples into fixed-length sequences). Per (source, bin): docs,
+    tokens, and the fill ratio (can exceed 1.0 when a doc straddles the
+    boundary; the overflow carries into the next bin's start offset).
+
+    Scale: the running sum is a per-source window — the source is the
+    packing shard, so parallelism is across sources/shards and no
+    corpus-wide single-partition sort exists."""
+    docs = load_table_spread(spark, sf_dir, "documents", "doc_id")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(_norm(F.col("text")), " ")).alias("n_toks"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = toks.withColumn("cum", F.sum("n_toks").over(w)).withColumn(
+        "bin",
+        F.floor((F.col("cum") - F.col("n_toks")) / PACK_BUDGET_TOKENS).cast(
+            "long"
+        ),
+    )
+    return (
+        binned.groupBy("source", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("bin_tokens"),
+        )
+        .withColumn(
+            "fill_ratio",
+            pround(F.col("bin_tokens") / PACK_BUDGET_TOKENS, 6),
+        )
+        .orderBy("source", "bin")
+    )
+
+
 N_RATIO_BUCKETS = 20  # 5%-wide stopword-density buckets
 
 
@@ -262,6 +357,8 @@ QUERIES = {
     "doc_filter_cascade": doc_filter_cascade,
     "source_mixture_weights": source_mixture_weights,
     "stopword_density_buckets": stopword_density_buckets,
+    "lang_rebalance_sample": lang_rebalance_sample,
+    "sequence_packing_bins": sequence_packing_bins,
 }
 
 _SQL_G3 = f"""
@@ -381,5 +478,54 @@ ORACLES = {
                  AS uniform_weight
         FROM per, tot
         ORDER BY source
+    """,
+    "lang_rebalance_sample": f"""
+        WITH per AS (
+          SELECT lang, CAST(sum(n_chars) AS BIGINT) AS lang_chars
+          FROM documents GROUP BY lang
+        ),
+        mn AS (SELECT min(lang_chars) AS min_chars FROM per),
+        lf AS (
+          SELECT lang, lang_chars,
+                 CAST(floor((min_chars / lang_chars) * {RESAMPLE_MOD})
+                      AS BIGINT) AS keep_threshold,
+                 {sql_pround('min_chars / lang_chars', 6)} AS target_frac
+          FROM per, mn
+        )
+        SELECT d.lang,
+               count(*) AS n_docs,
+               count(*) FILTER (
+                 WHERE ({_sql_hash60(_SQL_NORM)}) % {RESAMPLE_MOD}
+                       < lf.keep_threshold) AS n_kept,
+               lf.lang_chars,
+               CAST(sum(n_chars) FILTER (
+                 WHERE ({_sql_hash60(_SQL_NORM)}) % {RESAMPLE_MOD}
+                       < lf.keep_threshold) AS BIGINT) AS kept_chars,
+               lf.target_frac
+        FROM documents d JOIN lf ON d.lang = lf.lang
+        GROUP BY d.lang, lf.lang_chars, lf.target_frac
+        ORDER BY d.lang
+    """,
+    "sequence_packing_bins": f"""
+        WITH toks AS (
+          SELECT doc_id, source,
+                 len(string_split({_SQL_NORM}, ' ')) AS n_toks
+          FROM documents
+        ),
+        binned AS (
+          SELECT source, n_toks,
+                 CAST(floor((sum(n_toks) OVER (
+                        PARTITION BY source ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) - n_toks)
+                      / {PACK_BUDGET_TOKENS}) AS BIGINT) AS bin
+          FROM toks
+        )
+        SELECT source, bin, count(*) AS n_docs,
+               CAST(sum(n_toks) AS BIGINT) AS bin_tokens,
+               {sql_pround(f'sum(n_toks) / {PACK_BUDGET_TOKENS}', 6)}
+                 AS fill_ratio
+        FROM binned
+        GROUP BY source, bin
+        ORDER BY source, bin
     """,
 }

@@ -114,7 +114,12 @@ for _mod in _MODULES:
 # Key-level promotion: first-round keys added to modules that sit late
 # in _MODULES (their siblings already have driver evidence) are hoisted
 # to the front of the walk so they get a driver row this round.
-_PROMOTED = ["countmin_heavy_hitters", "delay_seasonal_profile"]
+_PROMOTED = [
+    "countmin_heavy_hitters",
+    "delay_seasonal_profile",
+    "lang_rebalance_sample",
+    "sequence_packing_bins",
+]
 _missing = [k for k in _PROMOTED if k not in QUERIES]
 if _missing:
     raise ValueError(f"promoted keys not registered: {_missing}")

@@ -103,3 +103,60 @@ def test_balance_audit_totals_match_split(spark):
     split = {r["split"]: r["n_docs"] for r in quality.train_test_split(spark, SF_DIR).collect()}
     assert sum(r["n_docs"] for r in bal) == sum(split.values())
     assert sum(r["n_test"] for r in bal) == split.get("test", 0)
+
+
+def test_lang_rebalance_thins_overrepresented_langs(spark):
+    from big_data_project_spark.operators import curation
+
+    rows = curation.lang_rebalance_sample(spark, SF_DIR).collect()
+    assert rows, "corpus has languages"
+    by_chars = sorted(rows, key=lambda r: r["lang_chars"])
+    smallest = by_chars[0]
+    # the smallest language keeps everything
+    assert smallest["target_frac"] == 1.0
+    assert smallest["n_kept"] == smallest["n_docs"]
+    for r in rows:
+        assert 0 < r["target_frac"] <= 1.0
+        assert 0 <= r["n_kept"] <= r["n_docs"]
+        assert (r["kept_chars"] or 0) <= r["lang_chars"]
+    # at least one over-represented language is actually thinned
+    if len(rows) > 1:
+        assert any(r["n_kept"] < r["n_docs"] for r in rows)
+
+
+def test_sequence_packing_conserves_tokens(spark):
+    from collections import defaultdict
+
+    from big_data_project_spark.operators import curation
+    from big_data_project_spark.operators.curation import PACK_BUDGET_TOKENS
+    from big_data_project_spark.operators.textops import _toks
+    from big_data_project_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    rows = curation.sequence_packing_bins(spark, SF_DIR).collect()
+    per_source = defaultdict(list)
+    for r in rows:
+        per_source[r["source"]].append(r)
+    totals = {
+        r["source"]: r["t"]
+        for r in load_table(spark, SF_DIR, "documents")
+        .groupBy("source")
+        .agg(F.sum(F.size(_toks(F.col("text")))).alias("t"))
+        .collect()
+    }
+    assert set(per_source) == set(totals)
+    for src, bins in per_source.items():
+        # packing conserves tokens and bins are contiguous from 0
+        assert sum(b["bin_tokens"] for b in bins) == totals[src]
+        ids = sorted(b["bin"] for b in bins)
+        assert ids == list(range(len(ids)))
+        # contiguous fill: by the end of every non-final bin the
+        # cumulative stream has passed that bin's budget boundary
+        # (individual bins may be under-full when a straddling doc
+        # carried its tokens forward)
+        cum = 0
+        ordered = sorted(bins, key=lambda b: b["bin"])
+        for b in ordered[:-1]:
+            cum += b["bin_tokens"]
+            assert cum >= (b["bin"] + 1) * PACK_BUDGET_TOKENS
+            assert b["bin_tokens"] > 0

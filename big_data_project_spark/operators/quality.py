@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caching import persisted
 from ..catalog import load_table_spread
 from ..functions.portable import pround, sql_pround
 from .dedup import _SQL_NORM, _hash60, _norm, _sql_hash60
@@ -126,20 +127,29 @@ def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     present in BOTH splits (must be 0 by construction — the column
     exists so the audit fails loudly if the hashing ever regresses).
 
-    The leak count is a 1-row aggregate broadcast onto the 2-row
-    per-split relation; everything upstream is map-side hash + one
-    aggregate."""
+    ONE corpus-scale shuffle: the (hash, split) aggregate is persisted
+    (house pattern for multi-consumer relations) and feeds every
+    downstream number — per-split docs/hashes roll up from it, and the
+    leak count is a hash-level aggregate over the same relation (the
+    split is a pure function of the hash, so distinct splits per hash
+    never needs a second pass over the documents). The leak count is a
+    1-row aggregate broadcast onto the 2-row per-split relation."""
     docs = load_table_spread(spark, sf_dir, "documents", "doc_id")
-    tagged = docs.select(
-        _hash60(_norm(F.col("text"))).alias("h"), _split_col().alias("split")
+    hs = persisted(
+        docs.select(
+            _hash60(_norm(F.col("text"))).alias("h"),
+            _split_col().alias("split"),
+        )
+        .groupBy("h", "split")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    per_split = tagged.groupBy("split").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.countDistinct("h").alias("n_hashes"),
+    per_split = hs.groupBy("split").agg(
+        F.sum("cnt").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_hashes"),
     )
     leaks = (
-        tagged.groupBy("h")
-        .agg(F.countDistinct("split").alias("n_sides"))
+        hs.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_sides"))
         .agg(
             F.count(F.when(F.col("n_sides") > 1, 1)).alias("leaked_hashes")
         )

@@ -301,22 +301,36 @@ def delay_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     before z-scoring (delay_anomaly_hours treats all hours as one
     population; this is its seasonal refinement).
 
-    Scale: both aggregates run on the (route x hour)-sized rollup;
-    the route-mean relation is route-sized and broadcast. Decimal-exact
+    Scale: ONE consumption of the (route x hour)-sized rollup — the
+    bucket aggregate keeps its decimal partial sums, so the route mean
+    re-derives from the (route x 24)-sized bucket relation instead of
+    a second pass over the rollup (and a second events scan). The
+    route-mean relation is route-sized and broadcast. Decimal-exact
     folds keep the means engine-portable."""
     from .hourly import delay_hourly
 
     x = F.col("avg_delay_seconds")
     base = delay_hourly(spark, sf_dir).filter(x.isNotNull())
-    seas = base.groupBy(
+    buckets = base.groupBy(
         "route_id", F.hour("hour_ts").alias("hour_of_day")
     ).agg(
         F.count(F.lit(1)).alias("n_hours"),
-        davg(x, 6).alias("seasonal_mean"),
+        F.sum(x.cast("decimal(28,6)")).alias("sx"),
     )
-    rm = base.groupBy("route_id").agg(davg(x, 6).alias("route_mean"))
+    wroute = Window.partitionBy("route_id")
     return (
-        seas.join(F.broadcast(rm), "route_id")
+        buckets.withColumn(
+            "seasonal_mean",
+            pround(F.col("sx").cast("double") / F.col("n_hours"), 6),
+        )
+        .withColumn(
+            "route_mean",
+            pround(
+                F.sum("sx").over(wroute).cast("double")
+                / F.sum("n_hours").over(wroute),
+                6,
+            ),
+        )
         .withColumn(
             "seasonal_index",
             pround(F.col("seasonal_mean") - F.col("route_mean"), 6),

@@ -1,0 +1,72 @@
+"""Plan-shape regression guard: shuffle budgets for representative
+operators. Every Exchange is a cluster-wide data movement; a code
+change that silently adds one to a headline operator is a 100 TB
+regression even when results stay correct. Budgets are the measured
+counts of the current plans (pre-AQE analysis plans, deterministic) —
+a failure here means the plan got MORE shuffle-y and either the change
+or the budget must be justified.
+
+Counts are `Exchange hash/range/Single` nodes in the executed-plan
+string; broadcast exchanges are free (dims) and not counted.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from big_data_project_spark.registry import QUERIES
+
+from tests.conftest import SF_DIR
+
+SHUFFLE_BUDGETS = {
+    # relational / rollup tier
+    "q1_pricing_summary": 1,
+    "q5_supplier_volume": 1,
+    "kpi_hourly": 8,
+    "suggestions": 8,
+    "headway_hourly": 2,
+    # LLM-pipeline tier
+    "dedup_minhash_lsh": 5,
+    "dedup_exact": 1,
+    "ann_cosine_topk": 1,
+    "token_count": 0,
+    "tfidf_top_terms": 8,
+    "dedup_incremental": 18,  # includes the whole persisted LSH pipeline
+    "train_test_split": 9,  # analysis-time; the (h, split) agg is persisted
+    "lang_rebalance_sample": 5,
+    "sequence_packing_bins": 3,
+    "gopher_rule_flags": 3,
+    "countmin_heavy_hitters": 4,
+    # behavior tier
+    "funnel_conversion": 3,
+    "funnel_conversion_lag": 3,
+    # +1 over the cold-plan count: when another test has already
+    # persisted the shared user-day relation, the InMemoryTableScan
+    # substitution costs one extra exchange on that (small) relation
+    "retention_cohorts": 7,
+    "dau_rolling_wau": 7,
+    "event_transition_matrix": 4,
+    "split_balance_audit": 3,
+    # time-series tier
+    "delay_seasonal_profile": 4,
+}
+
+
+def _shuffles(spark, df) -> int:
+    # formatted explain: numbered operator headers only, so the
+    # serialized inner plan of a cached relation can't inflate counts
+    plan = spark.sparkContext._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    return len(re.findall(r"^\(\d+\) Exchange\b", plan, re.MULTILINE))
+
+
+@pytest.mark.parametrize("name", sorted(SHUFFLE_BUDGETS))
+def test_shuffle_budget(spark, name):
+    n = _shuffles(spark, QUERIES[name](spark, SF_DIR))
+    assert n <= SHUFFLE_BUDGETS[name], (
+        f"{name}: {n} shuffles exceeds budget {SHUFFLE_BUDGETS[name]} — "
+        "the plan regressed (or justify the new budget here)"
+    )

@@ -47,6 +47,13 @@ ANALYTICS_VIEWS = (
     "delay_anomaly_hours",
     "delay_cusum_changepoint",
     "headway_regularity",
+    "delay_seasonal_profile",
+    # round-4 product-analytics tier over the events stream (the
+    # funnel/retention dashboard surface)
+    "funnel_conversion",
+    "retention_cohorts",
+    "dau_rolling_wau",
+    "event_transition_matrix",
 )
 
 

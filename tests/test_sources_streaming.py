@@ -325,6 +325,22 @@ def test_sql_view_surface(spark):
         """SELECT count(*) AS n FROM delay_cusum_changepoint c
            JOIN headway_regularity h USING (route_id)"""
     ).head()["n"] > 0
+    # product-analytics tier: funnel/retention dashboard views
+    funnel = spark.sql(
+        "SELECT * FROM funnel_conversion ORDER BY stage"
+    ).collect()
+    assert [r["stage"] for r in funnel] == [1, 2, 3]
+    assert spark.sql(
+        """SELECT count(*) AS n FROM retention_cohorts
+           WHERE day_offset = 0 AND retention = 1.0"""
+    ).head()["n"] > 0
+    assert spark.sql(
+        "SELECT count(*) AS n FROM dau_rolling_wau WHERE dau > wau"
+    ).head()["n"] == 0
+    assert spark.sql(
+        """SELECT count(*) AS n FROM event_transition_matrix
+           WHERE prob < 0 OR prob > 1"""
+    ).head()["n"] == 0
 
 
 def test_stream_interval_join(spark, tmp_path):

@@ -308,10 +308,10 @@ ORACLES = {
         spine(stage, stage_name) AS (VALUES {_STAGE_SPINE}),
         cum AS (
           SELECT s.stage, s.stage_name,
-                 sum(coalesce(c.n_at_stage, 0))
+                 CAST(sum(coalesce(c.n_at_stage, 0))
                    OVER (ORDER BY s.stage DESC
                          ROWS BETWEEN UNBOUNDED PRECEDING
-                         AND CURRENT ROW) AS n_users
+                         AND CURRENT ROW) AS BIGINT) AS n_users
           FROM spine s LEFT JOIN counts c ON s.stage = c.stage
         )
         SELECT stage, stage_name, n_users,

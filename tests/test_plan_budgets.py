@@ -54,6 +54,20 @@ SHUFFLE_BUDGETS = {
 }
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _cold_plans(spark):
+    """Budgets are COLD-plan counts. Relations persisted by earlier test
+    modules substitute InMemoryTableScan into these plans, and the cached
+    relations' statistics can flip broadcast joins to shuffle joins
+    (kpi_hourly/suggestions measured 8 cold vs 12 with the rollup tier
+    cached) — so clear every cache before measuring. Later tests that
+    reuse persisted relations simply re-persist on first action."""
+    from big_data_project_spark.caching import release_caches
+
+    release_caches()
+    spark.catalog.clearCache()
+
+
 def _shuffles(spark, df) -> int:
     # formatted explain: numbered operator headers only, so the
     # serialized inner plan of a cached relation can't inflate counts

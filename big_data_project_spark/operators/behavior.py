@@ -247,12 +247,71 @@ def funnel_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def interevent_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two histogram of per-user inter-event gaps (seconds) —
+    the distribution a sessionization threshold is READ from (the
+    session gap should sit in the valley between the in-session and
+    between-session modes; streaming/pipeline.py's 30-min gap is the
+    classic choice). Gap = seconds between consecutive events of the
+    same user (event-time order, event_id tie-break); same-second
+    events land in bucket 0.
+
+    Portability: the bucket is floor(log2(max(gap_s, 1))) computed as
+    length(bin(x)) - 1 — pure integer/string ops, no float log that
+    could straddle a bucket edge differently per engine (same policy as
+    curation.doc_length_histogram).
+
+    Scale: one exchange — the lag window and nothing else shuffles the
+    events; the histogram aggregate's map-side partials reduce each
+    partition to at most ~40 bucket rows, and the share denominator is
+    a 1-row broadcast."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(
+        F.lag("ts").over(w)
+    )
+    gaps = (
+        ev.withColumn("gap_us", gap_us)
+        .filter(F.col("gap_us").isNotNull())
+        .select(
+            F.floor(F.col("gap_us") / F.lit(1_000_000.0))
+            .cast("long")
+            .alias("gap_s")
+        )
+    )
+    bucket = (
+        F.length(F.bin(F.greatest(F.col("gap_s"), F.lit(1)))) - 1
+    ).alias("log2_bucket_s")
+    hist = gaps.groupBy(bucket).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.min("gap_s").alias("min_gap_s"),
+        F.max("gap_s").alias("max_gap_s"),
+    )
+    total = hist.agg(F.sum("n_gaps").alias("total_gaps"))
+    return (
+        hist.crossJoin(F.broadcast(total))
+        .select(
+            "log2_bucket_s",
+            "n_gaps",
+            "min_gap_s",
+            "max_gap_s",
+            pround(F.col("n_gaps") / F.col("total_gaps"), 6).alias(
+                "share"
+            ),
+        )
+        .orderBy("log2_bucket_s")
+    )
+
+
 QUERIES = {
     "funnel_conversion": funnel_conversion,
     "retention_cohorts": retention_cohorts,
     "dau_rolling_wau": dau_rolling_wau,
     "event_transition_matrix": event_transition_matrix,
     "funnel_conversion_lag": funnel_conversion_lag,
+    "interevent_gap_histogram": interevent_gap_histogram,
 }
 
 # Shared per-user funnel CTE: fv = first view; fc = first click after
@@ -387,5 +446,29 @@ ORACLES = {
         WHERE fp IS NOT NULL
         GROUP BY CAST(fv AS DATE)
         ORDER BY cohort_day
+    """,
+    "interevent_gap_histogram": f"""
+        WITH g AS (
+          SELECT epoch_us(ts) - epoch_us(lag(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                 )) AS gap_us
+          FROM events
+        ),
+        s AS (
+          SELECT gap_us // 1000000 AS gap_s
+          FROM g WHERE gap_us IS NOT NULL
+        ),
+        h AS (
+          SELECT length(bin(greatest(gap_s, 1))) - 1 AS log2_bucket_s,
+                 count(*) AS n_gaps,
+                 min(gap_s) AS min_gap_s,
+                 max(gap_s) AS max_gap_s
+          FROM s GROUP BY 1
+        ),
+        t AS (SELECT CAST(sum(n_gaps) AS BIGINT) AS total_gaps FROM h)
+        SELECT log2_bucket_s, n_gaps, min_gap_s, max_gap_s,
+               {sql_pround('n_gaps::DOUBLE / total_gaps', 6)} AS share
+        FROM h CROSS JOIN t
+        ORDER BY log2_bucket_s
     """,
 }

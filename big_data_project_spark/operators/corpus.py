@@ -40,6 +40,10 @@ VOCAB_SIZES = (100, 1000, 10000)
 # the "incoming batch"; the rest are the already-ingested base corpus.
 INC_MOD = 7
 INC_REM = 3
+# Collocation audit: bigrams must occur at least this often to be PMI-
+# ranked (raw PMI is maximized by one-off pairs), report the top K.
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 25
 
 
 def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -363,6 +367,78 @@ def shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def token_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: the top-K token bigrams by pointwise mutual
+    information, PMI = ln(p(ab) / (p(a)·p(b))) with p(ab) over the
+    bigram stream and p(a), p(b) over the unigram stream, restricted to
+    bigrams seen >= PMI_MIN_COUNT times (raw PMI is maximized by
+    hapaxes). High-PMI pairs are the multi-word expressions a tokenizer
+    or phrase-mining pass should treat as units — the standard
+    collocation audit (Church & Hanks 1990) run before building a
+    vocabulary.
+
+    Determinism: PMI is one fixed double expression over four integer
+    counts (identical in both engines); ranking orders by the ROUNDED
+    pmi with the bigram string as tie-break, so the top-K cut is
+    engine-portable.
+
+    Scale: one corpus-scale aggregate per stream (unigram counts,
+    bigram counts — both with map-side partial aggregation); the
+    PMI join runs on the bigram-VOCABULARY relation (already filtered
+    to cnt >= PMI_MIN_COUNT, so the hash joins against the unigram
+    vocabulary are post-threshold-sized), totals are 1-row broadcasts,
+    and the final top-K compiles to TakeOrderedAndProject — no
+    full-relation sort."""
+    docs = load_table_spread(spark, sf_dir, "documents", "doc_id")
+    uni = (
+        docs.select(
+            F.explode(F.split(_norm(F.col("text")), " ")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    uni = _persisted(uni)
+    total_uni = uni.agg(F.sum("cnt").alias("total_uni"))
+    bg = docs.select(F.explode(_bigram_arr(F.col("text"))).alias("bg"))
+    bic = _persisted(
+        bg.groupBy("bg").agg(F.count(F.lit(1)).alias("cnt_ab"))
+    )
+    total_bi = bic.agg(F.sum("cnt_ab").alias("total_bi"))
+    parts = F.split(F.col("bg"), " ")
+    a = uni.select(
+        F.col("tok").alias("w1"), F.col("cnt").alias("cnt_a")
+    )
+    b = uni.select(
+        F.col("tok").alias("w2"), F.col("cnt").alias("cnt_b")
+    )
+    pmi = F.log(
+        (F.col("cnt_ab").cast("double") / F.col("total_bi"))
+        / (
+            (F.col("cnt_a").cast("double") / F.col("total_uni"))
+            * (F.col("cnt_b").cast("double") / F.col("total_uni"))
+        )
+    )
+    return (
+        bic.filter(F.col("cnt_ab") >= PMI_MIN_COUNT)
+        .withColumn("w1", parts[0])
+        .withColumn("w2", parts[1])
+        .join(a, "w1")
+        .join(b, "w2")
+        .crossJoin(F.broadcast(total_uni))
+        .crossJoin(F.broadcast(total_bi))
+        .select(
+            F.col("bg").alias("bigram"),
+            "cnt_ab",
+            "cnt_a",
+            "cnt_b",
+            pround(pmi, 6).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "bigram")
+        .limit(PMI_TOP_K)
+    )
+
+
 QUERIES = {
     "lm_bigram_logprob": lm_bigram_logprob,
     "shingle_novelty": shingle_novelty,
@@ -372,6 +448,7 @@ QUERIES = {
     "cross_source_dup_matrix": cross_source_dup_matrix,
     "chunk_dup_rate": chunk_dup_rate,
     "dedup_method_agreement": dedup_method_agreement,
+    "token_pmi_bigrams": token_pmi_bigrams,
 }
 
 _SQL_TOKENS = f"""
@@ -531,5 +608,28 @@ ORACLES = {
                    '(count(*) FILTER (WHERE in_m AND in_s))::DOUBLE '
                    '/ count(*)', 6)} AS method_jaccard
         FROM j
+    """,
+    "token_pmi_bigrams": f"""
+        WITH t AS ({_SQL_TOKENS}),
+        uni AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok),
+        tu AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_uni FROM uni),
+        bg AS ({_SQL_BIGRAMS}),
+        bic AS (SELECT bg AS g, count(*) AS cnt_ab FROM bg GROUP BY bg),
+        tb AS (
+          SELECT CAST(sum(cnt_ab) AS BIGINT) AS total_bi FROM bic
+        )
+        SELECT g AS bigram, cnt_ab,
+               a.cnt AS cnt_a, b.cnt AS cnt_b,
+               {sql_pround(
+                   'ln((cnt_ab::DOUBLE / total_bi) / '
+                   '((a.cnt::DOUBLE / total_uni) '
+                   '* (b.cnt::DOUBLE / total_uni)))', 6)} AS pmi
+        FROM bic
+        CROSS JOIN tu CROSS JOIN tb
+        JOIN uni a ON string_split(g, ' ')[1] = a.tok
+        JOIN uni b ON string_split(g, ' ')[2] = b.tok
+        WHERE cnt_ab >= {PMI_MIN_COUNT}
+        ORDER BY pmi DESC, bigram
+        LIMIT {PMI_TOP_K}
     """,
 }

@@ -214,11 +214,63 @@ def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution drift: KL(p_source || p_corpus) over the
+    token unigram distribution — KL = Σ_t (c_st/N_s)·ln((c_st/N_s) /
+    (c_t/N)). The source-mixture audit a pretraining pipeline reads to
+    spot a crawl slice whose language statistics drifted from the
+    corpus (template spam, encoding breakage, topic collapse); KL is
+    always finite here because every source token is by construction in
+    the corpus distribution.
+
+    Determinism: each addend is one fixed double expression over four
+    integer counts (identical in both engines), summed as
+    DECIMAL(28,6) so accumulation order cannot flip the rounded digit.
+
+    Scale: ONE corpus-scale shuffle — the (source, tok) aggregate; the
+    corpus token counts regroup that vocabulary-sized relation, the
+    per-source totals are a sources-sized broadcast, and the scoring
+    join is a hash equi-join on the token over vocabulary-sized
+    relations."""
+    docs = load_table_spread(spark, sf_dir, "documents", "doc_id")
+    st = (
+        docs.select(
+            "source",
+            F.explode(F.split(_norm(F.col("text")), " ")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c_st"))
+    )
+    from ..caching import persisted
+
+    st = persisted(st)
+    corpus_cnt = st.groupBy("tok").agg(F.sum("c_st").alias("c_t"))
+    src_tot = st.groupBy("source").agg(F.sum("c_st").alias("n_s"))
+    grand = src_tot.agg(F.sum("n_s").alias("n_total"))
+    p_s = F.col("c_st").cast("double") / F.col("n_s")
+    p_c = F.col("c_t").cast("double") / F.col("n_total")
+    addend = (p_s * F.log(p_s / p_c)).cast("decimal(28,6)")
+    return (
+        st.join(corpus_cnt, "tok")
+        .join(F.broadcast(src_tot), "source")
+        .crossJoin(F.broadcast(grand))
+        .groupBy("source")
+        .agg(
+            F.max("n_s").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct_tokens"),
+            pround(F.sum(addend).cast("double"), 6).alias("kl_nats"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "doc_token_entropy": doc_token_entropy,
     "winnowing_fingerprint": winnowing_fingerprint,
     "zipf_slope": zipf_slope,
     "dedup_cluster_sizes": dedup_cluster_sizes,
+    "source_token_kl": source_token_kl,
 }
 
 _SQL_DOC_TOKENS = f"""
@@ -318,5 +370,41 @@ ORACLES = {
         ) s
         GROUP BY cluster_size
         ORDER BY cluster_size
+    """,
+    "source_token_kl": f"""
+        WITH t AS (
+          SELECT source, tok
+          FROM (SELECT source,
+                       unnest(string_split({_SQL_NORM}, ' ')) AS tok
+                FROM documents) u
+          WHERE tok != ''
+        ),
+        st AS (
+          SELECT source, tok, count(*) AS c_st
+          FROM t GROUP BY source, tok
+        ),
+        ct AS (
+          SELECT tok, CAST(sum(c_st) AS BIGINT) AS c_t
+          FROM st GROUP BY tok
+        ),
+        ns AS (
+          SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s
+          FROM st GROUP BY source
+        ),
+        g AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_total FROM ns)
+        SELECT st.source,
+               max(n_s) AS n_tokens,
+               count(*) AS n_distinct_tokens,
+               {sql_pround(
+                   '(sum(((c_st::DOUBLE / n_s) '
+                   '* ln((c_st::DOUBLE / n_s) '
+                   '/ (c_t::DOUBLE / n_total)))::DECIMAL(28,6)))'
+                   '::DOUBLE', 6)} AS kl_nats
+        FROM st
+        JOIN ct ON st.tok = ct.tok
+        JOIN ns ON st.source = ns.source
+        CROSS JOIN g
+        GROUP BY st.source
+        ORDER BY st.source
     """,
 }

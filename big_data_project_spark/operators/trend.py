@@ -27,6 +27,7 @@ from .hourly import SQL_DELAY, delay_hourly
 
 CUSUM_MIN_HOURS = 5
 REGULAR_MIN_HOURS = 5
+CORR_MIN_HOURS = 5
 _VAR_FLOOR = 1e-12
 
 
@@ -122,9 +123,62 @@ def headway_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def delay_headway_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-route Pearson correlation between hourly average delay and
+    hourly average headway — the cross-KPI diagnostic behind the
+    suggestion engine's intuition (delays stretch gaps between
+    vehicles; a route where the two do NOT correlate has a different
+    problem than congestion). Runs on the two shared (route x hour)
+    rollups joined by key; routes need CORR_MIN_HOURS joint hours and
+    nonzero variance on both axes (else corr is NULL).
+
+    Determinism: x and y are already 4-dp rounded rollup values; the
+    five moment sums are decimal-exact folds and the closed-form corr
+    is one fixed double expression over them."""
+    d = delay_hourly(spark, sf_dir).filter(
+        F.col("avg_delay_seconds").isNotNull()
+    )
+    h = headway_hourly(spark, sf_dir).filter(
+        F.col("avg_headway_min").isNotNull()
+    )
+    j = d.join(h, ["route_id", "hour_ts"])
+    x = F.col("avg_delay_seconds")
+    y = F.col("avg_headway_min")
+
+    def dec(c):
+        return F.sum(c.cast("decimal(28,6)")).cast("double")
+
+    agg = j.groupBy("route_id").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        dec(x).alias("sx"),
+        dec(y).alias("sy"),
+        dec(x * x).alias("sxx"),
+        dec(y * y).alias("syy"),
+        dec(x * y).alias("sxy"),
+    )
+    n = F.col("n_hours")
+    cov_n = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx_n = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary_n = n * F.col("syy") - F.col("sy") * F.col("sy")
+    corr = F.when(
+        (varx_n > 0) & (vary_n > 0),
+        cov_n / F.sqrt(varx_n * vary_n),
+    )
+    return (
+        agg.filter(n >= CORR_MIN_HOURS)
+        .select(
+            "route_id",
+            "n_hours",
+            pround(corr, 6).alias("delay_headway_corr"),
+        )
+        .orderBy("route_id")
+    )
+
+
 QUERIES = {
     "delay_cusum_changepoint": delay_cusum_changepoint,
     "headway_regularity": headway_regularity,
+    "delay_headway_corr": delay_headway_corr,
 }
 
 ORACLES = {
@@ -184,6 +238,41 @@ ORACLES = {
                    '/ (sx / n_hours)', 4)} AS cv_headway
         FROM s
         WHERE n_hours >= {REGULAR_MIN_HOURS} AND sx / n_hours > 0
+        ORDER BY route_id
+    """,
+    "delay_headway_corr": f"""
+        WITH d AS (
+          SELECT * FROM ({SQL_DELAY}) t
+          WHERE avg_delay_seconds IS NOT NULL
+        ),
+        h AS (
+          SELECT * FROM ({SQL_HEADWAY}) t
+          WHERE avg_headway_min IS NOT NULL
+        ),
+        j AS (
+          SELECT d.route_id,
+                 avg_delay_seconds AS x, avg_headway_min AS y
+          FROM d JOIN h USING (route_id, hour_ts)
+        ),
+        s AS (
+          SELECT route_id, count(*) AS n_hours,
+                 (sum((x)::DECIMAL(28,6)))::DOUBLE AS sx,
+                 (sum((y)::DECIMAL(28,6)))::DOUBLE AS sy,
+                 (sum((x * x)::DECIMAL(28,6)))::DOUBLE AS sxx,
+                 (sum((y * y)::DECIMAL(28,6)))::DOUBLE AS syy,
+                 (sum((x * y)::DECIMAL(28,6)))::DOUBLE AS sxy
+          FROM j GROUP BY route_id
+        )
+        SELECT route_id, n_hours,
+               CASE WHEN n_hours * sxx - sx * sx > 0
+                     AND n_hours * syy - sy * sy > 0 THEN
+                 {sql_pround(
+                     '(n_hours * sxy - sx * sy) '
+                     '/ sqrt((n_hours * sxx - sx * sx) '
+                     '* (n_hours * syy - sy * sy))', 6)}
+               END AS delay_headway_corr
+        FROM s
+        WHERE n_hours >= {CORR_MIN_HOURS}
         ORDER BY route_id
     """,
 }

@@ -126,9 +126,86 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-separation audit: cosine similarity between the per-label
+    mean embedding vectors, for every unordered label pair — near-1.0
+    pairs are classes an embedding-space classifier (or an IVF
+    partitioner keyed on labels) cannot separate. Complements
+    embedding_label_outliers (within-class spread) with the
+    between-class view.
+
+    Determinism: per-(label, dim) means are decimal-exact folds rounded
+    to 6 dp; the pair dot/norm sums then fold PRODUCTS of those rounded
+    doubles as DECIMAL(28,6), so every number is engine- and
+    order-identical.
+
+    Scale: one corpus-scale shuffle to the (label x dim)-sized centroid
+    relation; the pair join is an equi-join on dim_idx over that tiny
+    relation (|labels|^2 x dims intermediate), nowhere near the corpus.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim_idx", "x"
+        ),
+    )
+    x = F.col("x")
+    cent = exploded.groupBy("label", "dim_idx").agg(
+        F.count(F.lit(1)).alias("n_vec"),
+        pround(
+            F.sum(x.cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("m"),
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"),
+        "dim_idx",
+        F.col("m").alias("ma"),
+        F.col("n_vec").alias("n_a"),
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"),
+        "dim_idx",
+        F.col("m").alias("mb"),
+        F.col("n_vec").alias("n_b"),
+    )
+
+    def dec(c):
+        return F.sum(c.cast("decimal(28,6)")).cast("double")
+
+    agg = (
+        a.join(b, "dim_idx")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+            F.count(F.lit(1)).alias("n_dims"),
+            dec(F.col("ma") * F.col("mb")).alias("dot"),
+            dec(F.col("ma") * F.col("ma")).alias("na2"),
+            dec(F.col("mb") * F.col("mb")).alias("nb2"),
+        )
+    )
+    cosine = F.when(
+        (F.col("na2") > 0) & (F.col("nb2") > 0),
+        F.col("dot") / F.sqrt(F.col("na2") * F.col("nb2")),
+    )
+    return agg.select(
+        "label_a",
+        "label_b",
+        "n_a",
+        "n_b",
+        "n_dims",
+        pround(cosine, 6).alias("centroid_cosine"),
+    ).orderBy("label_a", "label_b")
+
+
 QUERIES = {
     "embedding_quantize_audit": embedding_quantize_audit,
     "embedding_dim_stats": embedding_dim_stats,
+    "label_centroid_similarity": label_centroid_similarity,
 }
 
 _SQL_E = "list_transform(embedding, x -> x::DOUBLE)"
@@ -197,5 +274,37 @@ ORACLES = {
                    6)} AS std_val
         FROM s
         ORDER BY dim_idx
+    """,
+    "label_centroid_similarity": f"""
+        WITH x AS (
+          SELECT label,
+                 unnest(range(0, len(embedding))) AS dim_idx,
+                 unnest({_SQL_E}) AS x
+          FROM embeddings
+        ),
+        cent AS (
+          SELECT label, dim_idx, count(*) AS n_vec,
+                 {sql_pround(
+                     '(sum((x)::DECIMAL(28,6)))::DOUBLE / count(*)',
+                     6)} AS m
+          FROM x GROUP BY label, dim_idx
+        ),
+        s AS (
+          SELECT a.label AS label_a, b.label AS label_b,
+                 max(a.n_vec) AS n_a, max(b.n_vec) AS n_b,
+                 count(*) AS n_dims,
+                 (sum((a.m * b.m)::DECIMAL(28,6)))::DOUBLE AS dot,
+                 (sum((a.m * a.m)::DECIMAL(28,6)))::DOUBLE AS na2,
+                 (sum((b.m * b.m)::DECIMAL(28,6)))::DOUBLE AS nb2
+          FROM cent a
+          JOIN cent b ON a.dim_idx = b.dim_idx AND a.label < b.label
+          GROUP BY a.label, b.label
+        )
+        SELECT label_a, label_b, n_a, n_b, n_dims,
+               CASE WHEN na2 > 0 AND nb2 > 0 THEN
+                 {sql_pround('dot / sqrt(na2 * nb2)', 6)}
+               END AS centroid_cosine
+        FROM s
+        ORDER BY label_a, label_b
     """,
 }

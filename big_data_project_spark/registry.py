@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from .operators import (
     alerts,
     behavior,
+    bloom,
     corpus,
     corpus_stats,
     curation,
@@ -66,6 +67,7 @@ _MODULES = [
     vectorops,
     behavior,
     quality,
+    bloom,
     # --- r01 cohort: newest driver evidence is CORRECTNESS_r01 ---
     hourly,
     headway,
@@ -119,6 +121,7 @@ _PROMOTED = [
     "delay_seasonal_profile",
     "lang_rebalance_sample",
     "sequence_packing_bins",
+    "token_pmi_bigrams",
 ]
 _missing = [k for k in _PROMOTED if k not in QUERIES]
 if _missing:

@@ -1,0 +1,162 @@
+"""Round-4 second batch: PMI collocations, per-source KL drift, the
+Bloom membership audit, delay/headway correlation, label-centroid
+similarity, and the inter-event gap histogram. Semantic tests on
+planted micro-corpora plus invariants at sf0.001 (the oracle parity
+suite covers value-level correctness separately)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from big_data_project_spark.catalog import load_table
+from big_data_project_spark.operators import (
+    behavior,
+    bloom,
+    corpus,
+    corpus_stats,
+    trend,
+    vectorops,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _write_docs(spark, tmp_path, rows, name="docs"):
+    """rows = [(doc_id, text, source)] -> a sf_dir with documents.parquet
+    in the full documents schema."""
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).select(
+        "doc_id",
+        "text",
+        F.lit("en").alias("lang"),
+        "source",
+        F.length("text").alias("n_chars"),
+    )
+    d = str(tmp_path / name)
+    df.write.parquet(str(tmp_path / name / "documents.parquet"))
+    return d
+
+
+def test_pmi_ranks_planted_collocation_first(spark, tmp_path):
+    """Tokens that ONLY ever appear together must out-PMI tokens that
+    co-occur incidentally among an independent background."""
+    # "aa bb" appears 6 times, and aa/bb never occur apart; filler
+    # tokens x0..x3 pair arbitrarily and each also occurs alone often.
+    filler = "x0 x1 x2 x3 x0 x2 x1 x3 x0 x3 x1 x2"
+    rows = [
+        (i, f"aa bb {filler}", "s1") for i in range(1, 7)
+    ]
+    d = _write_docs(spark, tmp_path, rows)
+    out = corpus.token_pmi_bigrams(spark, d).collect()
+    assert out, "bigrams above the count threshold must exist"
+    assert out[0]["bigram"] == "aa bb"
+    # PMI of the exclusive pair must strictly exceed every filler pair
+    top = out[0]["pmi"]
+    assert all(
+        r["pmi"] < top for r in out[1:] if r["bigram"] != "aa bb"
+    )
+
+
+def test_source_kl_zero_iff_identical_distribution(spark, tmp_path):
+    """Two sources with identical token distributions -> KL == 0 for
+    both; a third drifted source -> strictly positive KL."""
+    base = "tok1 tok2 tok3 tok4"
+    rows = (
+        [(i, base, "same_a") for i in range(1, 4)]
+        + [(10 + i, base, "same_b") for i in range(1, 4)]
+        + [(20, "zz zz zz zz zz zz zz zz", "drift")]
+    )
+    d = _write_docs(spark, tmp_path, rows)
+    kl = {
+        r["source"]: r["kl_nats"]
+        for r in corpus_stats.source_token_kl(spark, d).collect()
+    }
+    # identical sources still differ from the BLENDED corpus (which
+    # includes the drifted source), so compare them to each other and
+    # require the drifted source to be the clear outlier
+    assert kl["same_a"] == kl["same_b"]
+    assert kl["drift"] > kl["same_a"] > 0
+
+
+def test_bloom_audit_no_false_negatives(spark):
+    """Bloom contract: positives = true members + false positives
+    exactly (a member can never probe negative), rates are in range,
+    and the bit count never exceeds the array size."""
+    row = bloom.bloom_dedup_audit(spark, SF_DIR).collect()[0]
+    assert row["n_bloom_positive"] == (
+        row["n_true_member"] + row["n_false_positive"]
+    )
+    assert 0 < row["n_bits_set"] <= bloom.M_BITS
+    assert 0.0 < row["fill_ratio"] <= 1.0
+    if row["n_batch"] > row["n_true_member"]:
+        assert 0.0 <= row["fp_rate"] <= 1.0
+
+
+def test_bloom_planted_duplicate_is_member(spark, tmp_path):
+    """A batch doc whose text equals a base doc must count as a true
+    member and probe positive; a unique batch doc must not be a
+    member."""
+    # doc_id % 7 == 3 -> batch; others -> base. 3 duplicates 1.
+    rows = [
+        (1, "the quick brown fox", "s"),
+        (2, "totally different base text", "s"),
+        (3, "the quick brown fox", "s"),  # batch, dup of base 1
+        (10, "a unique incoming document", "s"),  # 10 % 7 = 3, unique
+    ]
+    d = _write_docs(spark, tmp_path, rows)
+    row = bloom.bloom_dedup_audit(spark, d).collect()[0]
+    assert row["n_batch"] == 2
+    assert row["n_true_member"] == 1
+    assert row["n_bloom_positive"] >= 1  # the member MUST be positive
+
+
+def test_delay_headway_corr_bounds(spark):
+    rows = trend.delay_headway_corr(spark, SF_DIR).collect()
+    assert rows, "sf0.001 has routes with joint hours"
+    for r in rows:
+        assert r["n_hours"] >= trend.CORR_MIN_HOURS
+        if r["delay_headway_corr"] is not None:
+            assert -1.0 <= r["delay_headway_corr"] <= 1.0
+
+
+def test_label_centroid_similarity_shape(spark):
+    """Every unordered label pair exactly once, cosines in [-1, 1],
+    and the per-label vector counts must sum consistently with the
+    embeddings table."""
+    out = vectorops.label_centroid_similarity(spark, SF_DIR).collect()
+    emb = load_table(spark, SF_DIR, "embeddings")
+    labels = sorted(
+        r["label"] for r in emb.select("label").distinct().collect()
+    )
+    n = len(labels)
+    assert len(out) == n * (n - 1) // 2
+    sizes = {
+        r["label"]: r["cnt"]
+        for r in emb.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    for r in out:
+        assert r["label_a"] < r["label_b"]
+        assert r["n_a"] == sizes[r["label_a"]]
+        assert r["n_b"] == sizes[r["label_b"]]
+        if r["centroid_cosine"] is not None:
+            assert -1.0 <= r["centroid_cosine"] <= 1.000001
+
+
+def test_interevent_gap_histogram_totals(spark):
+    """Gaps = events - users-with-events (each user contributes
+    n_events - 1 gaps) and the shares sum to 1."""
+    out = behavior.interevent_gap_histogram(spark, SF_DIR).collect()
+    ev = load_table(spark, SF_DIR, "events")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r["n_gaps"] for r in out) == n_events - n_users
+    assert abs(sum(r["share"] for r in out) - 1.0) < 1e-3
+    for r in out:
+        lo, hi = r["min_gap_s"], r["max_gap_s"]
+        assert lo <= hi
+        # bucket bounds: floor(log2(max(gap, 1))) is the bucket index
+        b = r["log2_bucket_s"]
+        assert max(lo, 1) >> b == 1 and max(hi, 1) >> b == 1

@@ -61,6 +61,10 @@ R4_HEADLINE = [
     # funnel and the map-side Gopher rule audit
     "funnel_conversion",
     "gopher_rule_flags",
+    # round-4 second batch: the two corpus-scale additions (the PMI
+    # join pipeline and the Bloom probe join)
+    "token_pmi_bigrams",
+    "bloom_dedup_audit",
 ]
 HEADLINE = R2_HEADLINE + R3_HEADLINE + R4_HEADLINE
 _R2_KEYS = frozenset(R2_HEADLINE)

@@ -49,38 +49,55 @@ def embedding_quantize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     reconstruction — the numbers that decide whether an index can serve
     int8 (cos ~0.999+) or must stay float."""
     emb = load_table(spark, sf_dir, "embeddings")
-    e = F.col("embedding").cast("array<double>")
-    max_abs = F.array_max(F.transform(e, lambda x: F.abs(x)))
-    scale = F.greatest(max_abs, F.lit(_EPS)) / F.lit(float(QBITS_MAX))
-
-    def recon(x: Column) -> Column:
-        """Dequantized value of one element (clamp∘round∘scale)."""
-        return (
-            F.greatest(
-                F.lit(-float(QBITS_MAX)),
-                F.least(
-                    F.lit(float(QBITS_MAX)),
-                    F.floor(x / scale + F.lit(0.5)).cast("double"),
-                ),
-            )
-            * scale
-        )
-
-    sq_err = _fold_sum(
-        F.transform(e, lambda x: (x - recon(x)) * (x - recon(x)))
+    # Stage e -> scale -> rec as materialized columns: inlining `scale`
+    # (which embeds an array_max over the whole vector) into a per-
+    # element lambda makes every element recompute the max — O(d^2) per
+    # vector per consumer expression. Catalyst's CollapseProject keeps
+    # multiply-referenced non-trivial aliases as separate projections,
+    # so each array below is computed exactly once per row.
+    staged = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    max_err = F.array_max(F.transform(e, lambda x: F.abs(x - recon(x))))
-    dot = _fold_sum(F.transform(e, lambda x: x * recon(x)))
-    norm_e = F.sqrt(_fold_sum(F.transform(e, lambda x: x * x)))
+    max_abs = F.array_max(F.transform(F.col("e"), lambda x: F.abs(x)))
+    staged = staged.withColumn(
+        "scale",
+        F.greatest(max_abs, F.lit(_EPS)) / F.lit(float(QBITS_MAX)),
+    )
+    s = F.col("scale")
+    rec = F.transform(
+        F.col("e"),
+        lambda x: F.greatest(
+            F.lit(-float(QBITS_MAX)),
+            F.least(
+                F.lit(float(QBITS_MAX)),
+                F.floor(x / s + F.lit(0.5)).cast("double"),
+            ),
+        )
+        * s,
+    )
+    staged = staged.withColumn("rec", rec)
+    err2 = F.zip_with(
+        F.col("e"), F.col("rec"), lambda a, b: (a - b) * (a - b)
+    )
+    sq_err = _fold_sum(err2)
+    max_err = F.array_max(
+        F.zip_with(F.col("e"), F.col("rec"), lambda a, b: F.abs(a - b))
+    )
+    dot = _fold_sum(
+        F.zip_with(F.col("e"), F.col("rec"), lambda a, b: a * b)
+    )
+    norm_e = F.sqrt(
+        _fold_sum(F.transform(F.col("e"), lambda x: x * x))
+    )
     norm_r = F.sqrt(
-        _fold_sum(F.transform(e, lambda x: recon(x) * recon(x)))
+        _fold_sum(F.transform(F.col("rec"), lambda x: x * x))
     )
     return (
-        emb.select(
+        staged.select(
             "vec_id",
-            F.size(e).alias("dim"),
-            pround(scale, 9).alias("scale"),
-            pround(F.sqrt(sq_err / F.size(e)), 9).alias("rmse"),
+            F.size("e").alias("dim"),
+            pround(s, 9).alias("scale"),
+            pround(F.sqrt(sq_err / F.size("e")), 9).alias("rmse"),
             pround(max_err, 9).alias("max_abs_err"),
             pround(
                 dot / F.greatest(norm_e * norm_r, F.lit(_EPS)), 6

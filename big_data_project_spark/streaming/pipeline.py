@@ -31,6 +31,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
     TimestampType,
@@ -523,6 +524,80 @@ def stream_funnel(sdf: DataFrame) -> DataFrame:
 def stream_funnel_from_dir(spark: SparkSession, events_dir: str) -> DataFrame:
     src = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
     return stream_funnel(src)
+
+
+_TRANSITION_OUT = StructType(
+    [
+        StructField("from_type", StringType()),
+        StructField("to_type", StringType()),
+        StructField("n", LongType()),
+    ]
+)
+
+# last event seen per user: (epoch micros, event_id, event_type) —
+# O(1) state, sharded on user_id like the funnel twin
+_TRANSITION_STATE = StructType(
+    [
+        StructField("last_ts", LongType()),
+        StructField("last_event_id", LongType()),
+        StructField("last_type", StringType()),
+    ]
+)
+
+
+def _transition_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user transition emitter: applies the batch's events in
+    event-time order (event_id tie-break), emitting one pre-aggregated
+    (from_type, to_type, n) row set per batch. The ONLY state is the
+    last event seen — transitions spanning a batch boundary are counted
+    because the state seeds the first pair of the next batch.
+
+    Cross-batch caveat (same class as stream_funnel): an event arriving
+    in a later batch with an earlier timestamp than the consumed prefix
+    is sequenced after it, so batch-equivalence holds for feeds ordered
+    across batches — what a watermarked event-time source delivers."""
+    del key  # transitions are keyed downstream by (from, to)
+    last = state.get if state.exists else (None, None, None)
+    _last_ts, _last_eid, last_type = last
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    if not pdf.empty:
+        pdf = pdf.sort_values(["ts", "event_id"])
+    counts: dict[tuple[str, str], int] = {}
+    for ts, eid, et in zip(pdf["ts"], pdf["event_id"], pdf["event_type"]):
+        if last_type is not None:
+            pair = (last_type, et)
+            counts[pair] = counts.get(pair, 0) + 1
+        _last_ts, _last_eid, last_type = int(ts.value // 1000), int(eid), et
+    state.update((_last_ts, _last_eid, last_type))
+    if counts:
+        yield pd.DataFrame(
+            [(a, b, n) for (a, b), n in sorted(counts.items())],
+            columns=["from_type", "to_type", "n"],
+        )
+
+
+def stream_transitions(sdf: DataFrame) -> DataFrame:
+    """Streaming twin of operators/behavior.py::event_transition_matrix
+    (counts only — probabilities are a trivial batch view over the
+    served counts): emits per-batch pre-aggregated transition counts;
+    summing n per (from_type, to_type) downstream reproduces the batch
+    matrix. State is one (ts, event_id, type) triple per user."""
+    return sdf.groupBy("user_id").applyInPandasWithState(
+        _transition_fn,
+        outputStructType=_TRANSITION_OUT,
+        stateStructType=_TRANSITION_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_transitions_from_dir(
+    spark: SparkSession, events_dir: str
+) -> DataFrame:
+    src = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
+    return stream_transitions(src)
 
 
 def stream_interval_join(

@@ -54,6 +54,9 @@ ANALYTICS_VIEWS = (
     "retention_cohorts",
     "dau_rolling_wau",
     "event_transition_matrix",
+    "interevent_gap_histogram",
+    # cross-KPI diagnostic joining the two monitoring rollups
+    "delay_headway_corr",
 )
 
 

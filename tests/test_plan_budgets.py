@@ -56,15 +56,20 @@ SHUFFLE_BUDGETS = {
 
 @pytest.fixture(scope="module", autouse=True)
 def _cold_plans(spark):
-    """Budgets are COLD-plan counts. Relations persisted by earlier test
-    modules substitute InMemoryTableScan into these plans, and the cached
-    relations' statistics can flip broadcast joins to shuffle joins
-    (kpi_hourly/suggestions measured 8 cold vs 12 with the rollup tier
-    cached) — so clear every cache before measuring. Later tests that
-    reuse persisted relations simply re-persist on first action."""
+    """Budgets are COLD-SESSION plan counts. Two suite-order effects
+    perturb them otherwise: (a) relations persisted by earlier modules
+    substitute InMemoryTableScan into these plans and their statistics
+    can flip broadcast joins to shuffle joins; (b) clearing the Spark
+    cache WITHOUT resetting the rollup memo leaves shared_rollup
+    handing out unregistered handles, which inlines the rollup builds'
+    exchanges into every composite plan (kpi_hourly: 8 -> 12). So:
+    drop every cache AND the rollup memo — the next composite query
+    re-persists the tier exactly like a fresh session does."""
     from big_data_project_spark.caching import release_caches
+    from big_data_project_spark.rollups import clear_rollup_cache
 
     release_caches()
+    clear_rollup_cache()
     spark.catalog.clearCache()
 
 

@@ -160,3 +160,81 @@ def test_interevent_gap_histogram_totals(spark):
         # bucket bounds: floor(log2(max(gap, 1))) is the bucket index
         b = r["log2_bucket_s"]
         assert max(lo, 1) >> b == 1 and max(hi, 1) >> b == 1
+
+
+def test_stream_transitions_equal_batch(spark, tmp_path):
+    """Draining the whole events table through the stateful transition
+    emitter and summing counts must reproduce the batch transition
+    matrix exactly (counts per (from, to) pair)."""
+    from big_data_project_spark.streaming import pipeline
+
+    src = str(tmp_path / "trans_src")
+    load_table(spark, "/root/testdata/sf0.001", "events").write.parquet(
+        src
+    )
+    out = pipeline.run_available_now(
+        pipeline.stream_transitions_from_dir(spark, src),
+        "trans_out",
+        output_mode="append",
+    ).collect()
+    streamed = {}
+    for r in out:
+        k = (r["from_type"], r["to_type"])
+        streamed[k] = streamed.get(k, 0) + r["n"]
+    batch = {
+        (r["from_type"], r["to_type"]): r["n"]
+        for r in behavior.event_transition_matrix(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert streamed == batch
+
+
+def test_stream_transitions_state_across_batches():
+    """The boundary transition between two batches must be counted: the
+    state's last event seeds the next batch's first pair."""
+    import pandas as pd
+
+    from big_data_project_spark.streaming.pipeline import _transition_fn
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    def batch(rows):
+        pdf = pd.DataFrame(rows, columns=["event_id", "ts", "event_type"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        return pdf
+
+    st = FakeState()
+    out1 = list(
+        _transition_fn(
+            (7,),
+            iter([batch([(1, "2026-01-01 09:00:00", "view"),
+                         (2, "2026-01-01 09:05:00", "click")])]),
+            st,
+        )
+    )
+    assert len(out1) == 1
+    assert out1[0].values.tolist() == [["view", "click", 1]]
+    # batch 2 starts with the boundary pair click -> purchase
+    out2 = list(
+        _transition_fn(
+            (7,), iter([batch([(3, "2026-01-01 09:10:00", "purchase")])]),
+            st,
+        )
+    )
+    assert out2[0].values.tolist() == [["click", "purchase", 1]]
+    # an empty batch emits nothing and leaves state intact
+    out3 = list(_transition_fn((7,), iter([batch([])[0:0]]), st))
+    assert out3 == []
+    assert st.get[2] == "purchase"

@@ -306,3 +306,108 @@ def test_seasonal_profile_scale_invariant(spark, scaled_dir):
         assert scaled[k]["seasonal_index"] == pytest.approx(
             base[k]["seasonal_index"], abs=1e-4
         )
+
+
+def test_pmi_scale_invariant(spark, tmp_path):
+    """Replicating every doc 8x multiplies every unigram and bigram
+    count by 8, leaving all MLE probabilities — and therefore every PMI
+    — exactly unchanged. (On a corpus with sub-threshold bigrams the
+    CANDIDATE SET legitimately grows with scale — the absolute
+    min-count gate is the standard rare-pair guard — so invariance is
+    asserted on a corpus where every bigram already passes the gate.)"""
+    from big_data_project_spark.operators import corpus
+
+    rows = [(i, "aa bb cc dd ee ff gg hh", "s1") for i in range(1, 7)]
+
+    def write(name, mult):
+        df = spark.createDataFrame(
+            [
+                (i * mult + r, t, s)
+                for (i, t, s) in rows
+                for r in range(mult)
+            ],
+            "doc_id long, text string, source string",
+        ).select(
+            "doc_id", "text", F.lit("en").alias("lang"), "source",
+            F.length("text").alias("n_chars"),
+        )
+        d = str(tmp_path / name)
+        df.write.parquet(str(tmp_path / name / "documents.parquet"))
+        return d
+
+    base = [
+        (r["bigram"], r["pmi"])
+        for r in corpus.token_pmi_bigrams(spark, write("b", 1)).collect()
+    ]
+    scaled = [
+        (r["bigram"], r["pmi"])
+        for r in corpus.token_pmi_bigrams(
+            spark, write("s", SCALE)
+        ).collect()
+    ]
+    assert base and base == scaled
+
+
+def test_source_kl_scale_invariant(spark, scaled_docs_dir):
+    """Per-source and corpus token distributions are unchanged by
+    uniform replication, so every KL is exactly invariant (token
+    totals scale by 8)."""
+    from big_data_project_spark.operators import corpus_stats
+
+    base = {
+        r["source"]: r
+        for r in corpus_stats.source_token_kl(spark, SF_DIR).collect()
+    }
+    scaled = {
+        r["source"]: r
+        for r in corpus_stats.source_token_kl(
+            spark, scaled_docs_dir
+        ).collect()
+    }
+    assert set(base) == set(scaled)
+    for s in base:
+        assert scaled[s]["kl_nats"] == base[s]["kl_nats"]
+        assert scaled[s]["n_tokens"] == SCALE * base[s]["n_tokens"]
+
+
+def test_bloom_scale_headroom(spark, scaled_docs_dir):
+    """Replication widens the BASE split's distinct content set (every
+    content now has >= 6 of its 8 replicas outside the batch residue),
+    so the bit set can only grow — monotone in the base content set,
+    bounded by the array — and the no-false-negative contract must
+    keep holding on the 8x batch."""
+    from big_data_project_spark.operators import bloom
+
+    base = bloom.bloom_dedup_audit(spark, SF_DIR).collect()[0]
+    scaled = bloom.bloom_dedup_audit(spark, scaled_docs_dir).collect()[0]
+    assert base["n_bits_set"] <= scaled["n_bits_set"] <= bloom.M_BITS
+    assert scaled["n_bloom_positive"] == (
+        scaled["n_true_member"] + scaled["n_false_positive"]
+    )
+    # 8 consecutive replica ids cover >= 6 residues mod 7 besides the
+    # batch residue, so every batch doc's content also exists in the
+    # base split: the whole batch is true members
+    assert scaled["n_true_member"] == scaled["n_batch"]
+
+
+def test_interevent_histogram_scales_by_users(spark, scaled_dir):
+    """Replica users repeat the same event sequence, so every gap
+    bucket's count scales by 8 and the shares are invariant."""
+    from big_data_project_spark.operators import behavior
+
+    base = {
+        r["log2_bucket_s"]: r
+        for r in behavior.interevent_gap_histogram(
+            spark, SF_DIR
+        ).collect()
+    }
+    scaled = {
+        r["log2_bucket_s"]: r
+        for r in behavior.interevent_gap_histogram(
+            spark, scaled_dir
+        ).collect()
+    }
+    assert set(base) == set(scaled)
+    for b in base:
+        assert scaled[b]["n_gaps"] == SCALE * base[b]["n_gaps"]
+        assert scaled[b]["share"] == base[b]["share"]

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table, load_table_spread
 
 TAU = 0.8  # exact-Jaccard duplicate threshold
+SWEEP_TAUS = (0.5, 0.6, 0.7, 0.8, 0.9)  # dedup_threshold_sweep grid
 MINHASH_N = 16
 BANDS = 8  # 8 bands x 2 rows
 # Affine MinHash permutations over GF(p), p = 2^31-1: ONE md5 per shingle
@@ -247,17 +248,10 @@ def _mh_perm(j: int):
     return lambda h: (F.lit(a) * h + F.lit(b)) % MERSENNE_P
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidates (16 sigs, 8 bands x 2) verified by exact
-    Jaccard >= TAU. The oracle runs the identical LSH, so band recall is
-    part of the checked contract.
-
-    Unlike ``dedup_ngram_jaccard`` (the brute-force baseline), the
-    exact-Jaccard verification here touches ONLY the candidate pairs:
-    hashed shingles are joined back through the candidate list, so the
-    verify cost scales with |candidates| x shingles-per-doc, never with
-    all same-shingle pairs (that distinction is the whole point of LSH
-    at 100 TB)."""
+def _band_relation(spark: SparkSession, sf_dir: str):
+    """(docs_arr, bands): the persisted per-doc hash arrays and the
+    exploded (doc_id, band_idx, band_val) LSH band relation — shared by
+    dedup_minhash_lsh and the banding diagnostics."""
     # Persist BEFORE deriving signatures: the persist is the projection-
     # collapse barrier that keeps the md5 chain evaluated once per doc
     # (see _doc_hash_arrays). The relation is one compact array row per
@@ -283,6 +277,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = sigs.select(
         "doc_id", F.posexplode(band_cols).alias("band_idx", "band_val")
     )
+    return docs_arr, bands
+
+
+def _verified_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs with their UNROUNDED exact Jaccard, before
+    any threshold: dedup_minhash_lsh filters this at TAU;
+    dedup_threshold_sweep profiles it across thresholds."""
+    docs_arr, bands = _band_relation(spark, sf_dir)
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -323,8 +325,96 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 inter.cast("double") / (F.col("na") + F.col("nb") - inter)
             ).alias("jaccard"),
         )
+    )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates (16 sigs, 8 bands x 2) verified by exact
+    Jaccard >= TAU. The oracle runs the identical LSH, so band recall is
+    part of the checked contract.
+
+    Unlike ``dedup_ngram_jaccard`` (the brute-force baseline), the
+    exact-Jaccard verification here touches ONLY the candidate pairs:
+    hashed shingles are joined back through the candidate list, so the
+    verify cost scales with |candidates| x shingles-per-doc, never with
+    all same-shingle pairs (that distinction is the whole point of LSH
+    at 100 TB)."""
+    return (
+        _verified_candidates(spark, sf_dir)
         .filter(F.col("jaccard") >= TAU)
         .select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-sensitivity profile of the near-dup decision: for each
+    candidate Jaccard threshold, how many LSH-surfaced pairs would be
+    declared duplicates and how many documents they touch — the curve a
+    pipeline owner reads before fixing TAU (the single most consequential
+    dedup knob; C4 vs RefinedWeb differ exactly here).
+
+    The population is the LSH CANDIDATE set (pairs colliding in >= 1
+    band), so counts at thresholds far below TAU are candidate-limited
+    — stated here because the banding S-curve recalls low-similarity
+    pairs only partially; the sweep characterizes the decision
+    boundary, not exhaustive pair counts.
+
+    Scale: the verified candidate relation is output-sized; the sweep
+    is a broadcast spine fan-out (x|thresholds|) over it."""
+    v = _persisted(_verified_candidates(spark, sf_dir))
+    spine = spark.createDataFrame(
+        [(t,) for t in SWEEP_TAUS], "threshold double"
+    )
+    j = v.crossJoin(F.broadcast(spine)).filter(
+        F.col("jaccard") >= F.col("threshold")
+    )
+    pairs = j.groupBy("threshold").agg(F.count(F.lit(1)).alias("n_pairs"))
+    docs = (
+        j.select(
+            "threshold",
+            F.explode(F.array("a_id", "b_id")).alias("doc"),
+        )
+        .distinct()
+        .groupBy("threshold")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    return (
+        spine.join(pairs, "threshold", "left")
+        .join(docs, "threshold", "left")
+        .select(
+            "threshold",
+            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+            F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+        )
+        .orderBy("threshold")
+    )
+
+
+def minhash_band_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-band LSH health report: bucket count, largest bucket, and
+    the number of intra-bucket candidate pairs each band generates
+    (Σ n·(n−1)/2 over its buckets). A band whose max bucket explodes is
+    the hot-key that dominates the candidate join at 100 TB — this is
+    the audit that catches it before the join does.
+
+    Scale: one aggregate on (band_idx, band_val) — the same shuffle
+    shape as the candidate join's build side — then a BANDS-sized
+    rollup."""
+    _docs_arr, bands = _band_relation(spark, sf_dir)
+    bk = bands.groupBy("band_idx", "band_val").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    n = F.col("n")
+    return (
+        bk.groupBy("band_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.max("n").alias("max_bucket_size"),
+            F.sum((n * (n - 1) / 2).cast("long")).alias(
+                "n_candidate_pairs"
+            ),
+        )
+        .orderBy("band_idx")
     )
 
 
@@ -509,6 +599,8 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "minhash_accuracy": minhash_accuracy,
+    "dedup_threshold_sweep": dedup_threshold_sweep,
+    "minhash_band_analysis": minhash_band_analysis,
 }
 
 
@@ -527,7 +619,7 @@ _SQL_BANDS = "\n      UNION ALL\n".join(
     for k in range(BANDS)
 )
 
-_SQL_MINHASH_LSH = f"""
+_SQL_MINHASH_VERIFIED = f"""
     WITH hashed AS ({_SQL_SHINGLE_HASHES.format(h=_sql_hash60("sh"))}),
     mh AS (
       SELECT doc_id,
@@ -552,14 +644,16 @@ _SQL_MINHASH_LSH = f"""
       JOIN hashed b ON b.doc_id = c.b_id AND b.h31 = a.h31
       GROUP BY c.a_id, c.b_id
     )
+    SELECT i.a_id, i.b_id,
+           CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) AS jaccard
+    FROM inter i
+    JOIN sz sa ON sa.doc_id = i.a_id
+    JOIN sz sb ON sb.doc_id = i.b_id
+"""
+
+_SQL_MINHASH_LSH = f"""
     SELECT a_id, b_id, round(jaccard, 6) AS jaccard
-    FROM (
-      SELECT i.a_id, i.b_id,
-             CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) AS jaccard
-      FROM inter i
-      JOIN sz sa ON sa.doc_id = i.a_id
-      JOIN sz sb ON sb.doc_id = i.b_id
-    ) p
+    FROM ({_SQL_MINHASH_VERIFIED}) p
     WHERE jaccard >= {TAU}
 """
 
@@ -662,4 +756,55 @@ ORACLES = {
     "dedup_minhash_lsh": _SQL_MINHASH_LSH,
     "dedup_simhash": _SQL_SIMHASH,
     "minhash_accuracy": _SQL_MINHASH_ACCURACY,
+    "dedup_threshold_sweep": f"""
+        WITH v AS ({_SQL_MINHASH_VERIFIED}),
+        spine(threshold) AS (
+          VALUES {", ".join(f"(CAST({t} AS DOUBLE))" for t in SWEEP_TAUS)}
+        ),
+        j AS (
+          SELECT threshold, a_id, b_id
+          FROM v CROSS JOIN spine
+          WHERE jaccard >= threshold
+        ),
+        p AS (
+          SELECT threshold, count(*) AS n_pairs
+          FROM j GROUP BY threshold
+        ),
+        d AS (
+          SELECT threshold, count(DISTINCT doc) AS n_docs
+          FROM (SELECT threshold, unnest([a_id, b_id]) AS doc FROM j) u
+          GROUP BY threshold
+        )
+        SELECT s.threshold,
+               CAST(coalesce(p.n_pairs, 0) AS BIGINT) AS n_pairs,
+               CAST(coalesce(d.n_docs, 0) AS BIGINT) AS n_docs
+        FROM spine s
+        LEFT JOIN p USING (threshold)
+        LEFT JOIN d USING (threshold)
+        ORDER BY s.threshold
+    """,
+    "minhash_band_analysis": f"""
+        WITH hashed AS (
+          {_SQL_SHINGLE_HASHES.format(h=_sql_hash60("sh"))}
+        ),
+        mh AS (
+          SELECT doc_id,
+               {_SQL_MINHASH_AGGS}
+          FROM hashed GROUP BY doc_id
+        ),
+        bands AS (
+{_SQL_BANDS}
+        ),
+        bk AS (
+          SELECT band_idx, band_val, count(*) AS n
+          FROM bands GROUP BY band_idx, band_val
+        )
+        SELECT band_idx,
+               count(*) AS n_buckets,
+               CAST(max(n) AS BIGINT) AS max_bucket_size,
+               CAST(sum(CAST(n * (n - 1) / 2 AS BIGINT)) AS BIGINT)
+                 AS n_candidate_pairs
+        FROM bk GROUP BY band_idx
+        ORDER BY band_idx
+    """,
 }

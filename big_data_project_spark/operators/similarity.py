@@ -575,3 +575,79 @@ ORACLES["text_embedding_agreement"] = f"""
     ) p
     ORDER BY a_id, b_id
 """
+
+
+RRF_K = 60  # standard reciprocal-rank-fusion damping constant
+
+
+def ann_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two retrievers' top-k lists per query:
+    score = Σ 1/(RRF_K + rank) over the lists a candidate appears in
+    (Cormack et al., SIGIR'09 — the standard zero-tuning rank combiner).
+    Fused here: the exact scan (recall baseline) and the LSH retriever,
+    so every input rank is oracle-checkable end-to-end; a production
+    deployment fuses its approximate retrievers (LSH + IVF) with the
+    identical plan shape.
+
+    Determinism: 1/(60 + rank) is one double division of integers; the
+    two-term sum is a fixed expression tree; the fused ranking orders
+    by the 9-dp-rounded score with match_id tie-break.
+
+    Scale: both inputs are top-k relations (|queries| x k rows) — the
+    fusion join and re-rank are output-sized regardless of corpus
+    size."""
+    ex = ann_cosine_topk(spark, sf_dir).select(
+        "query_id", "match_id", F.col("rank").alias("rank_exact")
+    )
+    ap = ann_lsh_topk(spark, sf_dir).select(
+        "query_id", "match_id", F.col("rank").alias("rank_lsh")
+    )
+    j = ex.join(ap, ["query_id", "match_id"], "full_outer")
+    score = F.coalesce(
+        F.lit(1.0) / (F.lit(RRF_K) + F.col("rank_exact")), F.lit(0.0)
+    ) + F.coalesce(
+        F.lit(1.0) / (F.lit(RRF_K) + F.col("rank_lsh")), F.lit(0.0)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(score, 9).desc(), F.col("match_id").asc()
+    )
+    return (
+        j.withColumn("fused_rank", F.row_number().over(w))
+        .filter(F.col("fused_rank") <= TOP_K)
+        .select(
+            "query_id",
+            "match_id",
+            "rank_exact",
+            "rank_lsh",
+            F.round(score, 6).alias("rrf_score"),
+            "fused_rank",
+        )
+        .orderBy("query_id", "fused_rank")
+    )
+
+
+QUERIES["ann_rrf_fusion"] = ann_rrf_fusion
+
+ORACLES["ann_rrf_fusion"] = f"""
+    WITH ex AS ({ORACLES["ann_cosine_topk"]}),
+    ap AS ({ORACLES["ann_lsh_topk"]}),
+    j AS (
+      SELECT query_id, match_id,
+             ex.rank AS rank_exact, ap.rank AS rank_lsh,
+             coalesce(1.0 / ({RRF_K} + ex.rank), 0.0)
+               + coalesce(1.0 / ({RRF_K} + ap.rank), 0.0) AS score
+      FROM ex FULL JOIN ap USING (query_id, match_id)
+    )
+    SELECT query_id, match_id, rank_exact, rank_lsh,
+           round(score, 6) AS rrf_score, fused_rank
+    FROM (
+      SELECT j.*,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY round(score, 9) DESC, match_id
+             ) AS fused_rank
+      FROM j
+    ) r
+    WHERE fused_rank <= {TOP_K}
+    ORDER BY query_id, fused_rank
+"""

@@ -21,13 +21,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.portable import pround, sql_pround
+from ..functions.portable import davg, pround, sql_davg, sql_pround
 from .headway import SQL_HEADWAY, headway_hourly
-from .hourly import SQL_DELAY, delay_hourly
+from .hourly import SQL_DELAY, SQL_DEMAND, delay_hourly
 
 CUSUM_MIN_HOURS = 5
 REGULAR_MIN_HOURS = 5
 CORR_MIN_HOURS = 5
+EWMA_WINDOW = 24  # trailing observed hours in the truncated EWMA
 _VAR_FLOOR = 1e-12
 
 
@@ -175,10 +176,143 @@ def delay_headway_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def delay_ewma_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of the hourly delay per
+    route, truncated to the trailing EWMA_WINDOW observed hours with
+    half-life weights w_j = 2^-j (adjusted normalization: Σw_j·x /
+    Σw_j) — the smoothed signal an alerting threshold is compared
+    against instead of the raw hourly value.
+
+    Portability: 2^-j is EXACTLY representable, computed as
+    1.0 / (1 << j) from integer row-offset j on both engines — no
+    libm pow(), whose last-ulp behavior differs across platforms. The
+    weighted sums are decimal-exact folds.
+
+    Scale: runs on the (route x hour) rollup; the trailing window is a
+    self-equi-join on route_id with a row-offset band (fan-out <=
+    EWMA_WINDOW x rollup rows — rollup-sized, never the fact table)."""
+    d = delay_hourly(spark, sf_dir).filter(
+        F.col("avg_delay_seconds").isNotNull()
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("route_id").orderBy("hour_ts")
+    )
+    base = d.select(
+        "route_id", "hour_ts", "avg_delay_seconds", rn.alias("rn")
+    )
+    cur = base.select(
+        "route_id",
+        "hour_ts",
+        "avg_delay_seconds",
+        F.col("rn").alias("rn_c"),
+    )
+    past = base.select(
+        "route_id",
+        F.col("avg_delay_seconds").alias("x_p"),
+        F.col("rn").alias("rn_p"),
+    )
+    j = F.col("rn_c") - F.col("rn_p")
+
+    def dec(c):
+        return F.sum(c.cast("decimal(28,6)")).cast("double")
+
+    joined = (
+        cur.join(past, "route_id")
+        .filter((j >= 0) & (j < EWMA_WINDOW))
+        .withColumn("j", j)
+    )
+    # 2^-j exactly: integer shift + double division (the Python-API
+    # shiftleft only takes a literal bit count, so use the SQL form)
+    w = F.lit(1.0) / F.expr(
+        "CAST(shiftleft(CAST(1 AS BIGINT), CAST(j AS INT)) AS DOUBLE)"
+    )
+    agg = joined.groupBy("route_id", "hour_ts").agg(
+        F.max("avg_delay_seconds").alias("avg_delay_seconds"),
+        F.count(F.lit(1)).alias("n_terms"),
+        dec(w * F.col("x_p")).alias("num"),
+        dec(w).alias("den"),
+    )
+    return agg.select(
+        "route_id",
+        "hour_ts",
+        "avg_delay_seconds",
+        "n_terms",
+        pround(F.col("num") / F.col("den"), 4).alias("ewma_delay"),
+    ).orderBy("route_id", "hour_ts")
+
+
+def seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-baseline shoot-out per route: persistence (previous
+    hour) vs seasonal-naive (same hour yesterday) MAE over the demand
+    rollup, evaluated on exactly the hours where BOTH baselines have an
+    observation — the honest comparison that decides whether
+    prediction_baseline should lag 1 h or 24 h (the reference's
+    validation harness, validate_predictions.py, grades a single
+    baseline; this picks between them). Winner compares the ROUNDED
+    MAEs so the verdict is engine-portable.
+
+    Scale: three aligned copies of the (route x hour) rollup joined by
+    exact shifted timestamps — hash equi-joins on (route, hour),
+    rollup-sized."""
+    from ..caching import persisted
+    from .hourly import demand_hourly
+
+    d = persisted(
+        demand_hourly(spark, sf_dir).select(
+            "route_id", "hour_ts", "passengers"
+        )
+    )
+    p1 = d.select(
+        "route_id",
+        (F.col("hour_ts") + F.expr("INTERVAL 1 HOUR")).alias("hour_ts"),
+        F.col("passengers").alias("yhat_persist"),
+    )
+    p24 = d.select(
+        "route_id",
+        (F.col("hour_ts") + F.expr("INTERVAL 24 HOURS")).alias(
+            "hour_ts"
+        ),
+        F.col("passengers").alias("yhat_seasonal"),
+    )
+    ev = d.join(p1, ["route_id", "hour_ts"]).join(
+        p24, ["route_id", "hour_ts"]
+    )
+    mae_p = davg(
+        F.abs(F.col("passengers") - F.col("yhat_persist")), 4
+    )
+    mae_s = davg(
+        F.abs(F.col("passengers") - F.col("yhat_seasonal")), 4
+    )
+    agg = ev.groupBy("route_id").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        mae_p.alias("mae_persistence"),
+        mae_s.alias("mae_seasonal"),
+    )
+    winner = (
+        F.when(
+            F.col("mae_seasonal") < F.col("mae_persistence"), "seasonal"
+        )
+        .when(
+            F.col("mae_persistence") < F.col("mae_seasonal"),
+            "persistence",
+        )
+        .otherwise("tie")
+    )
+    return agg.select(
+        "route_id",
+        "n_hours",
+        "mae_persistence",
+        "mae_seasonal",
+        winner.alias("winner"),
+    ).orderBy("route_id")
+
+
 QUERIES = {
     "delay_cusum_changepoint": delay_cusum_changepoint,
     "headway_regularity": headway_regularity,
     "delay_headway_corr": delay_headway_corr,
+    "delay_ewma_24h": delay_ewma_24h,
+    "seasonal_naive_eval": seasonal_naive_eval,
 }
 
 ORACLES = {
@@ -273,6 +407,73 @@ ORACLES = {
                END AS delay_headway_corr
         FROM s
         WHERE n_hours >= {CORR_MIN_HOURS}
+        ORDER BY route_id
+    """,
+    "delay_ewma_24h": f"""
+        WITH d AS (
+          SELECT * FROM ({SQL_DELAY}) t
+          WHERE avg_delay_seconds IS NOT NULL
+        ),
+        r AS (
+          SELECT route_id, hour_ts, avg_delay_seconds,
+                 row_number() OVER (
+                   PARTITION BY route_id ORDER BY hour_ts
+                 ) AS rn
+          FROM d
+        ),
+        j AS (
+          SELECT c.route_id, c.hour_ts, c.avg_delay_seconds,
+                 p.avg_delay_seconds AS x_p, c.rn - p.rn AS j
+          FROM r c JOIN r p ON c.route_id = p.route_id
+          WHERE c.rn - p.rn BETWEEN 0 AND {EWMA_WINDOW - 1}
+        ),
+        a AS (
+          SELECT route_id, hour_ts,
+                 max(avg_delay_seconds) AS avg_delay_seconds,
+                 count(*) AS n_terms,
+                 (sum(((1.0 / (1::BIGINT << j)) * x_p)
+                      ::DECIMAL(28,6)))::DOUBLE AS num,
+                 (sum((1.0 / (1::BIGINT << j))
+                      ::DECIMAL(28,6)))::DOUBLE AS den
+          FROM j GROUP BY route_id, hour_ts
+        )
+        SELECT route_id, hour_ts, avg_delay_seconds, n_terms,
+               {sql_pround('num / den', 4)} AS ewma_delay
+        FROM a
+        ORDER BY route_id, hour_ts
+    """,
+    "seasonal_naive_eval": f"""
+        WITH d AS ({SQL_DEMAND}),
+        p1 AS (
+          SELECT route_id, hour_ts + INTERVAL 1 HOUR AS hour_ts,
+                 passengers AS yhat_persist
+          FROM d
+        ),
+        p24 AS (
+          SELECT route_id, hour_ts + INTERVAL 24 HOUR AS hour_ts,
+                 passengers AS yhat_seasonal
+          FROM d
+        ),
+        ev AS (
+          SELECT d.route_id, d.passengers, yhat_persist, yhat_seasonal
+          FROM d
+          JOIN p1 USING (route_id, hour_ts)
+          JOIN p24 USING (route_id, hour_ts)
+        ),
+        a AS (
+          SELECT route_id, count(*) AS n_hours,
+                 {sql_davg('abs(passengers - yhat_persist)', 4)}
+                   AS mae_persistence,
+                 {sql_davg('abs(passengers - yhat_seasonal)', 4)}
+                   AS mae_seasonal
+          FROM ev GROUP BY route_id
+        )
+        SELECT route_id, n_hours, mae_persistence, mae_seasonal,
+               CASE WHEN mae_seasonal < mae_persistence THEN 'seasonal'
+                    WHEN mae_persistence < mae_seasonal
+                      THEN 'persistence'
+                    ELSE 'tie' END AS winner
+        FROM a
         ORDER BY route_id
     """,
 }

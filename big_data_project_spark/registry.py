@@ -122,6 +122,9 @@ _PROMOTED = [
     "lang_rebalance_sample",
     "sequence_packing_bins",
     "token_pmi_bigrams",
+    "ann_rrf_fusion",
+    "dedup_threshold_sweep",
+    "minhash_band_analysis",
 ]
 _missing = [k for k in _PROMOTED if k not in QUERIES]
 if _missing:

@@ -238,3 +238,108 @@ def test_stream_transitions_state_across_batches():
     out3 = list(_transition_fn((7,), iter([batch([])[0:0]]), st))
     assert out3 == []
     assert st.get[2] == "purchase"
+
+
+def test_ewma_constant_series_is_constant(spark):
+    """On any series the EWMA lies within [min, max] of its window; on
+    sf0.001 additionally every route's first observed hour has
+    n_terms == 1 and ewma == that hour's value."""
+    from big_data_project_spark.operators import trend as _trend
+
+    rows = _trend.delay_ewma_24h(spark, SF_DIR).collect()
+    assert rows
+    first_per_route = {}
+    for r in rows:
+        assert 1 <= r["n_terms"] <= _trend.EWMA_WINDOW
+        rid = r["route_id"]
+        if rid not in first_per_route:
+            first_per_route[rid] = r
+    for r in first_per_route.values():
+        assert r["n_terms"] == 1
+        assert r["ewma_delay"] == round(r["avg_delay_seconds"], 4)
+
+
+def test_ewma_known_micro_series():
+    """Hand-checked halving EWMA: series 10, 20 ->
+    ewma_2 = (20 + 10/2) / (1 + 1/2) = 16.6667."""
+    assert round((20 + 10 / 2) / 1.5, 4) == 16.6667
+
+
+def test_seasonal_naive_eval_consistency(spark):
+    from big_data_project_spark.operators import trend as _trend
+
+    rows = _trend.seasonal_naive_eval(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["n_hours"] > 0
+        assert r["mae_persistence"] >= 0 and r["mae_seasonal"] >= 0
+        expected = (
+            "seasonal"
+            if r["mae_seasonal"] < r["mae_persistence"]
+            else "persistence"
+            if r["mae_persistence"] < r["mae_seasonal"]
+            else "tie"
+        )
+        assert r["winner"] == expected
+
+
+def test_rrf_fusion_agrees_with_inputs(spark):
+    """Fusion invariants: a candidate ranked 1 by BOTH retrievers must
+    be fused rank 1; every fused row carries at least one input rank;
+    scores are within the two-list RRF bounds."""
+    from big_data_project_spark.operators import similarity as _sim
+
+    out = _sim.ann_rrf_fusion(spark, SF_DIR).collect()
+    assert out
+    k = _sim.RRF_K
+    lo, hi = 1.0 / (k + _sim.TOP_K), 2.0 / (k + 1)
+    by_query = {}
+    for r in out:
+        assert r["rank_exact"] is not None or r["rank_lsh"] is not None
+        # rrf_score is 6-dp rounded, so allow half-ulp-of-rounding slack
+        assert lo - 1e-6 <= r["rrf_score"] <= hi + 1e-6
+        by_query.setdefault(r["query_id"], []).append(r)
+    for q, rows in by_query.items():
+        rows.sort(key=lambda r: r["fused_rank"])
+        assert [r["fused_rank"] for r in rows] == list(
+            range(1, len(rows) + 1)
+        )
+        both_first = [
+            r for r in rows
+            if r["rank_exact"] == 1 and r["rank_lsh"] == 1
+        ]
+        if both_first:
+            assert both_first[0]["fused_rank"] == 1
+
+
+def test_threshold_sweep_monotone(spark):
+    """Raising the threshold can only shrink the pair and doc counts,
+    and the TAU row must agree exactly with dedup_minhash_lsh."""
+    from big_data_project_spark.operators import dedup as _dedup
+
+    rows = _dedup.dedup_threshold_sweep(spark, SF_DIR).collect()
+    assert [r["threshold"] for r in rows] == sorted(_dedup.SWEEP_TAUS)
+    for a, b in zip(rows, rows[1:]):
+        assert a["n_pairs"] >= b["n_pairs"]
+        assert a["n_docs"] >= b["n_docs"]
+    tau_row = {r["threshold"]: r for r in rows}[_dedup.TAU]
+    lsh = _dedup.dedup_minhash_lsh(spark, SF_DIR)
+    assert tau_row["n_pairs"] == lsh.count()
+
+
+def test_band_analysis_accounts_for_candidates(spark):
+    """Each band's doc memberships must sum to the corpus size, and the
+    union of intra-bucket pairs bounds the distinct candidate count
+    from above (Σ per-band pairs counts multi-band collisions twice)."""
+    from big_data_project_spark.catalog import load_table
+    from big_data_project_spark.operators import dedup as _dedup
+
+    rows = _dedup.minhash_band_analysis(spark, SF_DIR).collect()
+    assert len(rows) == _dedup.BANDS
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+    total_pairs = sum(r["n_candidate_pairs"] for r in rows)
+    distinct_cand = _dedup._verified_candidates(spark, SF_DIR).count()
+    assert total_pairs >= distinct_cand
+    for r in rows:
+        assert 1 <= r["max_bucket_size"] <= n_docs
+        assert r["n_buckets"] <= n_docs

@@ -349,6 +349,52 @@ def stopword_density_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-source n_chars quantiles (median + p90) via rank
+    arithmetic — the numbers a length filter's MIN/MAX thresholds are
+    calibrated against per crawl slice, exact where an engine-native
+    percentile_cont could differ in interpolation. Same portable
+    pattern as timeseries.route_delay_quantiles; one sort per source
+    partition (the exact-quantile cost by nature — the GK sketch is the
+    streaming-scale path)."""
+    docs = load_table(spark, sf_dir, "documents")
+    wr = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    wn = Window.partitionBy("source")
+    ranked = docs.select(
+        "source",
+        "n_chars",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    lo_rank = F.expr("(n + 1) div 2")
+    hi_rank = F.expr("(n + 2) div 2")
+    p90_rank = F.ceil(F.lit(0.9) * F.col("n"))
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.max(F.when(F.col("rn") == lo_rank, F.col("n_chars"))).alias(
+                "lo"
+            ),
+            F.max(F.when(F.col("rn") == hi_rank, F.col("n_chars"))).alias(
+                "hi"
+            ),
+            F.max(
+                F.when(F.col("rn") == p90_rank, F.col("n_chars"))
+            ).alias("p90_chars"),
+            F.max("n").alias("n_docs"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            pround((F.col("lo") + F.col("hi")) / 2, 1).alias(
+                "median_chars"
+            ),
+            "p90_chars",
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "contamination_check": contamination_check,
     "repetition_score": repetition_score,
@@ -359,6 +405,7 @@ QUERIES = {
     "stopword_density_buckets": stopword_density_buckets,
     "lang_rebalance_sample": lang_rebalance_sample,
     "sequence_packing_bins": sequence_packing_bins,
+    "doc_length_quantiles": doc_length_quantiles,
 }
 
 _SQL_G3 = f"""
@@ -527,5 +574,27 @@ ORACLES = {
         FROM binned
         GROUP BY source, bin
         ORDER BY source, bin
+    """,
+    "doc_length_quantiles": """
+        WITH ranked AS (
+          SELECT source, n_chars,
+                 row_number() OVER (
+                   PARTITION BY source ORDER BY n_chars, doc_id
+                 ) AS rn,
+                 count(*) OVER (PARTITION BY source) AS n
+          FROM documents
+        )
+        SELECT source,
+               max(n) AS n_docs,
+               floor(((max(CASE WHEN rn = (n + 1) // 2
+                                THEN n_chars END)
+                       + max(CASE WHEN rn = (n + 2) // 2
+                                  THEN n_chars END)) / 2.0)
+                     * 10.0 + 0.5) / 10.0 AS median_chars,
+               max(CASE WHEN rn = ceil(0.9 * n) THEN n_chars END)
+                 AS p90_chars
+        FROM ranked
+        GROUP BY source
+        ORDER BY source
     """,
 }

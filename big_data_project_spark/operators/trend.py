@@ -28,6 +28,7 @@ from .hourly import SQL_DELAY, SQL_DEMAND, delay_hourly
 CUSUM_MIN_HOURS = 5
 REGULAR_MIN_HOURS = 5
 CORR_MIN_HOURS = 5
+TREND_MIN_HOURS = 5
 EWMA_WINDOW = 24  # trailing observed hours in the truncated EWMA
 _VAR_FLOOR = 1e-12
 
@@ -307,12 +308,74 @@ def seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("route_id")
 
 
+def demand_trend_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-route least-squares demand trend: passengers regressed on
+    hours-since-first-observation (slope = structural growth/decay per
+    hour, plus intercept and R²) — the closed-form regression behind a
+    capacity-planning dashboard's trend arrow, and an oracle-checkable
+    linear companion to the rows-only RandomForest model (ml/demand.py).
+
+    Determinism: x is an INTEGER hour offset centered on each route's
+    first observed hour (centering keeps the normal-equation
+    subtractions far from catastrophic cancellation), y is the 2-dp
+    rollup value; all five moment sums are decimal-exact folds and
+    slope/intercept/R² are fixed double expressions over them."""
+    from .hourly import demand_hourly
+
+    d = demand_hourly(spark, sf_dir)
+    start = Window.partitionBy("route_id")
+    x = (
+        (
+            F.unix_micros("hour_ts")
+            - F.unix_micros(F.min("hour_ts").over(start))
+        )
+        / F.lit(3_600_000_000)
+    ).cast("long")
+    base = d.select(
+        "route_id", F.col("passengers").alias("y"), x.alias("x")
+    )
+
+    def dec(c):
+        return F.sum(c.cast("decimal(28,6)")).cast("double")
+
+    xd = F.col("x").cast("double")
+    agg = base.groupBy("route_id").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        dec(xd).alias("sx"),
+        dec(F.col("y")).alias("sy"),
+        dec(xd * xd).alias("sxx"),
+        dec(F.col("y") * F.col("y")).alias("syy"),
+        dec(xd * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n_hours")
+    cov_n = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx_n = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary_n = n * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = cov_n / varx_n
+    intercept = (F.col("sy") - slope * F.col("sx")) / n
+    r2 = F.when(
+        (varx_n > 0) & (vary_n > 0), cov_n * cov_n / (varx_n * vary_n)
+    )
+    return (
+        agg.filter((n >= TREND_MIN_HOURS) & (varx_n > 0))
+        .select(
+            "route_id",
+            "n_hours",
+            pround(slope, 6).alias("slope_per_hour"),
+            pround(intercept, 4).alias("intercept"),
+            pround(r2, 6).alias("r2"),
+        )
+        .orderBy("route_id")
+    )
+
+
 QUERIES = {
     "delay_cusum_changepoint": delay_cusum_changepoint,
     "headway_regularity": headway_regularity,
     "delay_headway_corr": delay_headway_corr,
     "delay_ewma_24h": delay_ewma_24h,
     "seasonal_naive_eval": seasonal_naive_eval,
+    "demand_trend_line": demand_trend_line,
 }
 
 ORACLES = {
@@ -474,6 +537,46 @@ ORACLES = {
                       THEN 'persistence'
                     ELSE 'tie' END AS winner
         FROM a
+        ORDER BY route_id
+    """,
+    "demand_trend_line": f"""
+        WITH d AS ({SQL_DEMAND}),
+        b AS (
+          SELECT route_id, passengers AS y,
+                 (epoch_us(hour_ts)
+                  - epoch_us(min(hour_ts) OVER (PARTITION BY route_id)))
+                 // 3600000000 AS x
+          FROM d
+        ),
+        s AS (
+          SELECT route_id, count(*) AS n_hours,
+                 (sum((x::DOUBLE)::DECIMAL(28,6)))::DOUBLE AS sx,
+                 (sum((y)::DECIMAL(28,6)))::DOUBLE AS sy,
+                 (sum((x::DOUBLE * x::DOUBLE)::DECIMAL(28,6)))::DOUBLE
+                   AS sxx,
+                 (sum((y * y)::DECIMAL(28,6)))::DOUBLE AS syy,
+                 (sum((x::DOUBLE * y)::DECIMAL(28,6)))::DOUBLE AS sxy
+          FROM b GROUP BY route_id
+        )
+        SELECT route_id, n_hours,
+               {sql_pround(
+                   '(n_hours * sxy - sx * sy) '
+                   '/ (n_hours * sxx - sx * sx)', 6)} AS slope_per_hour,
+               {sql_pround(
+                   '(sy - ((n_hours * sxy - sx * sy) '
+                   '/ (n_hours * sxx - sx * sx)) * sx) / n_hours',
+                   4)} AS intercept,
+               CASE WHEN n_hours * sxx - sx * sx > 0
+                     AND n_hours * syy - sy * sy > 0 THEN
+                 {sql_pround(
+                     '(n_hours * sxy - sx * sy) '
+                     '* (n_hours * sxy - sx * sy) '
+                     '/ ((n_hours * sxx - sx * sx) '
+                     '* (n_hours * syy - sy * sy))', 6)}
+               END AS r2
+        FROM s
+        WHERE n_hours >= {TREND_MIN_HOURS}
+          AND n_hours * sxx - sx * sx > 0
         ORDER BY route_id
     """,
 }

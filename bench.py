@@ -152,133 +152,138 @@ def main() -> None:
     import tempfile
 
     stream_src_root = tempfile.mkdtemp(prefix="bench_stream_src_")
-    stream_events_dir = os.path.join(stream_src_root, "events")
-    load_table(spark, sf_dir, "events").write.parquet(stream_events_dir)
-    _EXTRA = {
-        "stream_events_hourly": lambda sp, _sf: _stream_events_hourly_bench(
-            sp, stream_events_dir
-        ),
-    }
+    # Everything after the temp dir exists runs under try/finally:
+    # a failing query must not leak the materialized events copy
+    # (multi-GB at larger sf) or the JVM.
+    try:
+        stream_events_dir = os.path.join(stream_src_root, "events")
+        load_table(spark, sf_dir, "events").write.parquet(stream_events_dir)
+        _EXTRA = {
+            "stream_events_hourly": lambda sp, _sf: _stream_events_hourly_bench(
+                sp, stream_events_dir
+            ),
+        }
 
-    def run_once(name: str):
-        """One fully-materialized execution: registry queries write to
-        the noop sink; _EXTRA entries (streaming) drain themselves."""
-        if name in _EXTRA:
-            return _EXTRA[name](spark, sf_dir)
-        df = QUERIES[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        return df
+        def run_once(name: str):
+            """One fully-materialized execution: registry queries write to
+            the noop sink; _EXTRA entries (streaming) drain themselves."""
+            if name in _EXTRA:
+                return _EXTRA[name](spark, sf_dir)
+            df = QUERIES[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            return df
 
-    missing = [n for n in HEADLINE if n not in QUERIES and n not in _EXTRA]
-    if missing:
-        raise SystemExit(f"HEADLINE names not in registry: {missing}")
+        missing = [n for n in HEADLINE if n not in QUERIES and n not in _EXTRA]
+        if missing:
+            raise SystemExit(f"HEADLINE names not in registry: {missing}")
 
-    # Cold pass: execute every headline query once BEFORE the
-    # steady-state trials, and TIME it. This run pays each query's
-    # one-time costs — codegen C2 compile, AQE planning, and (for the
-    # AMORTIZED queries) materializing the shared rollup tier — so it
-    # is the honest first-run number; the steady-state min below is the
-    # load-insensitive repeat cost. Reporting both keeps
-    # round-over-round deltas like-for-like (round-2 verdict item 4:
-    # r01 was cold-ish n=1, r02 was min-of-N post-warm-up — not
-    # comparable).
-    cold: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.perf_counter()
-        run_once(name)
-        cold[name] = round(time.perf_counter() - t0, 3)
-
-    timings: dict[str, float] = {}
-    loads: dict[str, list[float]] = {}
-    total = 0.0
-    # 5 mandatory trials: under ambient host load (other tenants keep
-    # ~4 cores busy) a 3-trial floor still carries ~20-30% cross-process
-    # spread on sub-second queries; the min over 5+ trials is stable.
-    min_repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "5"))
-    max_repeats = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_REPEATS", "15"))
-    for name in HEADLINE:
-        # Time a noop-sink write: .count() would let Catalyst prune every
-        # aggregate/projection expression (verified — the executed count
-        # plan drops the sums entirely), so only a full materializing
-        # sink measures the real query cost.
-        #
-        # Adaptive best-of-N with min-stabilization (JMH-style): repeat
-        # until the two fastest runs agree within 2% (or 20 ms for the
-        # sub-100ms queries), then report the MIN. Run 1 pays one-time
-        # costs (codegen compile, AQE planning, materializing the shared
-        # rollup tier); later runs carry transient scheduler/GC noise
-        # that only ever ADDS time — the stabilized minimum is the
-        # load-insensitive estimate of true query cost, which a fixed
-        # median-of-3 wasn't (±15% run-to-run observed in round 1-2).
-        load_before = _load_snapshot()["load_1m"]
-        runs: list[float] = []
-        since_new_min = 0
-        while len(runs) < max_repeats:
+        # Cold pass: execute every headline query once BEFORE the
+        # steady-state trials, and TIME it. This run pays each query's
+        # one-time costs — codegen C2 compile, AQE planning, and (for the
+        # AMORTIZED queries) materializing the shared rollup tier — so it
+        # is the honest first-run number; the steady-state min below is the
+        # load-insensitive repeat cost. Reporting both keeps
+        # round-over-round deltas like-for-like (round-2 verdict item 4:
+        # r01 was cold-ish n=1, r02 was min-of-N post-warm-up — not
+        # comparable).
+        cold: dict[str, float] = {}
+        for name in HEADLINE:
             t0 = time.perf_counter()
-            df = run_once(name)
-            dt_run = time.perf_counter() - t0
-            # Track how long the floor has been stable: ambient host
-            # load only ever ADDS time, so the min converges from above
-            # and "no new floor in 3 trials" is the convergence signal.
-            if runs and dt_run < min(runs) * 0.995:
-                since_new_min = 0
-            else:
-                since_new_min += 1
-            runs.append(dt_run)
-            if len(runs) >= min_repeats and since_new_min >= 3:
-                break
-        dt = min(runs)
-        loads[name] = [load_before, _load_snapshot()["load_1m"]]
-        # untimed, display only (streaming frames can't be counted)
-        n = "n/a" if df.isStreaming else df.count()
-        timings[name] = round(dt, 3)
-        total += dt
-        runs_s = "/".join(f"{r:.2f}" for r in runs)
+            run_once(name)
+            cold[name] = round(time.perf_counter() - t0, 3)
+
+        timings: dict[str, float] = {}
+        loads: dict[str, list[float]] = {}
+        total = 0.0
+        # 5 mandatory trials: under ambient host load (other tenants keep
+        # ~4 cores busy) a 3-trial floor still carries ~20-30% cross-process
+        # spread on sub-second queries; the min over 5+ trials is stable.
+        min_repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "5"))
+        max_repeats = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_REPEATS", "15"))
+        for name in HEADLINE:
+            # Time a noop-sink write: .count() would let Catalyst prune every
+            # aggregate/projection expression (verified — the executed count
+            # plan drops the sums entirely), so only a full materializing
+            # sink measures the real query cost.
+            #
+            # Adaptive best-of-N with min-stabilization (JMH-style): repeat
+            # until the two fastest runs agree within 2% (or 20 ms for the
+            # sub-100ms queries), then report the MIN. Run 1 pays one-time
+            # costs (codegen compile, AQE planning, materializing the shared
+            # rollup tier); later runs carry transient scheduler/GC noise
+            # that only ever ADDS time — the stabilized minimum is the
+            # load-insensitive estimate of true query cost, which a fixed
+            # median-of-3 wasn't (±15% run-to-run observed in round 1-2).
+            load_before = _load_snapshot()["load_1m"]
+            runs: list[float] = []
+            since_new_min = 0
+            while len(runs) < max_repeats:
+                t0 = time.perf_counter()
+                df = run_once(name)
+                dt_run = time.perf_counter() - t0
+                # Track how long the floor has been stable: ambient host
+                # load only ever ADDS time, so the min converges from above
+                # and "no new floor in 3 trials" is the convergence signal.
+                if runs and dt_run < min(runs) * 0.995:
+                    since_new_min = 0
+                else:
+                    since_new_min += 1
+                runs.append(dt_run)
+                if len(runs) >= min_repeats and since_new_min >= 3:
+                    break
+            dt = min(runs)
+            loads[name] = [load_before, _load_snapshot()["load_1m"]]
+            # untimed, display only (streaming frames can't be counted)
+            n = "n/a" if df.isStreaming else df.count()
+            timings[name] = round(dt, 3)
+            total += dt
+            runs_s = "/".join(f"{r:.2f}" for r in runs)
+            print(
+                f"# {name}: cold {cold[name]:.3f}s, best {dt:.3f}s of "
+                f"[{runs_s}] rows={n} load={loads[name]}",
+                flush=True,
+            )
+
         print(
-            f"# {name}: cold {cold[name]:.3f}s, best {dt:.3f}s of "
-            f"[{runs_s}] rows={n} load={loads[name]}",
-            flush=True,
+            json.dumps(
+                {
+                    "metric": "total_headline_sec",
+                    "value": round(total, 3),
+                    "unit": "sec",
+                    # like-for-like total over the 16 keys benched since
+                    # round 2 (the round-3 headline adds two corpus keys)
+                    "total_r2_keys_sec": round(
+                        sum(v for k, v in timings.items() if k in _R2_KEYS), 3
+                    ),
+                    "queries": timings,
+                    "queries_cold": cold,
+                    "total_cold_sec": round(sum(cold.values()), 3),
+                    # These read the persisted shared rollup tier after the
+                    # cold pass builds it — their steady number is an
+                    # amortized read, not the full pipeline (that cost is in
+                    # queries_cold).
+                    "amortized": ["kpi_hourly", "suggestions"],
+                    # Host-contention evidence (round-3 verdict item 1):
+                    # ambient load was sampled before Spark started;
+                    # per-query [before, after] 1-min load averages let a
+                    # reader attribute any inflated timing to co-tenant
+                    # work. `contended` means the bench STARTED on a busy
+                    # host and absolute numbers should not be compared
+                    # across rounds (min-of-N still converges from above).
+                    "ambient_load": ambient,
+                    "load_final": _load_snapshot(),
+                    "query_load_1m": loads,
+                    "contended": contended,
+                    "sf": sf,
+                }
+            )
         )
+    finally:
+        shutil.rmtree(stream_src_root, ignore_errors=True)
+        from big_data_project_spark.caching import release_caches
 
-    print(
-        json.dumps(
-            {
-                "metric": "total_headline_sec",
-                "value": round(total, 3),
-                "unit": "sec",
-                # like-for-like total over the 16 keys benched since
-                # round 2 (the round-3 headline adds two corpus keys)
-                "total_r2_keys_sec": round(
-                    sum(v for k, v in timings.items() if k in _R2_KEYS), 3
-                ),
-                "queries": timings,
-                "queries_cold": cold,
-                "total_cold_sec": round(sum(cold.values()), 3),
-                # These read the persisted shared rollup tier after the
-                # cold pass builds it — their steady number is an
-                # amortized read, not the full pipeline (that cost is in
-                # queries_cold).
-                "amortized": ["kpi_hourly", "suggestions"],
-                # Host-contention evidence (round-3 verdict item 1):
-                # ambient load was sampled before Spark started;
-                # per-query [before, after] 1-min load averages let a
-                # reader attribute any inflated timing to co-tenant
-                # work. `contended` means the bench STARTED on a busy
-                # host and absolute numbers should not be compared
-                # across rounds (min-of-N still converges from above).
-                "ambient_load": ambient,
-                "load_final": _load_snapshot(),
-                "query_load_1m": loads,
-                "contended": contended,
-                "sf": sf,
-            }
-        )
-    )
-    shutil.rmtree(stream_src_root, ignore_errors=True)
-    from big_data_project_spark.caching import release_caches
-
-    release_caches()
-    spark.stop()
+        release_caches()
+        spark.stop()
 
 
 if __name__ == "__main__":

@@ -52,6 +52,16 @@ def sql_davg(expr: str, n: int = 4) -> str:
     )
 
 
+def dsum_exact(c: Column | str) -> Column:
+    """Order-independent raw double sum: exact DECIMAL(28,6)
+    accumulation cast back to double WITHOUT final rounding — for
+    callers that combine several moment sums in one closed-form
+    expression (corr, OLS, cosine) and round once at the end."""
+    if isinstance(c, str):
+        c = F.col(c)
+    return F.sum(c.cast("decimal(28,6)")).cast("double")
+
+
 def dsum(c: Column | str, n: int = 2) -> Column:
     if isinstance(c, str):
         c = F.col(c)

@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table_spread
-from ..functions.portable import pround, sql_pround
+from ..functions.portable import dsum_exact, pround, sql_pround
 from . import sampling as _sampling
 from .dedup import _SQL_NORM, _hash60, _norm, _sql_hash60
 
@@ -176,15 +176,12 @@ def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.log(F.col("n").cast("double")).alias("y"),
         )
     )
-    def dec(c):
-        return F.sum(c.cast("decimal(28,6)")).cast("double")
-
     agg = ranked.agg(
         F.count(F.lit(1)).alias("n_terms"),
-        dec(F.col("x")).alias("sx"),
-        dec(F.col("y")).alias("sy"),
-        dec(F.col("x") * F.col("x")).alias("sxx"),
-        dec(F.col("x") * F.col("y")).alias("sxy"),
+        dsum_exact(F.col("x")).alias("sx"),
+        dsum_exact(F.col("y")).alias("sy"),
+        dsum_exact(F.col("x") * F.col("x")).alias("sxx"),
+        dsum_exact(F.col("x") * F.col("y")).alias("sxy"),
     )
     slope = (
         F.col("n_terms") * F.col("sxy") - F.col("sx") * F.col("sy")

@@ -368,7 +368,10 @@ def doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lo_rank = F.expr("(n + 1) div 2")
     hi_rank = F.expr("(n + 2) div 2")
-    p90_rank = F.ceil(F.lit(0.9) * F.col("n"))
+    # ceil(9n/10) in INTEGER arithmetic: ceil(0.9 * n) overshoots when
+    # the double product carries an upward error (0.9*70 ->
+    # 63.000000000000007 -> rank 64, off by one)
+    p90_rank = F.expr("(9 * n + 9) div 10")
     return (
         ranked.groupBy("source")
         .agg(
@@ -591,7 +594,7 @@ ORACLES = {
                        + max(CASE WHEN rn = (n + 2) // 2
                                   THEN n_chars END)) / 2.0)
                      * 10.0 + 0.5) / 10.0 AS median_chars,
-               max(CASE WHEN rn = ceil(0.9 * n) THEN n_chars END)
+               max(CASE WHEN rn = (9 * n + 9) // 10 THEN n_chars END)
                  AS p90_chars
         FROM ranked
         GROUP BY source

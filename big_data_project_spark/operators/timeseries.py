@@ -197,7 +197,9 @@ def route_delay_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lo_rank = F.expr("(n + 1) div 2")
     hi_rank = F.expr("(n + 2) div 2")
-    p90_rank = F.ceil(F.lit(P90) * F.col("n"))
+    # ceil(9n/10) in INTEGER arithmetic — ceil(0.9 * n) overshoots by
+    # one rank whenever the double product rounds up (n = 70, 140, ...)
+    p90_rank = F.expr("(9 * n + 9) div 10")
     return (
         ranked.groupBy("route_id")
         .agg(
@@ -503,7 +505,7 @@ ORACLES = {
           SELECT route_id,
                  max(CASE WHEN rn = (n + 1) // 2 THEN value END) AS lo,
                  max(CASE WHEN rn = (n + 2) // 2 THEN value END) AS hi,
-                 max(CASE WHEN rn = CAST(ceil({P90} * n) AS BIGINT)
+                 max(CASE WHEN rn = (9 * n + 9) // 10
                           THEN value END) AS p90,
                  max(n) AS n_values
           FROM ranked

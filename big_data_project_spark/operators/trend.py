@@ -21,7 +21,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.portable import davg, pround, sql_davg, sql_pround
+from ..functions.portable import (
+    davg,
+    dsum_exact,
+    pround,
+    sql_davg,
+    sql_pround,
+)
 from .headway import SQL_HEADWAY, headway_hourly
 from .hourly import SQL_DELAY, SQL_DEMAND, delay_hourly
 
@@ -147,16 +153,13 @@ def delay_headway_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = F.col("avg_delay_seconds")
     y = F.col("avg_headway_min")
 
-    def dec(c):
-        return F.sum(c.cast("decimal(28,6)")).cast("double")
-
     agg = j.groupBy("route_id").agg(
         F.count(F.lit(1)).alias("n_hours"),
-        dec(x).alias("sx"),
-        dec(y).alias("sy"),
-        dec(x * x).alias("sxx"),
-        dec(y * y).alias("syy"),
-        dec(x * y).alias("sxy"),
+        dsum_exact(x).alias("sx"),
+        dsum_exact(y).alias("sy"),
+        dsum_exact(x * x).alias("sxx"),
+        dsum_exact(y * y).alias("syy"),
+        dsum_exact(x * y).alias("sxy"),
     )
     n = F.col("n_hours")
     cov_n = n * F.col("sxy") - F.col("sx") * F.col("sy")
@@ -214,9 +217,6 @@ def delay_ewma_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = F.col("rn_c") - F.col("rn_p")
 
-    def dec(c):
-        return F.sum(c.cast("decimal(28,6)")).cast("double")
-
     joined = (
         cur.join(past, "route_id")
         .filter((j >= 0) & (j < EWMA_WINDOW))
@@ -230,8 +230,8 @@ def delay_ewma_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = joined.groupBy("route_id", "hour_ts").agg(
         F.max("avg_delay_seconds").alias("avg_delay_seconds"),
         F.count(F.lit(1)).alias("n_terms"),
-        dec(w * F.col("x_p")).alias("num"),
-        dec(w).alias("den"),
+        dsum_exact(w * F.col("x_p")).alias("num"),
+        dsum_exact(w).alias("den"),
     )
     return agg.select(
         "route_id",
@@ -335,17 +335,14 @@ def demand_trend_line(spark: SparkSession, sf_dir: str) -> DataFrame:
         "route_id", F.col("passengers").alias("y"), x.alias("x")
     )
 
-    def dec(c):
-        return F.sum(c.cast("decimal(28,6)")).cast("double")
-
     xd = F.col("x").cast("double")
     agg = base.groupBy("route_id").agg(
         F.count(F.lit(1)).alias("n_hours"),
-        dec(xd).alias("sx"),
-        dec(F.col("y")).alias("sy"),
-        dec(xd * xd).alias("sxx"),
-        dec(F.col("y") * F.col("y")).alias("syy"),
-        dec(xd * F.col("y")).alias("sxy"),
+        dsum_exact(xd).alias("sx"),
+        dsum_exact(F.col("y")).alias("sy"),
+        dsum_exact(xd * xd).alias("sxx"),
+        dsum_exact(F.col("y") * F.col("y")).alias("syy"),
+        dsum_exact(xd * F.col("y")).alias("sxy"),
     )
     n = F.col("n_hours")
     cov_n = n * F.col("sxy") - F.col("sx") * F.col("sy")

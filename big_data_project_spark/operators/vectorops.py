@@ -31,7 +31,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.portable import pround, sql_pround
+from ..functions.portable import dsum_exact, pround, sql_pround
 
 QBITS_MAX = 127  # symmetric int8: q in [-127, 127]
 _EPS = 1e-12  # zero-vector guard: scale never divides by zero
@@ -189,9 +189,6 @@ def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_vec").alias("n_b"),
     )
 
-    def dec(c):
-        return F.sum(c.cast("decimal(28,6)")).cast("double")
-
     agg = (
         a.join(b, "dim_idx")
         .filter(F.col("label_a") < F.col("label_b"))
@@ -200,9 +197,9 @@ def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_a").alias("n_a"),
             F.max("n_b").alias("n_b"),
             F.count(F.lit(1)).alias("n_dims"),
-            dec(F.col("ma") * F.col("mb")).alias("dot"),
-            dec(F.col("ma") * F.col("ma")).alias("na2"),
-            dec(F.col("mb") * F.col("mb")).alias("nb2"),
+            dsum_exact(F.col("ma") * F.col("mb")).alias("dot"),
+            dsum_exact(F.col("ma") * F.col("ma")).alias("na2"),
+            dsum_exact(F.col("mb") * F.col("mb")).alias("nb2"),
         )
     )
     cosine = F.when(

@@ -146,6 +146,13 @@ def upsert_parquet(
     touched = [
         r[0] for r in delta.select(partition_col).distinct().collect()
     ]
+    if not touched:
+        # Empty delta: nothing to merge, and a partitioned overwrite of
+        # an EMPTY frame writes no schema-bearing file — the staging
+        # read-back would fail with UNABLE_TO_INFER_SCHEMA. A quiet
+        # batch in the serving loop is normal, not an error.
+        existing = _read_or_none(spark, target_path)
+        return existing if existing is not None else delta
     current = _read_or_none(spark, target_path)
     if current is not None:
         current = current.filter(F.col(partition_col).isin(touched))
@@ -214,11 +221,18 @@ def compact_parquet(
     semantics here on plain parquet, via a staging dir + atomic-ish
     rename so a crash never leaves a half-compacted table).
 
-    Partitioned tables compact PER PARTITION (each partition's row set
-    is hashed into its own file count), so one oversized partition
-    cannot force a table-wide shuffle width. Returns
-    {"files_before", "files_after", "bytes"} for the caller's audit
-    log.
+    Partitioned tables spread each hive partition over a bounded
+    per-partition file count via an explicit splitter column (hashing
+    only on the partition columns would collapse every partition to one
+    task and one file). Returns {"files_before", "files_after",
+    "bytes"} for the caller's audit log.
+
+    Crash-safety order: write staging -> rename live table ASIDE ->
+    rename staging in -> delete the aside copy. A crash at any point
+    leaves either the original table or the fully-written replacement
+    addressable (plus at worst an orphan dir to clean), never a
+    missing table — deleting the live table before the rename would
+    open exactly that window.
     """
     fs, jvm_path = _hadoop_path(spark, path)
 
@@ -235,26 +249,39 @@ def compact_parquet(
         return files, bytes_
 
     files_before, total_bytes = _stats(jvm_path)
-    n_files = max(1, -(-total_bytes // target_bytes))
+    n_files = int(max(1, -(-total_bytes // target_bytes)))
     df = spark.read.parquet(path)
     staging = path.rstrip("/") + ".compact"
     _rm_recursive(spark, staging)
     if partition_cols:
-        # repartition on the partition columns + a within-partition
-        # splitter so each hive partition lands in <= n_files chunks
-        # without a global sort
+        # Bounded per-partition fan-out: hashing only on the partition
+        # columns puts a whole hive partition in ONE task (one output
+        # file, target_bytes ignored, straggler risk). The splitter
+        # spreads each partition over ~files_per_part tasks; each task
+        # then writes at most one file per hive partition it holds.
+        n_parts = df.select(*partition_cols).distinct().count()
+        files_per_part = max(1, -(-n_files // max(1, n_parts)))
+        split = F.pmod(
+            F.xxhash64(*df.columns), F.lit(files_per_part)
+        ).alias("__split")
         writer = (
-            df.repartition(int(n_files), *partition_cols)
+            df.withColumn("__split", split)
+            .repartition(n_files, *partition_cols, F.col("__split"))
+            .drop("__split")
             .write.mode("overwrite")
             .partitionBy(*partition_cols)
         )
     else:
-        writer = df.repartition(int(n_files)).write.mode("overwrite")
+        writer = df.repartition(n_files).write.mode("overwrite")
     writer.parquet(staging)
-    # swap: remove the original, move staging into place (Hadoop FS
-    # API, so s3a://-style targets work — same policy as upsert_parquet)
-    _rm_recursive(spark, path)
+    # Swap via the Hadoop FS API (s3a://-style targets work — same
+    # policy as upsert_parquet), in the crash-safe order above.
+    aside = path.rstrip("/") + ".old"
+    _rm_recursive(spark, aside)
+    _, aside_path = _hadoop_path(spark, aside)
+    fs.rename(jvm_path, aside_path)
     fs.rename(_hadoop_path(spark, staging)[1], jvm_path)
+    _rm_recursive(spark, aside)
     files_after, _ = _stats(jvm_path)
     return {
         "files_before": files_before,

@@ -194,7 +194,10 @@ def passenger_flow_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hashpartitioning(stop_id, 2N) still satisfies the window's
     # required distribution, so the exploded stream itself (stops x 100
     # rows) never shuffles.
-    n_parts = 2 * spark.sparkContext.defaultParallelism
+    # +1 so the count can NEVER equal spark.sql.shuffle.partitions
+    # (2N == the shuffle default on a half-affinity host, which would
+    # re-trigger the redundant-exchange elimination described above)
+    n_parts = 2 * spark.sparkContext.defaultParallelism + 1
     buckets = demand.repartition(n_parts, F.col("stop_id")).select(
         "stop_id",
         "h",

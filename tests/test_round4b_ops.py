@@ -387,15 +387,13 @@ def test_doc_length_quantiles_match_python(spark):
         for r in _curation.doc_length_quantiles(spark, SF_DIR).collect()
     }
     assert set(out) == set(by_source)
-    import math
-
     for s, vals in by_source.items():
         vals.sort()
         n = len(vals)
         lo, hi = vals[(n + 1) // 2 - 1], vals[(n + 2) // 2 - 1]
         assert out[s]["n_docs"] == n
         assert out[s]["median_chars"] == round((lo + hi) / 2, 1)
-        assert out[s]["p90_chars"] == vals[math.ceil(0.9 * n) - 1]
+        assert out[s]["p90_chars"] == vals[(9 * n + 9) // 10 - 1]
 
 
 def test_compact_parquet_reduces_files_keeps_rows(spark, tmp_path):
@@ -435,3 +433,28 @@ def test_compact_parquet_reduces_files_keeps_rows(spark, tmp_path):
     assert sorted(
         str(r["pd"]) for r in got.select("pd").distinct().collect()
     ) == ["0", "1", "2"]
+
+
+def test_upsert_partitioned_empty_delta_is_noop(spark, tmp_path):
+    """A quiet serving-loop batch (empty delta) must return the current
+    table unchanged — a partitioned overwrite of an empty frame writes
+    no schema-bearing file, so the staged swap must be skipped."""
+    from big_data_project_spark.plans import sinks
+
+    target = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a", 1, "d1"), (2, "b", 1, "d2")],
+        "k long, v string, ver long, pd string",
+    )
+    sinks.upsert_parquet(spark, target, base, ["k"], "ver",
+                         partition_col="pd")
+    empty = base.filter(F.lit(False))
+    merged = sinks.upsert_parquet(spark, target, empty, ["k"], "ver",
+                                  partition_col="pd")
+    assert merged.count() == 2
+    # and before any table exists, an empty delta stays empty
+    merged0 = sinks.upsert_parquet(
+        spark, str(tmp_path / "nope"), empty, ["k"], "ver",
+        partition_col="pd",
+    )
+    assert merged0.count() == 0

@@ -405,3 +405,45 @@ ORACLES = {
         ORDER BY st.source
     """,
 }
+
+
+def near_dup_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the near-duplicate graph: how many docs
+    have exactly d verified near-dup neighbors. Together with
+    dedup_cluster_sizes this is the full shape report of the duplicate
+    graph — a heavy right tail (high-degree hubs) means templated
+    boilerplate rather than pairwise mirrors, which changes the keep
+    strategy (drop the hub, not one doc per pair). Docs with no
+    neighbors are out of the relation by construction (degree >= 1).
+
+    Scale: two aggregates over the OUTPUT-sized symmetric neighbor
+    relation (the persisted LSH pair list) — never the corpus."""
+    from .corpus import _near_dup_neighbors
+
+    nb = _near_dup_neighbors(spark, sf_dir)
+    deg = nb.groupBy("doc_id").agg(F.count(F.lit(1)).alias("degree"))
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("degree")
+    )
+
+
+QUERIES["near_dup_degree_histogram"] = near_dup_degree_histogram
+
+from .dedup import _SQL_MINHASH_LSH as _SQL_PAIRS  # noqa: E402
+
+ORACLES["near_dup_degree_histogram"] = f"""
+    WITH pairs AS ({_SQL_PAIRS}),
+    nb AS (
+      SELECT a_id AS doc_id FROM pairs
+      UNION ALL
+      SELECT b_id AS doc_id FROM pairs
+    ),
+    deg AS (
+      SELECT doc_id, count(*) AS degree FROM nb GROUP BY doc_id
+    )
+    SELECT degree, count(*) AS n_docs
+    FROM deg GROUP BY degree
+    ORDER BY degree
+"""

@@ -513,3 +513,53 @@ ORACLES = {
         ) q
     """,
 }
+
+
+def route_service_availability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Service-availability SLA per route: the fraction of hours in the
+    route's observed span (first to last active hour, inclusive) that
+    actually have events — the scalar summary of delay_gap_fill's
+    missing-hour flags that an operations dashboard tracks over time.
+
+    Scale: one aggregate over the shared (route x hour) rollup; the
+    span arithmetic is integer hour math (exact epoch-hour division,
+    both engines)."""
+    from .hourly import delay_hourly
+
+    d = delay_hourly(spark, sf_dir)
+    hour_idx = (F.unix_micros("hour_ts") / F.lit(3_600_000_000)).cast(
+        "long"
+    )
+    agg = d.groupBy("route_id").agg(
+        F.count(F.lit(1)).alias("observed_hours"),
+        F.min(hour_idx).alias("h0"),
+        F.max(hour_idx).alias("h1"),
+    )
+    span = F.col("h1") - F.col("h0") + 1
+    return agg.select(
+        "route_id",
+        "observed_hours",
+        span.alias("span_hours"),
+        (span - F.col("observed_hours")).alias("missing_hours"),
+        pround(F.col("observed_hours") / span, 6).alias("availability"),
+    ).orderBy("route_id")
+
+
+QUERIES["route_service_availability"] = route_service_availability
+
+ORACLES["route_service_availability"] = f"""
+    WITH d AS ({SQL_DELAY}),
+    a AS (
+      SELECT route_id, count(*) AS observed_hours,
+             min(epoch_us(hour_ts) // 3600000000) AS h0,
+             max(epoch_us(hour_ts) // 3600000000) AS h1
+      FROM d GROUP BY route_id
+    )
+    SELECT route_id, observed_hours,
+           h1 - h0 + 1 AS span_hours,
+           h1 - h0 + 1 - observed_hours AS missing_hours,
+           {sql_pround('observed_hours::DOUBLE / (h1 - h0 + 1)', 6)}
+             AS availability
+    FROM a
+    ORDER BY route_id
+"""

@@ -126,6 +126,7 @@ _PROMOTED = [
     "dedup_threshold_sweep",
     "minhash_band_analysis",
     "doc_length_quantiles",
+    "route_service_availability",
 ]
 _missing = [k for k in _PROMOTED if k not in QUERIES]
 if _missing:

@@ -458,3 +458,28 @@ def test_upsert_partitioned_empty_delta_is_noop(spark, tmp_path):
         partition_col="pd",
     )
     assert merged0.count() == 0
+
+
+def test_near_dup_degree_histogram_consistent(spark):
+    """Σ degree·n_docs = 2×|pairs| (every pair contributes one degree
+    to each endpoint) and Σ n_docs = docs with ≥1 neighbor."""
+    from big_data_project_spark.operators import corpus_stats as _cs
+    from big_data_project_spark.operators import dedup as _dedup
+
+    hist = _cs.near_dup_degree_histogram(spark, SF_DIR).collect()
+    n_pairs = _dedup.dedup_minhash_lsh(spark, SF_DIR).count()
+    assert sum(r["degree"] * r["n_docs"] for r in hist) == 2 * n_pairs
+    assert all(r["degree"] >= 1 for r in hist)
+
+
+def test_route_service_availability_bounds(spark):
+    """availability in (0, 1], missing = span - observed, and a span
+    can never be shorter than the observed hour count."""
+    from big_data_project_spark.operators import timeseries as _ts
+
+    rows = _ts.route_service_availability(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["span_hours"] >= r["observed_hours"] >= 1
+        assert r["missing_hours"] == r["span_hours"] - r["observed_hours"]
+        assert 0.0 < r["availability"] <= 1.0

@@ -368,9 +368,8 @@ def doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lo_rank = F.expr("(n + 1) div 2")
     hi_rank = F.expr("(n + 2) div 2")
-    # ceil(9n/10) in INTEGER arithmetic: ceil(0.9 * n) overshoots when
-    # the double product carries an upward error (0.9*70 ->
-    # 63.000000000000007 -> rank 64, off by one)
+    # ceil(9n/10) in pure integer arithmetic (equivalent to the float
+    # form for every feasible n, but needs no rounding analysis)
     p90_rank = F.expr("(9 * n + 9) div 10")
     return (
         ranked.groupBy("source")

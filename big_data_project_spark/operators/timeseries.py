@@ -197,8 +197,10 @@ def route_delay_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lo_rank = F.expr("(n + 1) div 2")
     hi_rank = F.expr("(n + 2) div 2")
-    # ceil(9n/10) in INTEGER arithmetic — ceil(0.9 * n) overshoots by
-    # one rank whenever the double product rounds up (n = 70, 140, ...)
+    # ceil(9n/10) in pure integer arithmetic. (The float form
+    # ceil(0.9 * n) happens to agree for every feasible n — fl(0.9)'s
+    # relative error is under half an ulp, so the product rounds back
+    # exactly — but the integer form needs no such analysis.)
     p90_rank = F.expr("(9 * n + 9) div 10")
     return (
         ranked.groupBy("route_id")

@@ -155,15 +155,36 @@ def upsert_parquet(
         return existing if existing is not None else delta
     current = _read_or_none(spark, target_path)
     if current is not None:
-        current = current.filter(F.col(partition_col).isin(touched))
+        # isin() is three-valued: a NULL partition value (Hive's
+        # __HIVE_DEFAULT_PARTITION__) never matches it, so a delta row
+        # with a NULL partition would exclude the current NULL-partition
+        # rows from the merge and dynamic overwrite would then DROP
+        # them. Match NULL explicitly.
+        non_null = [t for t in touched if t is not None]
+        cond = (
+            F.col(partition_col).isin(non_null)
+            if non_null
+            else F.lit(False)
+        )
+        if len(non_null) < len(touched):
+            cond = cond | F.col(partition_col).isNull()
+        current = current.filter(cond)
     merged = _merge(current, delta, keys, version_col)
     # Stage only the touched partitions (O(delta) bytes), then swap them
     # in atomically-per-partition with dynamic overwrite: partitions not
     # present in the staged frame are left untouched on disk.
     tmp = target_path + ".staging"
     merged.write.mode("overwrite").partitionBy(partition_col).parquet(tmp)
+    # Partition-column type is INFERRED from directory names on read; a
+    # staging dir holding only __HIVE_DEFAULT_PARTITION__ (all-NULL
+    # delta) infers VOID, which cannot be written back — restore the
+    # delta's declared type (no-op otherwise).
+    staged = spark.read.parquet(tmp).withColumn(
+        partition_col,
+        F.col(partition_col).cast(delta.schema[partition_col].dataType),
+    )
     with _conf(spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"):
-        spark.read.parquet(tmp).write.mode("overwrite").partitionBy(
+        staged.write.mode("overwrite").partitionBy(
             partition_col
         ).parquet(target_path)
     _rm_recursive(spark, tmp)
@@ -228,11 +249,14 @@ def compact_parquet(
     "bytes"} for the caller's audit log.
 
     Crash-safety order: write staging -> rename live table ASIDE ->
-    rename staging in -> delete the aside copy. A crash at any point
-    leaves either the original table or the fully-written replacement
-    addressable (plus at worst an orphan dir to clean), never a
-    missing table — deleting the live table before the rename would
-    open exactly that window.
+    rename staging in -> delete the aside copy, with BOTH rename
+    results checked (Hadoop rename reports failure by returning false,
+    not throwing). The data always survives on disk: before the swap at
+    ``path``, after it at ``path`` again, and during the brief window
+    between the renames at ``path + ".old"`` — a crash exactly there
+    leaves readers of ``path`` failing until the aside dir is renamed
+    back (documented recovery), but never deletes the only copy the
+    way delete-then-rename would.
     """
     fs, jvm_path = _hadoop_path(spark, path)
 
@@ -259,7 +283,17 @@ def compact_parquet(
         # file, target_bytes ignored, straggler risk). The splitter
         # spreads each partition over ~files_per_part tasks; each task
         # then writes at most one file per hive partition it holds.
-        n_parts = df.select(*partition_cols).distinct().count()
+        # Partition count comes from the directory listing (the names
+        # are the partition values) — a df.distinct() would re-scan the
+        # whole table a second time just to count what the layout
+        # already encodes. Nested partition dirs (2+ cols) only make
+        # the count an undercount of leaf combinations, which errs
+        # toward MORE files per partition — safe.
+        n_parts = sum(
+            1
+            for st in fs.listStatus(jvm_path)
+            if st.isDirectory() and "=" in st.getPath().getName()
+        )
         files_per_part = max(1, -(-n_files // max(1, n_parts)))
         split = F.pmod(
             F.xxhash64(*df.columns), F.lit(files_per_part)
@@ -279,8 +313,21 @@ def compact_parquet(
     aside = path.rstrip("/") + ".old"
     _rm_recursive(spark, aside)
     _, aside_path = _hadoop_path(spark, aside)
-    fs.rename(jvm_path, aside_path)
-    fs.rename(_hadoop_path(spark, staging)[1], jvm_path)
+    # Hadoop rename signals failure by returning false (dest exists,
+    # permissions, s3a copy failure) — an unchecked false here would
+    # either delete the set-aside original after a failed swap-in or
+    # report success without compacting.
+    if not fs.rename(jvm_path, aside_path):
+        _rm_recursive(spark, staging)
+        raise IOError(f"compact_parquet: cannot set aside {path!r}")
+    if not fs.rename(_hadoop_path(spark, staging)[1], jvm_path):
+        # roll the original straight back so readers never notice
+        fs.rename(aside_path, jvm_path)
+        _rm_recursive(spark, staging)
+        raise IOError(
+            f"compact_parquet: swap-in failed for {path!r}; original "
+            "restored"
+        )
     _rm_recursive(spark, aside)
     files_after, _ = _stats(jvm_path)
     return {

@@ -194,10 +194,19 @@ def passenger_flow_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hashpartitioning(stop_id, 2N) still satisfies the window's
     # required distribution, so the exploded stream itself (stops x 100
     # rows) never shuffles.
-    # +1 so the count can NEVER equal spark.sql.shuffle.partitions
-    # (2N == the shuffle default on a half-affinity host, which would
-    # re-trigger the redundant-exchange elimination described above)
+    # The count must differ from the ACTUAL session shuffle-partition
+    # setting (a session conf, not derivable from core count) or
+    # EnsureRequirements elides the repartition as redundant with the
+    # aggregate's own exchange — so read the conf and dodge it.
+    try:
+        shuffle_parts = int(
+            spark.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+    except ValueError:
+        shuffle_parts = -1
     n_parts = 2 * spark.sparkContext.defaultParallelism + 1
+    if n_parts == shuffle_parts:
+        n_parts += 1
     buckets = demand.repartition(n_parts, F.col("stop_id")).select(
         "stop_id",
         "h",

@@ -73,7 +73,7 @@ def test_rank_quantiles_match_sorted_positions(spark):
         n = len(xs)
         lo, hi = xs[(n + 1) // 2 - 1], xs[(n + 2) // 2 - 1]
         med = math.floor(((lo + hi) / 2) * 1e4 + 0.5) / 1e4
-        p90 = xs[math.ceil(0.9 * n) - 1]
+        p90 = xs[(9 * n + 9) // 10 - 1]  # integer rank, as the op
         p90 = math.floor(p90 * 1e4 + 0.5) / 1e4
         assert q[route].median_value == med
         assert q[route].p90_value == p90

@@ -483,3 +483,26 @@ def test_route_service_availability_bounds(spark):
         assert r["span_hours"] >= r["observed_hours"] >= 1
         assert r["missing_hours"] == r["span_hours"] - r["observed_hours"]
         assert 0.0 < r["availability"] <= 1.0
+
+
+def test_upsert_null_partition_rows_survive(spark, tmp_path):
+    """A delta touching the NULL partition must MERGE with the current
+    NULL-partition rows, not replace them (isin() is three-valued and
+    never matches NULL)."""
+    from big_data_project_spark.plans import sinks
+
+    target = str(tmp_path / "nulls")
+    base = spark.createDataFrame(
+        [(1, "a", 1, None), (2, "b", 1, "d1")],
+        "k long, v string, ver long, pd string",
+    )
+    sinks.upsert_parquet(spark, target, base, ["k"], "ver",
+                         partition_col="pd")
+    delta = spark.createDataFrame(
+        [(3, "c", 2, None)], "k long, v string, ver long, pd string"
+    )
+    merged = sinks.upsert_parquet(spark, target, delta, ["k"], "ver",
+                                  partition_col="pd")
+    rows = {r["k"]: r for r in merged.collect()}
+    assert set(rows) == {1, 2, 3}, "k=1 in the NULL partition must survive"
+    assert rows[1]["pd"] is None and rows[3]["pd"] is None

@@ -289,17 +289,18 @@ def interevent_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("gap_s").alias("min_gap_s"),
         F.max("gap_s").alias("max_gap_s"),
     )
-    total = hist.agg(F.sum("n_gaps").alias("total_gaps"))
+    # Share denominator via a whole-relation window over the ~40-row
+    # histogram: a separate total aggregate + crossJoin re-executes the
+    # shared subplan (Spark has no automatic CTE materialization), i.e.
+    # a SECOND full lag-window pass over the events.
+    total = F.sum("n_gaps").over(Window.partitionBy())
     return (
-        hist.crossJoin(F.broadcast(total))
-        .select(
+        hist.select(
             "log2_bucket_s",
             "n_gaps",
             "min_gap_s",
             "max_gap_s",
-            pround(F.col("n_gaps") / F.col("total_gaps"), 6).alias(
-                "share"
-            ),
+            pround(F.col("n_gaps") / total, 6).alias("share"),
         )
         .orderBy("log2_bucket_s")
     )

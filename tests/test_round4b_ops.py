@@ -506,3 +506,56 @@ def test_upsert_null_partition_rows_survive(spark, tmp_path):
     rows = {r["k"]: r for r in merged.collect()}
     assert set(rows) == {1, 2, 3}, "k=1 in the NULL partition must survive"
     assert rows[1]["pd"] is None and rows[3]["pd"] is None
+
+
+def test_stream_transitions_checkpoint_recovery(spark, tmp_path):
+    """Two availableNow runs over a growing source directory with a
+    SHARED checkpoint: the second run must recover the per-user
+    last-event state from the state store, count the boundary
+    transition between the runs, and not re-emit the first run's
+    pairs."""
+    from big_data_project_spark.streaming import pipeline
+
+    src = str(tmp_path / "ts_src")
+    ckpt = str(tmp_path / "ts_ckpt")
+    out = str(tmp_path / "ts_out")
+    schema = (
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string"
+    )
+
+    def push(rows):
+        spark.createDataFrame(rows, schema).withColumn(
+            "ts", F.to_timestamp("ts")
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        sdf = pipeline.stream_transitions_from_dir(spark, src)
+        q = (
+            sdf.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    push([
+        (1, "2026-01-01 10:00:00", 7, "view", 0.0, "{}"),
+        (2, "2026-01-01 10:05:00", 7, "click", 0.0, "{}"),
+    ])
+    run_once()
+    # restart from the checkpoint: the only NEW event must pair with
+    # the recovered last event (click -> purchase), nothing else
+    push([(3, "2026-01-01 10:10:00", 7, "purchase", 0.0, "{}")])
+    run_once()
+
+    counts = {}
+    for r in spark.read.parquet(out).collect():
+        k = (r["from_type"], r["to_type"])
+        counts[k] = counts.get(k, 0) + r["n"]
+    assert counts == {
+        ("view", "click"): 1,
+        ("click", "purchase"): 1,
+    }

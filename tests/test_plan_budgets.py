@@ -51,6 +51,18 @@ SHUFFLE_BUDGETS = {
     "split_balance_audit": 3,
     # time-series tier
     "delay_seasonal_profile": 4,
+    # round-4 second-batch additions (measured cold-plan counts)
+    "token_pmi_bigrams": 6,
+    "source_token_kl": 8,
+    "bloom_dedup_audit": 7,
+    "interevent_gap_histogram": 3,  # one event pass: lag window only
+    "delay_ewma_24h": 5,
+    "demand_trend_line": 4,
+    "seasonal_naive_eval": 7,
+    "route_service_availability": 3,
+    "doc_length_quantiles": 2,
+    "label_centroid_similarity": 4,
+    "minhash_band_analysis": 4,
 }
 
 

@@ -397,6 +397,30 @@ def doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def source_lang_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition matrix: document and character counts per
+    (source, language) with each cell's share of its source — the first
+    table of every corpus datasheet, and the input the language
+    rebalancer (lang_rebalance_sample) is sanity-checked against.
+    One aggregate; the per-source total rides along via a
+    sources-sized window."""
+    docs = load_table(spark, sf_dir, "documents")
+    cell = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("n_chars"),
+    )
+    wsrc = Window.partitionBy("source")
+    return cell.select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_chars",
+        pround(
+            F.col("n_docs") / F.sum("n_docs").over(wsrc), 6
+        ).alias("doc_share_of_source"),
+    ).orderBy("source", "lang")
+
+
 QUERIES = {
     "contamination_check": contamination_check,
     "repetition_score": repetition_score,
@@ -408,6 +432,7 @@ QUERIES = {
     "lang_rebalance_sample": lang_rebalance_sample,
     "sequence_packing_bins": sequence_packing_bins,
     "doc_length_quantiles": doc_length_quantiles,
+    "source_lang_matrix": source_lang_matrix,
 }
 
 _SQL_G3 = f"""
@@ -598,5 +623,20 @@ ORACLES = {
         FROM ranked
         GROUP BY source
         ORDER BY source
+    """,
+    "source_lang_matrix": f"""
+        WITH cell AS (
+          SELECT source, lang, count(*) AS n_docs,
+                 CAST(sum(n_chars) AS BIGINT) AS n_chars
+          FROM documents
+          GROUP BY source, lang
+        )
+        SELECT source, lang, n_docs, n_chars,
+               {sql_pround(
+                   'n_docs::DOUBLE / (CAST(sum(n_docs) OVER ('
+                   'PARTITION BY source) AS BIGINT))', 6)}
+                 AS doc_share_of_source
+        FROM cell
+        ORDER BY source, lang
     """,
 }

@@ -127,6 +127,8 @@ _PROMOTED = [
     "minhash_band_analysis",
     "doc_length_quantiles",
     "route_service_availability",
+    "props_value_consistency",
+    "source_lang_matrix",
 ]
 _missing = [k for k in _PROMOTED if k not in QUERIES]
 if _missing:

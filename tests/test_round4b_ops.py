@@ -559,3 +559,28 @@ def test_stream_transitions_checkpoint_recovery(spark, tmp_path):
         ("view", "click"): 1,
         ("click", "purchase"): 1,
     }
+
+
+def test_props_value_consistency_bounds(spark):
+    from big_data_project_spark.sources import jsonfeed
+
+    rows = jsonfeed.props_value_consistency(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["n_events"] > 0
+        if r["k_value_corr"] is not None:
+            assert -1.0 <= r["k_value_corr"] <= 1.0
+
+
+def test_source_lang_matrix_shares_sum_to_one(spark):
+    from big_data_project_spark.operators import curation as _curation
+
+    rows = _curation.source_lang_matrix(spark, SF_DIR).collect()
+    docs = load_table(spark, SF_DIR, "documents")
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    by_source = {}
+    for r in rows:
+        by_source.setdefault(r["source"], 0.0)
+        by_source[r["source"]] += r["doc_share_of_source"]
+    for s, tot in by_source.items():
+        assert abs(tot - 1.0) < 1e-3, s

@@ -1,8 +1,13 @@
-"""Round-4 second batch: PMI collocations, per-source KL drift, the
-Bloom membership audit, delay/headway correlation, label-centroid
-similarity, and the inter-event gap histogram. Semantic tests on
-planted micro-corpora plus invariants at sf0.001 (the oracle parity
-suite covers value-level correctness separately)."""
+"""Round-4 additions beyond the first batch: PMI collocations,
+per-source KL drift, the Bloom membership audit, delay/headway
+correlation, label-centroid similarity, inter-event gap histogram,
+EWMA / forecast-baseline / OLS-trend ops, RRF fusion, the LSH
+threshold-sweep and band-health audits, per-source length quantiles,
+parquet compaction, the streaming transition twin (batch equivalence,
+cross-batch state, checkpoint recovery), and the sink edge cases from
+the review passes (empty and NULL-partition deltas). Semantic tests on
+planted micro-corpora plus invariants at sf0.001 — the oracle parity
+suite covers value-level correctness separately."""
 
 from __future__ import annotations
 

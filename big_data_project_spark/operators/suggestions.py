@@ -445,3 +445,88 @@ ORACLES = {
         FROM ({_SQL_ROUTE_ROWS_LATEST}) r
     """,
 }
+
+
+def suggestion_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational thrash metric on the suggestion engine: per route,
+    how often the recommended action FLIPS between consecutive hours
+    (flips / transitions) and the share of hours spent in each action.
+    A route whose suggestion oscillates hour-to-hour needs hysteresis
+    before an operator will trust it — this is the number that decision
+    gets made on.
+
+    Scale: one lag window + one aggregate over the (route x hour)
+    suggestions relation — rollup-sized, the fact table is only
+    scanned by the underlying KPI tier."""
+    s = suggestions(spark, sf_dir).select(
+        "route_id", "hour_ts", "action"
+    )
+    w = Window.partitionBy("route_id").orderBy("hour_ts")
+    flagged = s.select(
+        "route_id",
+        "action",
+        F.when(
+            F.lag("action").over(w).isNotNull()
+            & (F.col("action") != F.lag("action").over(w)),
+            1,
+        )
+        .otherwise(0)
+        .alias("flip"),
+        F.when(F.lag("action").over(w).isNotNull(), 1)
+        .otherwise(0)
+        .alias("trans"),
+    )
+    return (
+        flagged.groupBy("route_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.sum("flip").alias("n_flips"),
+            F.sum(
+                F.when(F.col("action") == "increase_frequency", 1)
+                .otherwise(0)
+            ).alias("n_increase"),
+            F.sum(
+                F.when(F.col("action") == "decrease_frequency", 1)
+                .otherwise(0)
+            ).alias("n_decrease"),
+            pround(
+                F.sum("flip")
+                / F.nullif(F.sum("trans"), F.lit(0)),
+                6,
+            ).alias("flip_rate"),
+        )
+        .orderBy("route_id")
+    )
+
+
+QUERIES["suggestion_stability"] = suggestion_stability
+
+ORACLES["suggestion_stability"] = f"""
+    WITH s AS ({SQL_SUGGESTIONS}),
+    flagged AS (
+      SELECT route_id, action,
+             CASE WHEN lag(action) OVER (
+                    PARTITION BY route_id ORDER BY hour_ts
+                  ) IS NOT NULL
+                   AND action != lag(action) OVER (
+                     PARTITION BY route_id ORDER BY hour_ts
+                   ) THEN 1 ELSE 0 END AS flip,
+             CASE WHEN lag(action) OVER (
+                    PARTITION BY route_id ORDER BY hour_ts
+                  ) IS NOT NULL THEN 1 ELSE 0 END AS trans
+      FROM s
+    )
+    SELECT route_id,
+           count(*) AS n_hours,
+           CAST(sum(flip) AS BIGINT) AS n_flips,
+           CAST(sum(CASE WHEN action = 'increase_frequency'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_increase,
+           CAST(sum(CASE WHEN action = 'decrease_frequency'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_decrease,
+           {sql_pround(
+               'sum(flip)::DOUBLE / nullif(sum(trans), 0)', 6)}
+             AS flip_rate
+    FROM flagged
+    GROUP BY route_id
+    ORDER BY route_id
+"""

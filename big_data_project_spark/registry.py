@@ -129,6 +129,7 @@ _PROMOTED = [
     "route_service_availability",
     "props_value_consistency",
     "source_lang_matrix",
+    "suggestion_stability",
 ]
 _missing = [k for k in _PROMOTED if k not in QUERIES]
 if _missing:

@@ -589,3 +589,19 @@ def test_source_lang_matrix_shares_sum_to_one(spark):
         by_source[r["source"]] += r["doc_share_of_source"]
     for s, tot in by_source.items():
         assert abs(tot - 1.0) < 1e-3, s
+
+
+def test_suggestion_stability_consistency(spark):
+    """Flips are bounded by transitions (n_hours - 1 per route) and the
+    action tallies never exceed the hour count."""
+    from big_data_project_spark.operators import (
+        suggestions as _suggestions,
+    )
+
+    rows = _suggestions.suggestion_stability(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_flips"] <= r["n_hours"] - 1
+        assert r["n_increase"] + r["n_decrease"] <= r["n_hours"]
+        if r["flip_rate"] is not None:
+            assert 0.0 <= r["flip_rate"] <= 1.0

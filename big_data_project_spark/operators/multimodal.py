@@ -170,9 +170,64 @@ _SQL_FEATURES = """
 """
 
 
+FRAME_BYTES = 16  # bytes per sampled frame window
+_FRAME_P = 1_000_003
+
+_FRAME_SCHEMA = (
+    "doc_id bigint, frame_idx int, frame_offset bigint, "
+    "win_len int, win_checksum bigint"
+)
+
+
+def _frame_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Frame-extraction stub with the REAL production batch shape: each
+    input row fans out to FRAME_SAMPLE_N output rows (a video decoder
+    emits one row per sampled frame). The "frame" is a FRAME_BYTES-byte
+    window at the sample offset, summarized by a modular byte checksum
+    so the stub stays fully oracle-checkable."""
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n = len(payload)
+            step = max(1, n // FRAME_SAMPLE_N)
+            for i in range(FRAME_SAMPLE_N):
+                off = i * step
+                win = payload[off : off + FRAME_BYTES]
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "frame_idx": i,
+                        "frame_offset": off,
+                        "win_len": len(win),
+                        "win_checksum": sum(win) % _FRAME_P,
+                    }
+                )
+        yield pd.DataFrame(rows)
+
+
+def multimodal_frame_checksums(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Frame-sample pass over the VIDEO rows of the multimodal table:
+    one output row per sampled frame (mapInPandas fan-out — the
+    resize/frame-extract batch shape), each carrying its byte-window
+    checksum. The modality filter is pushed BEFORE the Python stage so
+    only video payloads cross the Arrow boundary."""
+    mm = multimodal_table(spark, sf_dir).select(
+        "doc_id", "payload", F.col("meta.modality").alias("modality")
+    ).filter(F.col("modality") == "video")
+    out = mm.select("doc_id", "payload").mapInPandas(
+        _frame_batches, schema=_FRAME_SCHEMA
+    )
+    return out.orderBy("doc_id", "frame_idx")
+
+
 QUERIES = {
     "multimodal_meta": multimodal_meta,
     "multimodal_features": multimodal_features,
+    "multimodal_frame_checksums": multimodal_frame_checksums,
 }
 
 # strlen() = bytes (documents.text is UTF-8; payload = encode(text)).
@@ -190,3 +245,30 @@ ORACLES = {
         FROM documents
     """,
 }
+
+# Frame windows are byte slices; documents.text is ASCII (asserted in
+# tests), so substr/ascii reproduce the byte math exactly. Offsets are
+# 0-based in the stub, substr is 1-based.
+ORACLES["multimodal_frame_checksums"] = f"""
+    WITH v AS (
+      SELECT doc_id, text, strlen(text) AS n,
+             greatest(1, strlen(text) // {FRAME_SAMPLE_N}) AS step
+      FROM documents
+      WHERE doc_id % 3 = 2
+    ),
+    frames AS (
+      SELECT doc_id, i AS frame_idx, (i * step)::BIGINT AS frame_offset,
+             substr(text, (i * step)::INT + 1, {FRAME_BYTES}) AS win
+      FROM v CROSS JOIN (
+        SELECT unnest(range(0, {FRAME_SAMPLE_N})) AS i
+      ) g
+    )
+    SELECT doc_id, frame_idx::INT AS frame_idx, frame_offset,
+           strlen(win)::INT AS win_len,
+           CAST(
+             list_sum(list_transform(string_split(win, ''),
+                                     c -> ascii(c))) % {_FRAME_P}
+             AS BIGINT) AS win_checksum
+    FROM frames
+    ORDER BY doc_id, frame_idx
+"""

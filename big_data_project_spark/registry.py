@@ -130,6 +130,7 @@ _PROMOTED = [
     "props_value_consistency",
     "source_lang_matrix",
     "suggestion_stability",
+    "multimodal_frame_checksums",
 ]
 _missing = [k for k in _PROMOTED if k not in QUERIES]
 if _missing:

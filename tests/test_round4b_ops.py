@@ -605,3 +605,31 @@ def test_suggestion_stability_consistency(spark):
         assert r["n_increase"] + r["n_decrease"] <= r["n_hours"]
         if r["flip_rate"] is not None:
             assert 0.0 <= r["flip_rate"] <= 1.0
+
+
+def test_multimodal_frame_checksums_fanout(spark):
+    """Every video doc fans out to exactly FRAME_SAMPLE_N frame rows,
+    offsets are the sample grid, and a recomputed checksum for one doc
+    matches."""
+    from big_data_project_spark.operators import multimodal as _mm
+
+    out = _mm.multimodal_frame_checksums(spark, SF_DIR).collect()
+    docs = load_table(spark, SF_DIR, "documents")
+    n_video = docs.filter(F.col("doc_id") % 3 == 2).count()
+    assert len(out) == n_video * _mm.FRAME_SAMPLE_N
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    sample_doc = sorted(by_doc)[0]
+    text = (
+        docs.filter(F.col("doc_id") == sample_doc)
+        .collect()[0]["text"]
+        .encode()
+    )
+    step = max(1, len(text) // _mm.FRAME_SAMPLE_N)
+    for r in sorted(by_doc[sample_doc], key=lambda r: r["frame_idx"]):
+        off = r["frame_idx"] * step
+        win = text[off : off + _mm.FRAME_BYTES]
+        assert r["frame_offset"] == off
+        assert r["win_len"] == len(win)
+        assert r["win_checksum"] == sum(win) % _mm._FRAME_P

@@ -181,9 +181,60 @@ def rf_demand_model(
     )
 
 
+def demand_model_leaderboard(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Model leaderboard on the RF's held-out time split: MAE of the
+    RandomForest vs the two deterministic baselines (persistence =
+    demand at the feature hour, seasonal-naive = demand 24 h before the
+    target hour) on the SAME evaluation rows — the comparison that
+    decides whether the learned model earns its complexity
+    (train_predict.py prints only the RF's own MAE; a baseline-beating
+    check is the standard missing step). Rows-only: the RF column is
+    not SQL-expressible; the baseline arms are oracle-covered
+    separately (prediction_baseline, seasonal_naive_eval).
+
+    Each baseline is scored on the eval rows where its lag exists, so
+    n_eval is reported per model."""
+    from ..functions.portable import davg
+    from ..operators.hourly import demand_hourly
+
+    preds = rf_demand_predictions(spark, sf_dir).select(
+        "route_id", "hour_ts", "y_true", "y_pred"
+    )
+    d = demand_hourly(spark, sf_dir)
+    persist = d.select(
+        "route_id", "hour_ts", F.col("passengers").alias("yhat_persist")
+    )
+    seasonal = d.select(
+        "route_id",
+        (F.col("hour_ts") + F.expr("INTERVAL 23 HOURS")).alias(
+            "hour_ts"
+        ),
+        F.col("passengers").alias("yhat_seasonal"),
+    )
+    ev = preds.join(persist, ["route_id", "hour_ts"], "left").join(
+        seasonal, ["route_id", "hour_ts"], "left"
+    )
+
+    def arm(name, yhat):
+        scored = ev.filter(yhat.isNotNull())
+        return scored.agg(
+            F.lit(name).alias("model"),
+            F.count(F.lit(1)).alias("n_eval"),
+            davg(F.abs(yhat - F.col("y_true")), 4).alias("mae"),
+        )
+
+    rf = arm("random_forest", F.col("y_pred"))
+    pe = arm("persistence", F.col("yhat_persist"))
+    se = arm("seasonal_naive", F.col("yhat_seasonal"))
+    return rf.unionByName(pe).unionByName(se).orderBy("model")
+
+
 QUERIES = {
     "rf_demand_model": rf_demand_model,
     "rf_demand_predictions": rf_demand_predictions,
+    "demand_model_leaderboard": demand_model_leaderboard,
 }
 
 ORACLES: dict[str, str] = {}  # rows-only: RF output is not SQL-expressible

@@ -131,6 +131,7 @@ _PROMOTED = [
     "source_lang_matrix",
     "suggestion_stability",
     "multimodal_frame_checksums",
+    "demand_model_leaderboard",
 ]
 _missing = [k for k in _PROMOTED if k not in QUERIES]
 if _missing:

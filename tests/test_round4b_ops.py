@@ -633,3 +633,25 @@ def test_multimodal_frame_checksums_fanout(spark):
         assert r["frame_offset"] == off
         assert r["win_len"] == len(win)
         assert r["win_checksum"] == sum(win) % _mm._FRAME_P
+
+
+def test_model_leaderboard_consistent_with_rf_metrics(spark):
+    """The leaderboard's RF arm scores every test row, so its MAE must
+    equal rf_demand_model's reported MAE; baselines are scored on the
+    rows where their lag exists."""
+    from big_data_project_spark.ml import demand as _demand
+
+    board = {
+        r["model"]: r
+        for r in _demand.demand_model_leaderboard(
+            spark, SF_DIR
+        ).collect()
+    }
+    assert set(board) == {
+        "random_forest", "persistence", "seasonal_naive"
+    }
+    model_row = _demand.rf_demand_model(spark, SF_DIR).collect()[0]
+    assert board["random_forest"]["n_eval"] == model_row["rows_test"]
+    assert board["random_forest"]["mae"] == model_row["mae"]
+    for r in board.values():
+        assert r["n_eval"] > 0 and r["mae"] >= 0

@@ -66,7 +66,17 @@ R4_HEADLINE = [
     "token_pmi_bigrams",
     "bloom_dedup_audit",
 ]
-HEADLINE = R2_HEADLINE + R3_HEADLINE + R4_HEADLINE
+R5_HEADLINE = [
+    # round-5: the rewritten rolling-WAU plan (explode equi-join — was a
+    # BroadcastNestedLoopJoin), the TPC-H Q21 decorrelation cascade, the
+    # token-window substring-dedup pass, and the session-interval
+    # explode join
+    "dau_rolling_wau",
+    "q21_waiting_suppliers",
+    "exact_substring_spans",
+    "session_concurrency_hourly",
+]
+HEADLINE = R2_HEADLINE + R3_HEADLINE + R4_HEADLINE + R5_HEADLINE
 _R2_KEYS = frozenset(R2_HEADLINE)
 
 # Ambient-load threshold for the `contended` flag: BENCH_r03 was taken
@@ -244,6 +254,34 @@ def main() -> None:
                 flush=True,
             )
 
+        # Two artifacts (round-4 verdict item 1: the driver tails ~2 KB
+        # of stdout, and r04's single ~4 KB line was truncated to
+        # "parsed": null — a round's steady-state evidence lost):
+        #   - BENCH_DETAIL.json (file, plus a stderr-free earlier note):
+        #     bulky diagnostics — per-query cold timings, per-query
+        #     [before, after] 1-min load averages, ambient/final load
+        #     snapshots, trial protocol constants.
+        #   - final stdout line: the COMPACT headline JSON only
+        #     (metric/value/total_r2_keys_sec/queries/total_cold_sec/
+        #     contended/sf) — well under the capture window.
+        detail = {
+            "queries_cold": cold,
+            # Host-contention evidence (round-3 verdict item 1): ambient
+            # load was sampled before Spark started; per-query
+            # [before, after] 1-min load averages let a reader attribute
+            # any inflated timing to co-tenant work.
+            "ambient_load": ambient,
+            "load_final": _load_snapshot(),
+            "query_load_1m": loads,
+            "min_repeats": min_repeats,
+            "max_repeats": max_repeats,
+        }
+        detail_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        )
+        with open(detail_path, "w") as fh:
+            json.dump(detail, fh, indent=1, sort_keys=True)
+        print(f"# per-query cold timings + load diagnostics: {detail_path}")
         print(
             json.dumps(
                 {
@@ -251,28 +289,21 @@ def main() -> None:
                     "value": round(total, 3),
                     "unit": "sec",
                     # like-for-like total over the 16 keys benched since
-                    # round 2 (the round-3 headline adds two corpus keys)
+                    # round 2 (later rounds append keys to HEADLINE)
                     "total_r2_keys_sec": round(
                         sum(v for k, v in timings.items() if k in _R2_KEYS), 3
                     ),
                     "queries": timings,
-                    "queries_cold": cold,
                     "total_cold_sec": round(sum(cold.values()), 3),
                     # These read the persisted shared rollup tier after the
                     # cold pass builds it — their steady number is an
                     # amortized read, not the full pipeline (that cost is in
-                    # queries_cold).
+                    # BENCH_DETAIL.json's queries_cold).
                     "amortized": ["kpi_hourly", "suggestions"],
-                    # Host-contention evidence (round-3 verdict item 1):
-                    # ambient load was sampled before Spark started;
-                    # per-query [before, after] 1-min load averages let a
-                    # reader attribute any inflated timing to co-tenant
-                    # work. `contended` means the bench STARTED on a busy
-                    # host and absolute numbers should not be compared
-                    # across rounds (min-of-N still converges from above).
-                    "ambient_load": ambient,
-                    "load_final": _load_snapshot(),
-                    "query_load_1m": loads,
+                    # `contended` means the bench STARTED on a busy host
+                    # (ambient 1-min load above 25% of the CPU quota) and
+                    # absolute numbers should not be compared across rounds
+                    # (min-of-N still converges from above).
                     "contended": contended,
                     "sf": sf,
                 }

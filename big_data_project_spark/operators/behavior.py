@@ -174,18 +174,32 @@ def dau_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-day DAU, trailing-7-day WAU (distinct users), and the
     DAU/WAU stickiness ratio. The user-day relation (users x active
     days — far smaller than events) is persisted so the spine branch
-    and the join branch share one corpus scan; the day spine is
-    broadcast, the range join fans user-day out at most WAU_DAYS
-    times, and DAU + WAU come from ONE distinct-aggregate per spine
-    day (conditional count for DAU — no second pass or extra join)."""
+    and the join branch share one corpus scan.
+
+    The trailing window is an EXPLODE-to-covered-days equi-join, not a
+    range join (round-4 verdict item 3): each user-day fans out to the
+    <= WAU_DAYS spine days whose window it falls in
+    (sequence(day, day + 6)), then equi-joins the broadcast day spine —
+    a BroadcastHashJoin. The range-predicate formulation planned a
+    BroadcastNestedLoopJoin that tested every user-day row against ALL
+    |days| spine rows: O(|user_days| x |days|) comparisons, i.e. ~10^3
+    wasted predicate evaluations per row on a multi-year spine. The
+    spine join keeps only covered days that were actually active, so
+    results are identical. DAU + WAU come from ONE distinct-aggregate
+    per spine day (conditional count for DAU — no second pass)."""
     ud = persisted(_user_days(spark, sf_dir))
     days = ud.select(F.col("day").alias("d")).distinct()
+    covered = ud.select(
+        "user_id",
+        "day",
+        F.explode(
+            F.sequence(
+                F.col("day"), F.date_add(F.col("day"), WAU_DAYS - 1)
+            )
+        ).alias("d"),
+    )
     return (
-        ud.join(
-            F.broadcast(days),
-            (F.col("day") <= F.col("d"))
-            & (F.col("day") >= F.date_sub(F.col("d"), WAU_DAYS - 1)),
-        )
+        covered.join(F.broadcast(days), "d")
         .groupBy("d")
         .agg(
             F.countDistinct("user_id").alias("wau"),
@@ -306,6 +320,167 @@ def interevent_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_DECILES = 10  # activity deciles for the power-user curve
+
+
+def power_user_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity-concentration curve: users ranked into N_DECILES
+    deciles by event count (ntile over (n_events, user_id) — fully
+    ordered, so the assignment is engine-deterministic), then per
+    decile the user count, event totals, and each decile's share of all
+    events. Decile 10 holding >50% of events is the classic power-user
+    concentration a capacity plan (and an abuse filter) reads first.
+
+    Scale: one corpus-scale (user) aggregate; the ntile window runs on
+    the users-sized relation and the final aggregate is 10 rows. The
+    share denominator is a whole-relation window over those 10 rows."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    decile = F.ntile(N_DECILES).over(
+        Window.orderBy("n_events", "user_id")
+    )
+    per_decile = (
+        per_user.withColumn("decile", decile)
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("n_events").alias("total_events"),
+            F.min("n_events").alias("min_events"),
+            F.max("n_events").alias("max_events"),
+        )
+    )
+    total = F.sum("total_events").over(Window.partitionBy())
+    return (
+        per_decile.select(
+            "decile",
+            "n_users",
+            "total_events",
+            "min_events",
+            "max_events",
+            pround(F.col("total_events") / total, 6).alias("event_share"),
+        )
+        .orderBy("decile")
+    )
+
+
+def user_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week churn: per calendar week, the active users, how
+    many of them return the NEXT calendar week, and the churn rate —
+    the retention_cohorts companion a growth dashboard tracks as one
+    number per week. The final observed week is excluded (its next
+    week is unobservable, not churned).
+
+    Scale: runs on the deduplicated (user, week) relation — one
+    corpus-scale distinct, then a self equi-join on (user, week+7d)
+    and a weeks-sized aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    # week as DATE (both engines' date_trunc('week') floor to Monday;
+    # DuckDB's returns DATE, so the Spark side casts to match)
+    uw = persisted(
+        ev.select(
+            "user_id",
+            F.to_date(F.date_trunc("week", F.col("ts"))).alias("week"),
+        ).distinct()
+    )
+    nxt = uw.select(
+        "user_id",
+        F.date_sub(F.col("week"), 7).alias("week"),
+    )
+    flagged = uw.join(
+        nxt.withColumn("returned", F.lit(1)).withColumnRenamed(
+            "returned", "ret"
+        ),
+        ["user_id", "week"],
+        "left",
+    )
+    agg = flagged.groupBy("week").agg(
+        F.count(F.lit(1)).alias("n_active"),
+        F.sum(F.coalesce(F.col("ret"), F.lit(0))).alias("n_retained"),
+    )
+    last_week = F.max("week").over(Window.partitionBy())
+    return (
+        agg.withColumn("last_week", last_week)
+        .filter(F.col("week") < F.col("last_week"))
+        .select(
+            "week",
+            "n_active",
+            "n_retained",
+            pround(
+                1.0 - F.col("n_retained") / F.col("n_active"), 4
+            ).alias("churn_rate"),
+        )
+        .orderBy("week")
+    )
+
+
+def session_duration_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two histogram of session durations (seconds) from the
+    gap-based sessionization (streaming/pipeline.sessionize_batch) —
+    the distribution an engagement dashboard buckets sessions into, and
+    the sanity check on the session gap itself (a spike at the top
+    bucket means the gap is merging visits). Zero-duration
+    (single-event) sessions land in bucket 0 via greatest(dur, 1).
+
+    Scale: sessionization is one (user_id) exchange; the histogram
+    aggregate map-side-reduces to <= ~40 bucket rows and the share
+    denominator is a whole-relation window over them."""
+    from ..streaming.pipeline import sessionize_batch
+
+    s = sessionize_batch(spark, sf_dir)
+    dur_s = F.floor(
+        (F.unix_micros("session_end") - F.unix_micros("session_start"))
+        / F.lit(1_000_000.0)
+    ).cast("long")
+    bucket = (
+        F.length(F.bin(F.greatest(dur_s, F.lit(1)))) - 1
+    ).alias("log2_bucket_s")
+    hist = s.groupBy(bucket).agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.min(dur_s).alias("min_dur_s"),
+        F.max(dur_s).alias("max_dur_s"),
+    )
+    total = F.sum("n_sessions").over(Window.partitionBy())
+    return hist.select(
+        "log2_bucket_s",
+        "n_sessions",
+        "min_dur_s",
+        "max_dur_s",
+        pround(F.col("n_sessions") / total, 6).alias("share"),
+    ).orderBy("log2_bucket_s")
+
+
+def session_concurrency_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent-session load curve: for each clock hour, how many
+    sessions were OPEN during any part of it (and how many distinct
+    users) — the serving-capacity number an autoscaler is sized
+    against, derived by exploding each session onto the hours it spans
+    (interval → hour-grain coverage, the dau_rolling_wau equi-join
+    recipe applied to time instead of days; never a range join).
+
+    Scale: sessions are users x visits-sized; the explode fans each out
+    by its hour span (bounded by the session gap + visit length), then
+    one hours-sized aggregate."""
+    from ..streaming.pipeline import sessionize_batch
+
+    s = sessionize_batch(spark, sf_dir)
+    hours = F.sequence(
+        F.date_trunc("hour", F.col("session_start")),
+        F.date_trunc("hour", F.col("session_end")),
+        F.expr("INTERVAL 1 HOUR"),
+    )
+    return (
+        s.select("user_id", F.explode(hours).alias("hour_ts"))
+        .groupBy("hour_ts")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("hour_ts")
+    )
+
+
 QUERIES = {
     "funnel_conversion": funnel_conversion,
     "retention_cohorts": retention_cohorts,
@@ -313,6 +488,10 @@ QUERIES = {
     "event_transition_matrix": event_transition_matrix,
     "funnel_conversion_lag": funnel_conversion_lag,
     "interevent_gap_histogram": interevent_gap_histogram,
+    "power_user_curve": power_user_curve,
+    "user_churn": user_churn,
+    "session_duration_histogram": session_duration_histogram,
+    "session_concurrency_hourly": session_concurrency_hourly,
 }
 
 # Shared per-user funnel CTE: fv = first view; fc = first click after
@@ -448,6 +627,58 @@ ORACLES = {
         GROUP BY CAST(fv AS DATE)
         ORDER BY cohort_day
     """,
+    "power_user_curve": f"""
+        WITH per_user AS (
+          SELECT user_id, count(*) AS n_events
+          FROM events GROUP BY user_id
+        ),
+        dec AS (
+          SELECT n_events,
+                 ntile({N_DECILES}) OVER (
+                   ORDER BY n_events, user_id
+                 ) AS decile
+          FROM per_user
+        ),
+        h AS (
+          SELECT decile, count(*) AS n_users,
+                 CAST(sum(n_events) AS BIGINT) AS total_events,
+                 min(n_events) AS min_events,
+                 max(n_events) AS max_events
+          FROM dec GROUP BY decile
+        )
+        SELECT decile, n_users, total_events, min_events, max_events,
+               {sql_pround(
+                   'total_events::DOUBLE '
+                   '/ (sum(total_events) OVER ())::DOUBLE', 6
+               )} AS event_share
+        FROM h
+        ORDER BY decile
+    """,
+    "user_churn": f"""
+        WITH uw AS (
+          SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+          FROM events
+        ),
+        nxt AS (
+          SELECT user_id, (week - INTERVAL 7 DAY)::DATE AS week, 1 AS ret
+          FROM uw
+        ),
+        f AS (
+          SELECT uw.week, count(*) AS n_active,
+                 CAST(sum(CASE WHEN nxt.ret IS NOT NULL
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_retained
+          FROM uw LEFT JOIN nxt
+            ON uw.user_id = nxt.user_id AND uw.week = nxt.week
+          GROUP BY uw.week
+        ),
+        m AS (SELECT max(week) AS last_week FROM uw)
+        SELECT week, n_active, n_retained,
+               {sql_pround('1.0 - n_retained::DOUBLE / n_active', 4)}
+                 AS churn_rate
+        FROM f CROSS JOIN m
+        WHERE week < last_week
+        ORDER BY week
+    """,
     "interevent_gap_histogram": f"""
         WITH g AS (
           SELECT epoch_us(ts) - epoch_us(lag(ts) OVER (
@@ -473,3 +704,132 @@ ORACLES = {
         ORDER BY log2_bucket_s
     """,
 }
+
+
+# Session-grain oracles reuse the user_sessions oracle verbatim as the
+# sessionization CTE, so the session boundary rule is spelled once.
+from ..streaming.pipeline import ORACLES as _PIPE_ORACLES  # noqa: E402
+
+_SQL_SESSIONS = _PIPE_ORACLES["user_sessions"]
+
+ORACLES["session_duration_histogram"] = f"""
+    WITH s AS ({_SQL_SESSIONS}),
+    d AS (
+      SELECT (epoch_us(session_end) - epoch_us(session_start)) // 1000000
+               AS dur_s
+      FROM s
+    ),
+    h AS (
+      SELECT length(bin(greatest(dur_s, 1))) - 1 AS log2_bucket_s,
+             count(*) AS n_sessions,
+             min(dur_s) AS min_dur_s,
+             max(dur_s) AS max_dur_s
+      FROM d GROUP BY 1
+    ),
+    t AS (SELECT CAST(sum(n_sessions) AS BIGINT) AS total_sessions FROM h)
+    SELECT log2_bucket_s, n_sessions, min_dur_s, max_dur_s,
+           {sql_pround('n_sessions::DOUBLE / total_sessions', 6)} AS share
+    FROM h CROSS JOIN t
+    ORDER BY log2_bucket_s
+"""
+
+ORACLES["session_concurrency_hourly"] = f"""
+    WITH s AS ({_SQL_SESSIONS}),
+    e AS (
+      SELECT user_id,
+             unnest(generate_series(
+               date_trunc('hour', session_start),
+               date_trunc('hour', session_end),
+               INTERVAL 1 HOUR
+             )) AS hour_ts
+      FROM s
+    )
+    SELECT hour_ts, count(*) AS n_sessions,
+           count(DISTINCT user_id) AS n_users
+    FROM e
+    GROUP BY hour_ts
+    ORDER BY hour_ts
+"""
+
+
+def event_type_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise association between event types at user grain
+    (market-basket lift): for each unordered type pair, the users doing
+    both, the support, and lift = P(A∧B) / (P(A)·P(B)) — lift >> 1
+    means the behaviors travel together (a recommender / funnel-design
+    signal the transition matrix's ORDER-sensitive view can't give).
+
+    Scale: the corpus collapses to the distinct (user, type) relation
+    first (|users| x |types|, types ~ 5); the self equi-join on user_id
+    fans out <= |types|^2 per user and every aggregate is types-sized.
+    The user total is a 1-row broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    ut = persisted(ev.select("user_id", "event_type").distinct())
+    per_type = ut.groupBy(F.col("event_type").alias("t")).agg(
+        F.count(F.lit(1)).alias("n_t")
+    )
+    total = ut.select("user_id").distinct().agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    both = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    na = per_type.select(
+        F.col("t").alias("type_a"), F.col("n_t").alias("n_a")
+    )
+    nb = per_type.select(
+        F.col("t").alias("type_b"), F.col("n_t").alias("n_b")
+    )
+    lift = (
+        F.col("n_both").cast("double") * F.col("n_users")
+    ) / (F.col("n_a") * F.col("n_b"))
+    return (
+        both.join(F.broadcast(na), "type_a")
+        .join(F.broadcast(nb), "type_b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            pround(F.col("n_both") / F.col("n_users"), 6).alias("support"),
+            pround(lift, 6).alias("lift"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+QUERIES["event_type_lift"] = event_type_lift
+
+ORACLES["event_type_lift"] = f"""
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    per_type AS (
+      SELECT event_type AS t, count(*) AS n_t FROM ut GROUP BY 1
+    ),
+    total AS (
+      SELECT count(DISTINCT user_id) AS n_users FROM ut
+    ),
+    pair_counts AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             count(*) AS n_both
+      FROM ut a JOIN ut b ON a.user_id = b.user_id
+      WHERE a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, na.n_t AS n_a, nb.n_t AS n_b, n_both,
+           {sql_pround('n_both::DOUBLE / n_users', 6)} AS support,
+           {sql_pround(
+               '(n_both::DOUBLE * n_users) / (na.n_t * nb.n_t)', 6
+           )} AS lift
+    FROM pair_counts
+    JOIN per_type na ON pair_counts.type_a = na.t
+    JOIN per_type nb ON pair_counts.type_b = nb.t
+    CROSS JOIN total
+    ORDER BY type_a, type_b
+"""

@@ -447,3 +447,248 @@ ORACLES["near_dup_degree_histogram"] = f"""
     FROM deg GROUP BY degree
     ORDER BY degree
 """
+
+
+SPAN_W = 5  # tokens per exact-substring window
+
+
+def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication at sub-document grain: hash every
+    positional SPAN_W-token window (stride 1, WITH multiplicity) and
+    report, per document, how many of its windows also occur in some
+    OTHER document — the suffix-array-style signal (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better") that
+    catches copied passages whole-doc dedup and set-based shingles
+    miss. Documents shorter than SPAN_W tokens have no windows and are
+    excluded.
+
+    Scale: window hashing is map-side array ops; one token-stream-scale
+    shuffle computes cross-document support per window hash, and the
+    classification join keys on the same hash — the contamination_check
+    shape, self-referential.
+    """
+    docs = load_table_spread(spark, sf_dir, "documents", "doc_id")
+    toks = F.split(_norm(F.col("text")), " ")
+    n = F.size(toks)
+    wins = F.transform(
+        F.sequence(F.lit(1), n - SPAN_W + 1),
+        lambda i: _hash60(F.array_join(F.slice(toks, i, SPAN_W), " ")),
+    )
+    w = docs.filter(n >= SPAN_W).select(
+        "doc_id", F.explode(wins).alias("wh")
+    )
+    support = w.groupBy("wh").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    return (
+        w.join(support, "wh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(
+                F.when(F.col("nd") >= 2, 1).otherwise(0)
+            ).alias("n_shared_windows"),
+        )
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_shared_windows",
+            pround(
+                F.col("n_shared_windows") / F.col("n_windows"), 6
+            ).alias("shared_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+GROWTH_BUCKETS = 20  # doc-id range buckets for the vocabulary curve
+
+
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law audit: cumulative distinct vocabulary vs cumulative
+    token count over the corpus in doc_id order, reported at
+    GROWTH_BUCKETS doc-id-range checkpoints. A healthy natural corpus
+    grows types ~ tokens^beta (beta ~ 0.5); a curve that flattens early
+    is template-dominated, one that stays linear is noise/gibberish —
+    the third corpus-law alongside zipf_slope and doc_token_entropy.
+
+    Semantics: a type is NEW in the first (min doc_id) document it
+    appears in; the per-bucket new-type and token counts are then
+    prefix-summed over the 20-row bucket relation.
+
+    Scale: one token-stream shuffle (first-occurrence per type), one
+    docs-sized aggregate; bucketing is a map-side doc_id range split
+    against a broadcast scalar max — no global row-ordering window over
+    the corpus. The cumulative window runs on 20 rows."""
+    docs = load_table_spread(spark, sf_dir, "documents", "doc_id")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(_norm(F.col("text")), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    max_doc = docs.agg(
+        (F.max("doc_id") + 1).cast("double").alias("max_doc")
+    )
+    bucket = F.least(
+        F.lit(GROWTH_BUCKETS - 1),
+        F.floor(F.col("doc_id") * GROWTH_BUCKETS / F.col("max_doc")),
+    ).cast("int")
+    # tokens per bucket (with multiplicity)
+    tok_b = (
+        toks.crossJoin(F.broadcast(max_doc))
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_tokens"))
+    )
+    # new types per bucket: type is new in its min doc_id
+    new_b = (
+        toks.groupBy("tok")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .crossJoin(F.broadcast(max_doc))
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_new_types"))
+    )
+    wcum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    j = tok_b.join(new_b, "bucket", "left").select(
+        "bucket",
+        "n_tokens",
+        F.coalesce(F.col("n_new_types"), F.lit(0)).alias("n_new_types"),
+    )
+    return (
+        j.withColumn("tokens_cum", F.sum("n_tokens").over(wcum))
+        .withColumn("types_cum", F.sum("n_new_types").over(wcum))
+        .select(
+            "bucket", "n_tokens", "n_new_types", "tokens_cum", "types_cum"
+        )
+        .orderBy("bucket")
+    )
+
+
+QUERIES["exact_substring_spans"] = exact_substring_spans
+QUERIES["vocab_growth_curve"] = vocab_growth_curve
+
+ORACLES["exact_substring_spans"] = f"""
+    WITH t AS (
+      SELECT doc_id, string_split({_SQL_NORM}, ' ') AS toks
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, len(toks) - {SPAN_W} + 2),
+               i -> {_sql_hash60(
+                 f"array_to_string(toks[i:i + {SPAN_W} - 1], ' ')"
+               )}
+             )) AS wh
+      FROM t
+      WHERE len(toks) >= {SPAN_W}
+    ),
+    d AS (SELECT wh, count(DISTINCT doc_id) AS nd FROM w GROUP BY wh)
+    SELECT doc_id, count(*) AS n_windows,
+           CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared_windows,
+           {sql_pround(
+               'sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)::DOUBLE '
+               '/ count(*)', 6)} AS shared_frac
+    FROM w JOIN d USING (wh)
+    GROUP BY doc_id
+    ORDER BY doc_id
+"""
+
+ORACLES["vocab_growth_curve"] = f"""
+    WITH m AS (
+      SELECT (max(doc_id) + 1)::DOUBLE AS max_doc FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, unnest(string_split({_SQL_NORM}, ' ')) AS tok
+      FROM documents
+    ),
+    tk AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+    tok_b AS (
+      SELECT least({GROWTH_BUCKETS - 1},
+                   floor(doc_id * {GROWTH_BUCKETS} / max_doc))::INT
+               AS bucket,
+             count(*) AS n_tokens
+      FROM tk CROSS JOIN m GROUP BY 1
+    ),
+    new_b AS (
+      SELECT least({GROWTH_BUCKETS - 1},
+                   floor(doc_id * {GROWTH_BUCKETS} / max_doc))::INT
+               AS bucket,
+             count(*) AS n_new_types
+      FROM (SELECT tok, min(doc_id) AS doc_id FROM tk GROUP BY tok)
+      CROSS JOIN m
+      GROUP BY 1
+    )
+    SELECT tok_b.bucket, n_tokens,
+           CAST(coalesce(n_new_types, 0) AS BIGINT) AS n_new_types,
+           CAST(sum(n_tokens) OVER (ORDER BY tok_b.bucket
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tokens_cum,
+           CAST(sum(coalesce(n_new_types, 0)) OVER (ORDER BY tok_b.bucket
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS types_cum
+    FROM tok_b LEFT JOIN new_b ON tok_b.bucket = new_b.bucket
+    ORDER BY tok_b.bucket
+"""
+
+
+def span_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution table for duplicated passages: every SPAN_W-token
+    window hash appearing in >= 2 documents, with its document support,
+    total occurrence count, and the canonical source (min doc_id) —
+    the lookup a dedup reviewer joins a flagged document against to see
+    WHERE its copied passages came from (the provenance complement of
+    exact_substring_spans' per-doc fractions).
+
+    Scale: the same one token-stream shuffle as exact_substring_spans;
+    output is sized by the duplicated-window vocabulary, not the
+    corpus."""
+    docs = load_table_spread(spark, sf_dir, "documents", "doc_id")
+    toks = F.split(_norm(F.col("text")), " ")
+    n = F.size(toks)
+    wins = F.transform(
+        F.sequence(F.lit(1), n - SPAN_W + 1),
+        lambda i: _hash60(F.array_join(F.slice(toks, i, SPAN_W), " ")),
+    )
+    w = docs.filter(n >= SPAN_W).select(
+        "doc_id", F.explode(wins).alias("window_hash")
+    )
+    return (
+        w.groupBy("window_hash")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("doc_id").alias("src_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy("window_hash")
+    )
+
+
+QUERIES["span_provenance"] = span_provenance
+
+ORACLES["span_provenance"] = f"""
+    WITH t AS (
+      SELECT doc_id, string_split({_SQL_NORM}, ' ') AS toks
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, len(toks) - {SPAN_W} + 2),
+               i -> {_sql_hash60(
+                 f"array_to_string(toks[i:i + {SPAN_W} - 1], ' ')"
+               )}
+             )) AS window_hash
+      FROM t
+      WHERE len(toks) >= {SPAN_W}
+    )
+    SELECT window_hash, count(DISTINCT doc_id) AS n_docs,
+           count(*) AS n_occurrences,
+           min(doc_id) AS src_doc_id
+    FROM w
+    GROUP BY window_hash
+    HAVING count(DISTINCT doc_id) >= 2
+    ORDER BY window_hash
+"""

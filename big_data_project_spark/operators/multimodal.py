@@ -272,3 +272,151 @@ ORACLES["multimodal_frame_checksums"] = f"""
     FROM frames
     ORDER BY doc_id, frame_idx
 """
+
+
+AUDIO_WIN = 32  # bytes per analysis window
+AUDIO_HOP = 16  # hop between window starts (50% overlap)
+
+_AUDIO_SCHEMA = (
+    "doc_id bigint, win_idx int, win_start bigint, "
+    "win_len int, energy bigint, peak_byte int"
+)
+
+
+def _audio_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Audio-framing stub with the REAL STFT-style batch shape: each
+    payload fans out to overlapping AUDIO_WIN-byte windows at AUDIO_HOP
+    stride (a real feature extractor computes per-window spectra; the
+    stub's per-window byte energy/peak keep it oracle-checkable). The
+    variable per-row fan-out (longer clip -> more frames) is the shape
+    that distinguishes audio framing from the fixed-N video sampler."""
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n = len(payload)
+            idx = 0
+            off = 0
+            while off < n:
+                win = payload[off : off + AUDIO_WIN]
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "win_idx": idx,
+                        "win_start": off,
+                        "win_len": len(win),
+                        "energy": sum(b * b for b in win),
+                        "peak_byte": max(win),
+                    }
+                )
+                idx += 1
+                off += AUDIO_HOP
+        yield pd.DataFrame(rows)
+
+
+def multimodal_audio_windows(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Overlapping-window feature pass over the AUDIO rows of the
+    multimodal table — one output row per analysis window (variable
+    fan-out: clip length / AUDIO_HOP), each with its byte-energy and
+    peak stub features. The modality filter is pushed before the Arrow
+    boundary, so only audio payloads cross into Python; the windowing
+    itself is embarrassingly parallel (no shuffle until the output
+    sort)."""
+    mm = multimodal_table(spark, sf_dir).select(
+        "doc_id", "payload", F.col("meta.modality").alias("modality")
+    ).filter(F.col("modality") == "audio")
+    out = mm.select("doc_id", "payload").mapInPandas(
+        _audio_batches, schema=_AUDIO_SCHEMA
+    )
+    return out.orderBy("doc_id", "win_idx")
+
+
+QUERIES["multimodal_audio_windows"] = multimodal_audio_windows
+
+# Window slices are byte ranges; documents.text is ASCII (asserted in
+# tests), so substr/ascii reproduce the byte math. Offsets 0-based in
+# the stub, substr 1-based. Window count = ceil(n / HOP) (off < n).
+ORACLES["multimodal_audio_windows"] = f"""
+    WITH a AS (
+      SELECT doc_id, text, strlen(text) AS n
+      FROM documents
+      WHERE doc_id % 3 = 1
+    ),
+    idx AS (
+      SELECT doc_id, text,
+             unnest(range(0, (n + {AUDIO_HOP} - 1) // {AUDIO_HOP})) AS i
+      FROM a
+    ),
+    w AS (
+      SELECT doc_id, i AS win_idx,
+             (i * {AUDIO_HOP})::BIGINT AS win_start,
+             substr(text, (i * {AUDIO_HOP})::INT + 1, {AUDIO_WIN}) AS win
+      FROM idx
+    )
+    SELECT doc_id, win_idx::INT AS win_idx, win_start,
+           strlen(win)::INT AS win_len,
+           CAST(list_sum(list_transform(string_split(win, ''),
+                                        c -> ascii(c) * ascii(c)))
+                AS BIGINT) AS energy,
+           CAST(list_max(list_transform(string_split(win, ''),
+                                        c -> ascii(c))) AS INT)
+             AS peak_byte
+    FROM w
+    ORDER BY doc_id, win_idx
+"""
+
+
+def multimodal_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact payload-level dedup audit per modality: md5 over the raw
+    BINARY column (JVM-side, before any decode), counting payloads vs
+    distinct payloads — the first pass a multimodal ingest runs, since
+    re-encoded/duplicated media is far cheaper to drop by byte hash
+    than after feature extraction. One corpus-scale hash aggregate."""
+    from ..functions.portable import pround
+
+    mm = multimodal_table(spark, sf_dir).select(
+        F.col("meta.modality").alias("modality"),
+        F.md5(F.col("payload")).alias("h"),
+    )
+    return (
+        mm.groupBy("modality")
+        .agg(
+            F.count(F.lit(1)).alias("n_payloads"),
+            F.countDistinct("h").alias("n_distinct_payloads"),
+        )
+        .select(
+            "modality",
+            "n_payloads",
+            "n_distinct_payloads",
+            pround(
+                1.0
+                - F.col("n_distinct_payloads") / F.col("n_payloads"),
+                6,
+            ).alias("dup_rate"),
+        )
+        .orderBy("modality")
+    )
+
+
+QUERIES["multimodal_payload_dedup"] = multimodal_payload_dedup
+
+# payload = encode(text, UTF-8), so md5(payload) == DuckDB md5(text).
+ORACLES["multimodal_payload_dedup"] = """
+    WITH h AS (
+      SELECT CASE doc_id % 3
+               WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
+             END AS modality,
+             md5(text) AS h
+      FROM documents
+    )
+    SELECT modality, count(*) AS n_payloads,
+           count(DISTINCT h) AS n_distinct_payloads,
+           floor((1.0 - count(DISTINCT h)::DOUBLE / count(*))
+                 * 1000000.0 + 0.5) / 1000000.0 AS dup_rate
+    FROM h
+    GROUP BY modality
+    ORDER BY modality
+"""

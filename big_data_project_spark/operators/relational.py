@@ -390,3 +390,247 @@ ORACLES["route_dow_rank_profile"] = f"""
     WINDOW w AS (PARTITION BY route_id
                  ORDER BY total_value DESC, dow ASC)
 """
+
+
+def orders_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row referential-integrity audit across the relational core:
+    orders with no lineitems, lineitems whose order is missing,
+    customers with no orders, and orders whose customer is missing —
+    the ingest-quality gate the reference enforces with foreign keys in
+    Postgres (initdb schema constraints); on a lake there is no FK, so
+    the audit IS the constraint.
+
+    Scale: four anti-join counts over the fact tables; each anti join
+    is a hash join on its key with the smaller (distinct-key) side
+    aggregated first, and the four 1-row results cross-join broadcast
+    into the single audit row."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cust = load_table(spark, sf_dir, "customer")
+
+    def _cnt(df, name):
+        return df.agg(F.count(F.lit(1)).alias(name))
+
+    o_no_li = _cnt(
+        orders.join(
+            li.select("l_orderkey").distinct(),
+            orders.o_orderkey == F.col("l_orderkey"),
+            "left_anti",
+        ),
+        "orders_without_lineitems",
+    )
+    li_dangling = _cnt(
+        li.join(
+            orders.select("o_orderkey"),
+            li.l_orderkey == F.col("o_orderkey"),
+            "left_anti",
+        ),
+        "lineitems_without_order",
+    )
+    c_no_o = _cnt(
+        cust.join(
+            orders.select("o_custkey").distinct(),
+            cust.c_custkey == F.col("o_custkey"),
+            "left_anti",
+        ),
+        "customers_without_orders",
+    )
+    o_dangling = _cnt(
+        orders.join(
+            cust.select("c_custkey"),
+            orders.o_custkey == F.col("c_custkey"),
+            "left_anti",
+        ),
+        "orders_without_customer",
+    )
+    totals = orders.agg(F.count(F.lit(1)).alias("n_orders"))
+    return (
+        totals.crossJoin(F.broadcast(o_no_li))
+        .crossJoin(F.broadcast(li_dangling))
+        .crossJoin(F.broadcast(c_no_o))
+        .crossJoin(F.broadcast(o_dangling))
+    )
+
+
+QUERIES["orders_fk_audit"] = orders_fk_audit
+
+ORACLES["orders_fk_audit"] = """
+    SELECT
+      (SELECT count(*) FROM orders) AS n_orders,
+      (SELECT count(*) FROM orders
+       WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem))
+        AS orders_without_lineitems,
+      (SELECT count(*) FROM lineitem
+       WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+        AS lineitems_without_order,
+      (SELECT count(*) FROM customer
+       WHERE c_custkey NOT IN (SELECT o_custkey FROM orders))
+        AS customers_without_orders,
+      (SELECT count(*) FROM orders
+       WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+        AS orders_without_customer
+"""
+
+
+RFM_QUARTILES = 4
+SLA_DAYS = 30  # ship-within window for the priority SLA
+
+
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per customer recency (days from last
+    order to the corpus max order date), frequency (order count), and
+    monetary (decimal-exact total spend), each scored into quartiles by
+    ntile over a FULLY ordered ranking (metric + c_custkey tie-break,
+    so the assignment is engine-deterministic; recency ranked DESC so
+    score 4 = most recent). Output: one row per RFM segment code with
+    customer count and average spend — the classic CRM cut.
+
+    Scale: one orders-scale aggregate to customer grain, three
+    customers-sized ntile windows, then a 64-row segment aggregate."""
+    from ..functions.portable import davg, pround
+
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy(F.col("o_custkey").alias("c")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+        .cast("double")
+        .alias("monetary_raw"),
+    )
+    max_date = F.max("last_order").over(Window.partitionBy())
+    base = per_cust.withColumn(
+        "recency_days", F.datediff(max_date, F.col("last_order"))
+    ).withColumn("monetary", pround("monetary_raw", 2))
+    r_score = F.ntile(RFM_QUARTILES).over(
+        Window.orderBy(F.desc("recency_days"), F.col("c"))
+    )
+    f_score = F.ntile(RFM_QUARTILES).over(
+        Window.orderBy(F.col("frequency"), F.col("c"))
+    )
+    m_score = F.ntile(RFM_QUARTILES).over(
+        Window.orderBy(F.col("monetary"), F.col("c"))
+    )
+    scored = base.select(
+        "c",
+        "monetary",
+        F.concat(
+            r_score.cast("string"),
+            f_score.cast("string"),
+            m_score.cast("string"),
+        ).alias("segment"),
+    )
+    return (
+        scored.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            davg("monetary", 2).alias("avg_monetary"),
+        )
+        .orderBy("segment")
+    )
+
+
+def order_priority_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly ship-SLA attainment by order priority: the fraction of
+    orders whose FIRST lineitem shipped within SLA_DAYS of the order
+    date, per (order month, priority) — the service-level table an ops
+    review reads next to q4's raw priority counts.
+
+    Scale: one lineitem-scale min-aggregate to order grain, one
+    broadcast-free equi-join back to orders, then a months x priorities
+    aggregate."""
+    from ..functions.portable import pround
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    first_ship = li.groupBy("l_orderkey").agg(
+        F.min("l_shipdate").alias("first_ship")
+    )
+    j = orders.join(
+        first_ship, orders.o_orderkey == F.col("l_orderkey")
+    )
+    met = F.when(
+        F.col("first_ship")
+        <= F.col("o_orderdate") + F.expr(f"INTERVAL {SLA_DAYS} DAYS"),
+        1,
+    ).otherwise(0)
+    return (
+        j.groupBy(
+            # DATE on both engines (DuckDB date_trunc('month') -> DATE)
+            F.to_date(F.date_trunc("month", "o_orderdate")).alias(
+                "order_month"
+            ),
+            "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(met).alias("n_met"),
+        )
+        .select(
+            "order_month",
+            "o_orderpriority",
+            "n_orders",
+            "n_met",
+            pround(F.col("n_met") / F.col("n_orders"), 4).alias("sla_frac"),
+        )
+        .orderBy("order_month", "o_orderpriority")
+    )
+
+
+QUERIES["rfm_segments"] = rfm_segments
+QUERIES["order_priority_sla"] = order_priority_sla
+
+from ..functions.portable import sql_davg as _sql_davg  # noqa: E402
+from ..functions.portable import sql_pround as _sql_pround  # noqa: E402
+
+ORACLES["rfm_segments"] = f"""
+    WITH per_cust AS (
+      SELECT o_custkey AS c,
+             max(o_orderdate) AS last_order,
+             count(*) AS frequency,
+             (sum((o_totalprice)::DECIMAL(28,6)))::DOUBLE AS monetary_raw
+      FROM orders GROUP BY o_custkey
+    ),
+    base AS (
+      SELECT c, frequency,
+             datediff('day', last_order,
+                      max(last_order) OVER ()) AS recency_days,
+             {_sql_pround('monetary_raw', 2)} AS monetary
+      FROM per_cust
+    ),
+    scored AS (
+      SELECT monetary,
+             ntile({RFM_QUARTILES}) OVER (ORDER BY recency_days DESC, c)
+               ::VARCHAR
+             || ntile({RFM_QUARTILES}) OVER (ORDER BY frequency, c)
+               ::VARCHAR
+             || ntile({RFM_QUARTILES}) OVER (ORDER BY monetary, c)
+               ::VARCHAR AS segment
+      FROM base
+    )
+    SELECT segment, count(*) AS n_customers,
+           {_sql_davg('monetary', 2)} AS avg_monetary
+    FROM scored
+    GROUP BY segment
+    ORDER BY segment
+"""
+
+ORACLES["order_priority_sla"] = f"""
+    WITH first_ship AS (
+      SELECT l_orderkey, min(l_shipdate) AS first_ship
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT date_trunc('month', o_orderdate) AS order_month,
+           o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(CASE WHEN first_ship
+                              <= o_orderdate + INTERVAL {SLA_DAYS} DAY
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_met,
+           {_sql_pround(
+               'sum(CASE WHEN first_ship '
+               f'         <= o_orderdate + INTERVAL {SLA_DAYS} DAY '
+               '         THEN 1 ELSE 0 END)::DOUBLE / count(*)', 4
+           )} AS sla_frac
+    FROM orders JOIN first_ship ON o_orderkey = l_orderkey
+    GROUP BY date_trunc('month', o_orderdate), o_orderpriority
+    ORDER BY order_month, o_orderpriority
+"""

@@ -651,3 +651,67 @@ ORACLES["ann_rrf_fusion"] = f"""
     WHERE fused_rank <= {TOP_K}
     ORDER BY query_id, fused_rank
 """
+
+
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@k of the LSH retriever against the exact scan —
+    the acceptance gate an approximate index must pass before the exact
+    path is turned off (the standard ANN evaluation loop). A hit is an
+    exact-top-k neighbour the LSH list also surfaced at any rank.
+
+    Scale: both inputs are top-k relations (|queries| x k rows); the
+    semi-join and per-query aggregate are output-sized regardless of
+    corpus size — the expensive parts are the retrievers themselves,
+    which are the things under test."""
+    ex = ann_cosine_topk(spark, sf_dir).select("query_id", "match_id")
+    ap = ann_lsh_topk(spark, sf_dir).select(
+        "query_id", F.col("match_id").alias("lsh_match_id")
+    )
+    hits = (
+        ex.join(
+            ap,
+            (ex.query_id == ap.query_id)
+            & (ex.match_id == ap.lsh_match_id),
+            "left_semi",
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    per = ex.groupBy("query_id").agg(F.count(F.lit(1)).alias("k"))
+    return (
+        per.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "k",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            pround(
+                F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("k"), 4
+            ).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )
+
+
+QUERIES["ann_recall_eval"] = ann_recall_eval
+
+ORACLES["ann_recall_eval"] = f"""
+    WITH ex AS ({ORACLES["ann_cosine_topk"]}),
+    ap AS ({ORACLES["ann_lsh_topk"]}),
+    hits AS (
+      SELECT ex.query_id, count(*) AS n_hits
+      FROM ex
+      WHERE EXISTS (
+        SELECT 1 FROM ap
+        WHERE ap.query_id = ex.query_id
+          AND ap.match_id = ex.match_id
+      )
+      GROUP BY ex.query_id
+    ),
+    per AS (SELECT query_id, count(*) AS k FROM ex GROUP BY query_id)
+    SELECT per.query_id, per.k,
+           CAST(coalesce(hits.n_hits, 0) AS BIGINT) AS n_hits,
+           {sql_pround('coalesce(hits.n_hits, 0)::DOUBLE / per.k', 4)}
+             AS recall_at_k
+    FROM per LEFT JOIN hits ON per.query_id = hits.query_id
+    ORDER BY per.query_id
+"""

@@ -565,3 +565,104 @@ ORACLES["route_service_availability"] = f"""
     FROM a
     ORDER BY route_id
 """
+
+
+WINSOR_LO_PCT = 5   # clamp below the p05 ...
+WINSOR_HI_PCT = 95  # ... and above the p95
+
+
+def delay_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-route delay average: winsorize the raw delay metric
+    at the exact p05/p95 (rank arithmetic — route_delay_quantiles'
+    recipe, so the cut points are engine-identical), clamp, and compare
+    the winsorized mean against the raw mean. A large trim_effect says
+    the plain AVG feeding delay_hourly is outlier-driven and the
+    alerting thresholds should read this column instead.
+
+    Scale: ONE ranked pass per route (the exact-quantile sort) reused
+    by both the cut-point aggregate and the clamped mean — the bounds
+    are routes-sized and broadcast back onto the ranked relation."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    wr = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = ev.select(
+        F.col("event_type").alias("route_id"),
+        F.col("value"),
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    from ..caching import persisted
+
+    ranked = persisted(ranked)
+    lo_rank = F.expr(f"({WINSOR_LO_PCT} * n + 99) div 100")   # ceil(p*n)
+    hi_rank = F.expr(f"({WINSOR_HI_PCT} * n + 99) div 100")
+    bounds = ranked.groupBy("route_id").agg(
+        F.max(F.when(F.col("rn") == lo_rank, F.col("value"))).alias("p_lo"),
+        F.max(F.when(F.col("rn") == hi_rank, F.col("value"))).alias("p_hi"),
+        F.max("n").alias("n_values"),
+    )
+    clamped = F.least(F.greatest(F.col("value"), F.col("p_lo")), F.col("p_hi"))
+    return (
+        ranked.join(F.broadcast(bounds), "route_id")
+        .groupBy("route_id")
+        .agg(
+            F.max("n_values").alias("n_values"),
+            pround(F.max("p_lo"), 4).alias("p05"),
+            pround(F.max("p_hi"), 4).alias("p95"),
+            davg(F.col("value"), 4).alias("raw_mean"),
+            davg(clamped, 4).alias("winsorized_mean"),
+        )
+        .select(
+            "route_id",
+            "n_values",
+            "p05",
+            "p95",
+            "raw_mean",
+            "winsorized_mean",
+            pround(
+                F.col("raw_mean") - F.col("winsorized_mean"), 4
+            ).alias("trim_effect"),
+        )
+        .orderBy("route_id")
+    )
+
+
+QUERIES["delay_winsorized_mean"] = delay_winsorized_mean
+
+ORACLES["delay_winsorized_mean"] = f"""
+    WITH ranked AS (
+      SELECT event_type AS route_id, value,
+             row_number() OVER (
+               PARTITION BY event_type ORDER BY value, event_id
+             ) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+      WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ),
+    bounds AS (
+      SELECT route_id,
+             max(CASE WHEN rn = ({WINSOR_LO_PCT} * n + 99) // 100
+                      THEN value END) AS p_lo,
+             max(CASE WHEN rn = ({WINSOR_HI_PCT} * n + 99) // 100
+                      THEN value END) AS p_hi,
+             CAST(max(n) AS BIGINT) AS n_values
+      FROM ranked GROUP BY route_id
+    )
+    SELECT r.route_id, b.n_values,
+           {sql_pround('max(b.p_lo)', 4)} AS p05,
+           {sql_pround('max(b.p_hi)', 4)} AS p95,
+           {sql_davg('r.value', 4)} AS raw_mean,
+           {sql_davg('least(greatest(r.value, b.p_lo), b.p_hi)', 4)}
+             AS winsorized_mean,
+           {sql_pround(
+               sql_davg('r.value', 4)
+               + ' - ' + sql_davg(
+                   'least(greatest(r.value, b.p_lo), b.p_hi)', 4),
+               4,
+           )} AS trim_effect
+    FROM ranked r JOIN bounds b USING (route_id)
+    GROUP BY r.route_id, b.n_values
+    ORDER BY r.route_id
+"""

@@ -264,8 +264,75 @@ def q20_heavy_shipper_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q21_NATION = "NATION_3"
+Q21_LATE_DAYS = 60  # same lateness rule as q12 (no commit/receipt dates)
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape (suppliers who kept orders waiting): for finished
+    ('F') orders, count each supplier's LATE lineitems in orders where
+    (a) at least one OTHER supplier participated (the EXISTS) and
+    (b) no other supplier was late (the NOT EXISTS) — so the wait is
+    attributable to exactly this supplier. Completes the TPC-H 1-22
+    surface. Adapted lateness: shipped > Q21_LATE_DAYS after the order
+    date (the reduced tables carry no commit/receipt dates — q12's
+    rule); supplier nation pinned like the reference's 'SAUDI ARABIA'.
+
+    Spark-first decorrelation: both EXISTS subqueries collapse into ONE
+    per-(order, supplier) aggregate cascaded to a per-order aggregate
+    (n_supp, n_late_supp) — no second fact scan, no correlated re-scan
+    per row; the supplier/nation dims broadcast onto the output-sized
+    qualifying relation.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == Q21_NATION
+    )
+    lo = li.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        F.when(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {Q21_LATE_DAYS} DAYS"),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_late"),
+    )
+    so = lo.groupBy("l_orderkey", "l_suppkey").agg(
+        F.sum("is_late").alias("late_lines")
+    )
+    po = so.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum(
+            F.when(F.col("late_lines") > 0, 1).otherwise(0)
+        ).alias("n_late_supp"),
+    )
+    qual = (
+        so.filter(F.col("late_lines") > 0)
+        .join(po, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+    )
+    return (
+        qual.join(F.broadcast(supp), qual.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .groupBy("s_name")
+        .agg(F.sum("late_lines").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
 QUERIES = {
     "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q21_waiting_suppliers": q21_waiting_suppliers,
     "q11_part_value_share": q11_part_value_share,
     "q12_late_priority_lines": q12_late_priority_lines,
     "q13_order_count_distribution": q13_order_count_distribution,
@@ -380,3 +447,39 @@ ORACLES = {
         ORDER BY s_name
     """,
 }
+
+
+ORACLES["q21_waiting_suppliers"] = f"""
+    WITH lo AS (
+      SELECT l_orderkey, l_suppkey,
+             CASE WHEN l_shipdate
+                       > o_orderdate + INTERVAL {Q21_LATE_DAYS} DAY
+                  THEN 1 ELSE 0 END AS is_late
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderstatus = 'F'
+    ),
+    so AS (
+      SELECT l_orderkey, l_suppkey,
+             CAST(sum(is_late) AS BIGINT) AS late_lines
+      FROM lo GROUP BY 1, 2
+    ),
+    po AS (
+      SELECT l_orderkey, count(*) AS n_supp,
+             CAST(sum(CASE WHEN late_lines > 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_late_supp
+      FROM so GROUP BY 1
+    ),
+    qual AS (
+      SELECT so.l_suppkey, so.late_lines
+      FROM so JOIN po USING (l_orderkey)
+      WHERE so.late_lines > 0 AND po.n_supp >= 2 AND po.n_late_supp = 1
+    )
+    SELECT s_name, CAST(sum(late_lines) AS BIGINT) AS numwait
+    FROM qual
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE n_name = '{Q21_NATION}'
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+"""

@@ -29,7 +29,7 @@ from ..functions.portable import (
     sql_pround,
 )
 from .headway import SQL_HEADWAY, headway_hourly
-from .hourly import SQL_DELAY, SQL_DEMAND, delay_hourly
+from .hourly import SQL_DELAY, SQL_DEMAND, SQL_WEATHER, delay_hourly
 
 CUSUM_MIN_HOURS = 5
 REGULAR_MIN_HOURS = 5
@@ -190,7 +190,14 @@ def delay_ewma_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
     Portability: 2^-j is EXACTLY representable, computed as
     1.0 / (1 << j) from integer row-offset j on both engines — no
     libm pow(), whose last-ulp behavior differs across platforms. The
-    weighted sums are decimal-exact folds.
+    weighted sums are decimal-exact folds at DECIMAL(28,6) (identical
+    on both engines), which quantizes each weighted term to 1e-6: a
+    weight 2^-j for row offset j >= 21 rounds to zero, so the
+    documented 2^-j tail is effectively truncated at ~20 terms. With
+    EWMA_WINDOW = 24 that drops at most the last 3 terms' <= 2^-21
+    relative contribution — below the 1e-4 output rounding — but a
+    caller widening EWMA_WINDOW should also widen the fold scale on
+    BOTH engines.
 
     Scale: runs on the (route x hour) rollup; the trailing window is a
     self-equi-join on route_id with a row-offset band (fan-out <=
@@ -366,6 +373,133 @@ def demand_trend_line(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ACF_LAGS = [1, 2, 3, 6, 12, 24]  # observed-hour offsets for the ACF
+
+
+def delay_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-route autocorrelation function of the hourly delay at
+    ACF_LAGS observed-hour offsets — the diagnostic that picks a
+    forecast baseline's lag (a strong lag-24 ACF says seasonal-naive,
+    a strong lag-1 says persistence; trend.seasonal_naive_eval then
+    confirms on MAE) and flags routes whose delays are white noise
+    (nothing forecastable). Lags are in OBSERVED hours (row offsets per
+    route, the EWMA convention), so gaps in service don't create
+    phantom decorrelation.
+
+    Determinism: x/y are the 4-dp rollup values; the five moment sums
+    are decimal-exact folds; the Pearson closed form is one fixed
+    double expression (delay_headway_corr's recipe per lag).
+
+    Scale: the lag alignment is an EXPLODE-to-target-row equi-join on
+    (route_id, rn) — the past side fans out |ACF_LAGS|x over the
+    rollup-sized relation, hash-joins back, and aggregates to
+    |routes| x |lags| rows. No range join, no fact re-scan."""
+    d = delay_hourly(spark, sf_dir).filter(
+        F.col("avg_delay_seconds").isNotNull()
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("route_id").orderBy("hour_ts")
+    )
+    base = d.select(
+        "route_id", F.col("avg_delay_seconds").alias("x"), rn.alias("rn")
+    )
+    past = base.select(
+        "route_id",
+        F.col("x").alias("x_past"),
+        F.explode(
+            F.array(*[F.lit(k) for k in ACF_LAGS])
+        ).alias("lag_hours"),
+        F.col("rn").alias("rn_p"),
+    ).withColumn("rn", F.col("rn_p") + F.col("lag_hours"))
+    j = base.join(past.drop("rn_p"), ["route_id", "rn"])
+    x, y = F.col("x"), F.col("x_past")
+    agg = j.groupBy("route_id", "lag_hours").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        dsum_exact(x).alias("sx"),
+        dsum_exact(y).alias("sy"),
+        dsum_exact(x * x).alias("sxx"),
+        dsum_exact(y * y).alias("syy"),
+        dsum_exact(x * y).alias("sxy"),
+    )
+    n = F.col("n_pairs")
+    cov_n = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx_n = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary_n = n * F.col("syy") - F.col("sy") * F.col("sy")
+    acf = F.when(
+        (varx_n > 0) & (vary_n > 0), cov_n / F.sqrt(varx_n * vary_n)
+    )
+    return (
+        agg.filter(n >= CORR_MIN_HOURS)
+        .select(
+            "route_id",
+            "lag_hours",
+            "n_pairs",
+            pround(acf, 6).alias("acf"),
+        )
+        .orderBy("route_id", "lag_hours")
+    )
+
+
+def weather_delay_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-route Pearson correlation of hourly delay against the two
+    hourly weather signals (temperature, precipitation) — the
+    cross-feed diagnostic behind the suggestion engine's storm rule
+    (reference generate_suggestions.py conditions on weather rows; this
+    measures whether the conditioning is warranted per route). Weather
+    is a global hourly profile, so the join key is the hour alone.
+
+    Scale: delay rollup ⋈ broadcast hours-sized weather profile, then
+    a routes-sized moment aggregate — the delay_headway_corr shape with
+    a broadcast dimension instead of a second rollup."""
+    from .hourly import weather_hourly
+
+    d = delay_hourly(spark, sf_dir).filter(
+        F.col("avg_delay_seconds").isNotNull()
+    )
+    w = weather_hourly(spark, sf_dir)
+    j = d.join(F.broadcast(w), "hour_ts")
+    x = F.col("avg_delay_seconds")
+
+    def _corr_cols(y, out_name):
+        # moment-sum aliases namespaced per axis so one aggregate
+        # carries both correlations
+        return [
+            dsum_exact(y).alias(f"sy_{out_name}"),
+            dsum_exact(y * y).alias(f"syy_{out_name}"),
+            dsum_exact(x * y).alias(f"sxy_{out_name}"),
+        ]
+
+    agg = j.groupBy("route_id").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        dsum_exact(x).alias("sx"),
+        dsum_exact(x * x).alias("sxx"),
+        *_corr_cols(F.col("temperature_c"), "t"),
+        *_corr_cols(F.col("precipitation_mm"), "p"),
+    )
+    n = F.col("n_hours")
+    varx_n = n * F.col("sxx") - F.col("sx") * F.col("sx")
+
+    def _corr(tag):
+        cov_n = n * F.col(f"sxy_{tag}") - F.col("sx") * F.col(f"sy_{tag}")
+        vary_n = (
+            n * F.col(f"syy_{tag}") - F.col(f"sy_{tag}") * F.col(f"sy_{tag}")
+        )
+        return F.when(
+            (varx_n > 0) & (vary_n > 0), cov_n / F.sqrt(varx_n * vary_n)
+        )
+
+    return (
+        agg.filter(n >= CORR_MIN_HOURS)
+        .select(
+            "route_id",
+            "n_hours",
+            pround(_corr("t"), 6).alias("corr_temperature"),
+            pround(_corr("p"), 6).alias("corr_precipitation"),
+        )
+        .orderBy("route_id")
+    )
+
+
 QUERIES = {
     "delay_cusum_changepoint": delay_cusum_changepoint,
     "headway_regularity": headway_regularity,
@@ -373,6 +507,8 @@ QUERIES = {
     "delay_ewma_24h": delay_ewma_24h,
     "seasonal_naive_eval": seasonal_naive_eval,
     "demand_trend_line": demand_trend_line,
+    "delay_autocorrelation": delay_autocorrelation,
+    "weather_delay_corr": weather_delay_corr,
 }
 
 ORACLES = {
@@ -577,3 +713,90 @@ ORACLES = {
         ORDER BY route_id
     """,
 }
+
+
+_SQL_DSUM_EXACT = "(sum(({e})::DECIMAL(28,6)))::DOUBLE"
+_ACF_VALUES = ", ".join(f"({k})" for k in ACF_LAGS)
+
+ORACLES["delay_autocorrelation"] = f"""
+    WITH d AS (
+      SELECT * FROM ({SQL_DELAY}) t WHERE avg_delay_seconds IS NOT NULL
+    ),
+    r AS (
+      SELECT route_id, avg_delay_seconds AS x,
+             row_number() OVER (
+               PARTITION BY route_id ORDER BY hour_ts
+             ) AS rn
+      FROM d
+    ),
+    lags(lag_hours) AS (VALUES {_ACF_VALUES}),
+    p AS (
+      SELECT c.route_id, l.lag_hours, c.x AS x, pp.x AS x_past
+      FROM r c
+      CROSS JOIN lags l
+      JOIN r pp ON pp.route_id = c.route_id
+               AND pp.rn + l.lag_hours = c.rn
+    ),
+    a AS (
+      SELECT route_id, lag_hours, count(*) AS n_pairs,
+             {_SQL_DSUM_EXACT.format(e='x')} AS sx,
+             {_SQL_DSUM_EXACT.format(e='x_past')} AS sy,
+             {_SQL_DSUM_EXACT.format(e='x * x')} AS sxx,
+             {_SQL_DSUM_EXACT.format(e='x_past * x_past')} AS syy,
+             {_SQL_DSUM_EXACT.format(e='x * x_past')} AS sxy
+      FROM p GROUP BY route_id, lag_hours
+    )
+    SELECT route_id, lag_hours, n_pairs,
+           CASE WHEN n_pairs * sxx - sx * sx > 0
+                 AND n_pairs * syy - sy * sy > 0
+                THEN {sql_pround(
+                    '(n_pairs * sxy - sx * sy) '
+                    '/ sqrt((n_pairs * sxx - sx * sx) '
+                    '* (n_pairs * syy - sy * sy))', 6)}
+           END AS acf
+    FROM a
+    WHERE n_pairs >= {CORR_MIN_HOURS}
+    ORDER BY route_id, lag_hours
+"""
+
+ORACLES["weather_delay_corr"] = f"""
+    WITH d AS (
+      SELECT * FROM ({SQL_DELAY}) t WHERE avg_delay_seconds IS NOT NULL
+    ),
+    w AS ({SQL_WEATHER}),
+    j AS (
+      SELECT d.route_id, d.avg_delay_seconds AS x,
+             w.temperature_c AS yt, w.precipitation_mm AS yp
+      FROM d JOIN w USING (hour_ts)
+    ),
+    a AS (
+      SELECT route_id, count(*) AS n_hours,
+             {_SQL_DSUM_EXACT.format(e='x')} AS sx,
+             {_SQL_DSUM_EXACT.format(e='x * x')} AS sxx,
+             {_SQL_DSUM_EXACT.format(e='yt')} AS sy_t,
+             {_SQL_DSUM_EXACT.format(e='yt * yt')} AS syy_t,
+             {_SQL_DSUM_EXACT.format(e='x * yt')} AS sxy_t,
+             {_SQL_DSUM_EXACT.format(e='yp')} AS sy_p,
+             {_SQL_DSUM_EXACT.format(e='yp * yp')} AS syy_p,
+             {_SQL_DSUM_EXACT.format(e='x * yp')} AS sxy_p
+      FROM j GROUP BY route_id
+    )
+    SELECT route_id, n_hours,
+           CASE WHEN n_hours * sxx - sx * sx > 0
+                 AND n_hours * syy_t - sy_t * sy_t > 0
+                THEN {sql_pround(
+                    '(n_hours * sxy_t - sx * sy_t) '
+                    '/ sqrt((n_hours * sxx - sx * sx) '
+                    '* (n_hours * syy_t - sy_t * sy_t))', 6)}
+           END AS corr_temperature,
+           CASE WHEN n_hours * sxx - sx * sx > 0
+                 AND n_hours * syy_p - sy_p * sy_p > 0
+                THEN {sql_pround(
+                    '(n_hours * sxy_p - sx * sy_p) '
+                    '/ sqrt((n_hours * sxx - sx * sx) '
+                    '* (n_hours * syy_p - sy_p * sy_p))', 6)}
+           END AS corr_precipitation
+    FROM a
+    WHERE n_hours >= {CORR_MIN_HOURS}
+    ORDER BY route_id
+"""

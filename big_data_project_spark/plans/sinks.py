@@ -274,7 +274,34 @@ def compact_parquet(
 
     files_before, total_bytes = _stats(jvm_path)
     n_files = int(max(1, -(-total_bytes // target_bytes)))
-    df = spark.read.parquet(path)
+    # Read with partition-column TYPE INFERENCE OFF: inference re-types
+    # directory names on every read, so a compaction round-trip through
+    # an inferring read would rewrite "k=01" as "k=1" (string inferred
+    # INT, value silently changed) and fail outright on an all-NULL
+    # partition dir (inferred VOID, unwritable). With inference off the
+    # partition column is read as the exact directory-name string, the
+    # rewrite reproduces byte-identical partition paths, and every
+    # DOWNSTREAM reader (inferring or not) sees the same table it saw
+    # before compaction. Data-file column types are untouched either
+    # way (they come from the parquet footers).
+    with _conf(
+        spark,
+        "spark.sql.sources.partitionColumnTypeInference.enabled",
+        "false",
+    ):
+        df = spark.read.parquet(path)
+        df.schema  # force analysis while the conf is active
+    # Inference-off types partition columns as the directory-name
+    # string — EXCEPT a column whose every value is NULL
+    # (__HIVE_DEFAULT_PARTITION__ only), which still comes back VOID
+    # and can be neither a partition column nor a parquet data column
+    # on the staging write. NULL round-trips identically through
+    # string.
+    from pyspark.sql.types import NullType
+
+    for f in df.schema.fields:
+        if isinstance(f.dataType, NullType):
+            df = df.withColumn(f.name, F.col(f.name).cast("string"))
     staging = path.rstrip("/") + ".compact"
     _rm_recursive(spark, staging)
     if partition_cols:
@@ -321,9 +348,19 @@ def compact_parquet(
         _rm_recursive(spark, staging)
         raise IOError(f"compact_parquet: cannot set aside {path!r}")
     if not fs.rename(_hadoop_path(spark, staging)[1], jvm_path):
-        # roll the original straight back so readers never notice
-        fs.rename(aside_path, jvm_path)
+        # roll the original straight back so readers never notice — and
+        # CHECK that rename too: if restoration also fails (e.g. an s3a
+        # copy error), the table is missing at `path` and the only copy
+        # sits at the aside dir; saying "original restored" then would
+        # send the operator to a path that 404s.
+        restored = fs.rename(aside_path, jvm_path)
         _rm_recursive(spark, staging)
+        if not restored:
+            raise IOError(
+                f"compact_parquet: swap-in failed for {path!r} AND the "
+                f"rollback rename failed — the table is NOT at {path!r}; "
+                f"the only copy is at {aside!r} (rename it back manually)"
+            )
         raise IOError(
             f"compact_parquet: swap-in failed for {path!r}; original "
             "restored"

@@ -113,25 +113,68 @@ for _mod in _MODULES:
             raise ValueError(f"oracle without query: {_name}")
         ORACLES[_name] = _sql
 
-# Key-level promotion: first-round keys added to modules that sit late
-# in _MODULES (their siblings already have driver evidence) are hoisted
-# to the front of the walk so they get a driver row this round.
+# Key-level promotion: the driver's correctness walk covers ~50 keys
+# per round in registration order, so this list IS the evidence
+# rotation (round-4 verdict item 2). Round 5: first the never-evidenced
+# round-5 keys (first-round keys MUST get a driver row), then the
+# 32-key cohort whose newest driver row is still CORRECTNESS_r01
+# (suggestions/validation/geo/tpch/tpch_ext — code untouched since
+# round 1, but rotation means re-running, not git archaeology); the
+# r02-evidenced families trail in module order.
 _PROMOTED = [
-    "countmin_heavy_hitters",
-    "delay_seasonal_profile",
-    "lang_rebalance_sample",
-    "sequence_packing_bins",
-    "token_pmi_bigrams",
-    "ann_rrf_fusion",
-    "dedup_threshold_sweep",
-    "minhash_band_analysis",
-    "doc_length_quantiles",
-    "route_service_availability",
-    "props_value_consistency",
-    "source_lang_matrix",
-    "suggestion_stability",
-    "multimodal_frame_checksums",
-    "demand_model_leaderboard",
+    # --- NEW in round 5 (appended as they land) ---
+    "baseline_leaderboard",
+    "q21_waiting_suppliers",
+    "delay_autocorrelation",
+    "weather_delay_corr",
+    "power_user_curve",
+    "user_churn",
+    "session_duration_histogram",
+    "session_concurrency_hourly",
+    "ann_recall_eval",
+    "orders_fk_audit",
+    "exact_substring_spans",
+    "vocab_growth_curve",
+    "multimodal_audio_windows",
+    "span_provenance",
+    "event_type_lift",
+    "rfm_segments",
+    "order_priority_sla",
+    "multimodal_payload_dedup",
+    "delay_winsorized_mean",
+    # --- r01-stale cohort: newest driver evidence is CORRECTNESS_r01 ---
+    "peak_hours_summary",
+    "suggestions",
+    "suggestions_latest",
+    "top_priority",
+    "summary_actions",
+    "needs_data",
+    "validation_global",
+    "validation_by_hour",
+    "validation_by_peak",
+    "validation_by_route",
+    "routes_geo",
+    "supplier_geo",
+    "referential_filter",
+    "stop_route_mapping",
+    "q1_pricing_summary",
+    "q3_top_unshipped",
+    "q5_supplier_volume",
+    "q6_revenue_delta",
+    "q10_returned_items",
+    "order_priority_count",
+    "top_customers_window",
+    "sales_rollup",
+    "market_share",
+    "avg_acctbal_filter",
+    "q7_nation_volume",
+    "q9_product_profit",
+    "q14_promo_revenue",
+    "q16_supplier_count",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "single_supplier_orders",
+    "idle_rich_customers",
 ]
 _missing = [k for k in _PROMOTED if k not in QUERIES]
 if _missing:

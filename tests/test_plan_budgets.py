@@ -63,6 +63,27 @@ SHUFFLE_BUDGETS = {
     "doc_length_quantiles": 2,
     "label_centroid_similarity": 4,
     "minhash_band_analysis": 4,
+    # round-5 additions (measured cold-plan counts)
+    "q21_waiting_suppliers": 5,
+    "delay_autocorrelation": 5,
+    "weather_delay_corr": 4,
+    "power_user_curve": 2,
+    "user_churn": 3,
+    "session_duration_histogram": 3,
+    "session_concurrency_hourly": 3,
+    "exact_substring_spans": 4,
+    # two corpus passes (multiplicity counts + first-occurrence mins)
+    # plus 1-row scalar broadcasts; linear at any scale
+    "vocab_growth_curve": 10,
+    "baseline_leaderboard": 10,
+    "ann_recall_eval": 9,
+    "orders_fk_audit": 7,
+    "span_provenance": 3,
+    "event_type_lift": 7,  # incl. 1-row scalar broadcast (n_users)
+    "rfm_segments": 2,
+    "order_priority_sla": 3,
+    "multimodal_payload_dedup": 3,
+    "delay_winsorized_mean": 4,  # one ranked pass, persisted + reused
 }
 
 
@@ -100,4 +121,34 @@ def test_shuffle_budget(spark, name):
     assert n <= SHUFFLE_BUDGETS[name], (
         f"{name}: {n} shuffles exceeds budget {SHUFFLE_BUDGETS[name]} — "
         "the plan regressed (or justify the new budget here)"
+    )
+
+
+# Queries whose executed plan must never contain a nested-loop join:
+# a BroadcastNestedLoopJoin tests every probe row against EVERY build
+# row, so a range-predicate join that Catalyst can't hash turns into
+# O(rows x build) comparisons at scale (round-4 verdict item 3:
+# dau_rolling_wau's trailing-window join, since rewritten as an
+# explode-to-covered-days equi-join).
+NO_NESTED_LOOP = [
+    "dau_rolling_wau",
+    "retention_cohorts",
+    "asof_join_weather",
+    "demand_rolling_3h",
+    # round-5 window-coverage joins (explode-to-covered equi-joins)
+    "session_concurrency_hourly",
+    "delay_autocorrelation",
+    "user_churn",
+]
+
+
+@pytest.mark.parametrize("name", sorted(NO_NESTED_LOOP))
+def test_no_nested_loop_join(spark, name):
+    plan = spark.sparkContext._jvm.PythonSQLUtils.explainString(
+        QUERIES[name](spark, SF_DIR)._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastNestedLoopJoin" not in plan, (
+        f"{name}: plan contains a BroadcastNestedLoopJoin — an all-pairs "
+        "comparison against the build side; rewrite as an equi-join "
+        "(explode the bounded range / bucket the key)"
     )

@@ -423,21 +423,58 @@ def test_compact_parquet_reduces_files_keeps_rows(spark, tmp_path):
         r["id"] for r in before
     )
 
-    # partitioned variant keeps pd=... directories
+    # Partitioned variant: ZERO-PADDED numeric-string partition values —
+    # the round-4 advice trap: an inferring read types "pd=01" as INT 1
+    # and a naive compaction rewrites the directory as "pd=1", silently
+    # changing the value. compact_parquet reads with inference OFF, so
+    # the directory names must round-trip byte-identical.
     p2 = str(tmp_path / "frag_part")
+    dfz = spark.range(1000).select(
+        F.col("id"),
+        F.format_string("%02d", (F.col("id") % 3)).alias("pd"),
+    )
     for i in range(10):
-        df.filter((F.col("id") >= 100 * i) & (F.col("id") < 100 * (i + 1))
-                  ).write.mode("append").partitionBy("pd").parquet(p2)
+        dfz.filter((F.col("id") >= 100 * i) & (F.col("id") < 100 * (i + 1))
+                   ).write.mode("append").partitionBy("pd").parquet(p2)
+    import os as _os
+
+    dirs_before = sorted(
+        d for d in _os.listdir(p2) if d.startswith("pd=")
+    )
+    assert dirs_before == ["pd=00", "pd=01", "pd=02"]
     stats2 = sinks.compact_parquet(
         spark, p2, target_bytes=1 << 30, partition_cols=["pd"]
     )
     assert stats2["files_after"] < stats2["files_before"]
-    got = spark.read.parquet(p2)
-    assert got.count() == 1000
-    # hive partition values are type-inferred on read -> compare as str
     assert sorted(
-        str(r["pd"]) for r in got.select("pd").distinct().collect()
-    ) == ["0", "1", "2"]
+        d for d in _os.listdir(p2) if d.startswith("pd=")
+    ) == dirs_before
+    got = spark.read.option(
+        "spark.sql.sources.partitionColumnTypeInference.enabled", "false"
+    ).parquet(p2)
+    assert got.count() == 1000
+
+
+def test_compact_parquet_all_null_partition(spark, tmp_path):
+    """An all-NULL partition column (__HIVE_DEFAULT_PARTITION__ only)
+    used to infer VOID and fail the staging write; with inference off
+    the compaction round-trips it."""
+    from big_data_project_spark.plans import sinks
+
+    p = str(tmp_path / "nullpart")
+    df = spark.range(100).select(
+        F.col("id"), F.lit(None).cast("string").alias("pd")
+    )
+    for i in range(5):
+        df.filter((F.col("id") >= 20 * i) & (F.col("id") < 20 * (i + 1))
+                  ).write.mode("append").partitionBy("pd").parquet(p)
+    stats = sinks.compact_parquet(
+        spark, p, target_bytes=1 << 30, partition_cols=["pd"]
+    )
+    assert stats["files_after"] < stats["files_before"]
+    got = spark.read.parquet(p)
+    assert got.count() == 100
+    assert got.filter(F.col("pd").isNull()).count() == 100
 
 
 def test_upsert_partitioned_empty_delta_is_noop(spark, tmp_path):

@@ -833,3 +833,130 @@ ORACLES["event_type_lift"] = f"""
     CROSS JOIN total
     ORDER BY type_a, type_b
 """
+
+
+PR_DAMPING = 0.85
+PR_ITERATIONS = 10
+
+
+def event_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the event-type transition graph (nodes = event
+    types, edge weights = row-normalized transition counts from
+    event_transition_matrix): which states the user population flows
+    INTO — the stationary-importance companion of the raw transition
+    probabilities. Demonstrates the iterative-dataflow class: the K
+    power iterations are UNROLLED into one declarative plan (the graph
+    is types-sized, so each iteration is a tiny hash join; a
+    billion-node graph would iterate the same two-relation step with a
+    localCheckpoint per round, as dedup_clusters does).
+
+    Determinism: contributions are decimal-exact folds per iteration
+    (each addend quantized at 1e-6 identically on both engines); the
+    damping constant is the same literal double; the oracle unrolls the
+    IDENTICAL K iterations as chained CTEs. Dangling mass (types never
+    observed as from_type) leaks by design — documented standard
+    simplification, identical in both engines."""
+    counts = (
+        event_transition_matrix(spark, sf_dir)
+        .select("from_type", "to_type", "n")
+    )
+    nodes = persisted(
+        counts.select(F.col("from_type").alias("node"))
+        .union(counts.select(F.col("to_type").alias("node")))
+        .distinct()
+    )
+    nn = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+    wrow = Window.partitionBy("from_type")
+    edges = persisted(
+        counts.select(
+            F.col("from_type").alias("src"),
+            F.col("to_type").alias("dst"),
+            (F.col("n") / F.sum("n").over(wrow)).alias("w"),
+        )
+    )
+    pr = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", (F.lit(1.0) / F.col("n_nodes")).alias("pr")
+    )
+    d = F.lit(PR_DAMPING)
+    for _ in range(PR_ITERATIONS):
+        contrib = (
+            edges.join(pr, edges.src == pr.node)
+            .groupBy("dst")
+            .agg(
+                F.sum((F.col("w") * F.col("pr")).cast("decimal(28,6)"))
+                .cast("double")
+                .alias("inflow")
+            )
+        )
+        pr = (
+            nodes.crossJoin(F.broadcast(nn))
+            .join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                (
+                    (F.lit(1.0) - d) / F.col("n_nodes")
+                    + d * F.coalesce(F.col("inflow"), F.lit(0.0))
+                ).alias("pr"),
+            )
+        )
+    return (
+        pr.select("node", pround("pr", 6).alias("pagerank"))
+        .orderBy(F.desc("pagerank"), "node")
+    )
+
+
+QUERIES["event_pagerank"] = event_pagerank
+
+
+def _pagerank_sql() -> str:
+    """Unrolled K-iteration PageRank as chained CTEs — the literal SQL
+    twin of the Spark loop above (same decimal folds, same damping)."""
+    d = PR_DAMPING
+    cte = f"""
+    counts AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS to_type
+      FROM events
+    ),
+    agg AS (
+      SELECT from_type, to_type, count(*) AS n FROM counts
+      WHERE to_type IS NOT NULL GROUP BY from_type, to_type
+    ),
+    nodes AS (
+      SELECT from_type AS node FROM agg
+      UNION
+      SELECT to_type FROM agg
+    ),
+    nn AS (SELECT count(*) AS n_nodes FROM nodes),
+    edges AS (
+      SELECT from_type AS src, to_type AS dst,
+             n / (sum(n) OVER (PARTITION BY from_type)) AS w
+      FROM agg
+    ),
+    pr0 AS (
+      SELECT node, 1.0 / n_nodes AS pr FROM nodes CROSS JOIN nn
+    )"""
+    for k in range(PR_ITERATIONS):
+        cte += f""",
+    pr{k + 1} AS (
+      SELECT nodes.node,
+             (1.0 - {d}) / n_nodes
+               + {d} * coalesce(c.inflow, 0.0) AS pr
+      FROM nodes CROSS JOIN nn
+      LEFT JOIN (
+        SELECT dst, (sum((w * pr)::DECIMAL(28,6)))::DOUBLE AS inflow
+        FROM edges JOIN pr{k} ON src = node
+        GROUP BY dst
+      ) c ON nodes.node = c.dst
+    )"""
+    return f"""
+    WITH {cte}
+    SELECT node, {sql_pround('pr', 6)} AS pagerank
+    FROM pr{PR_ITERATIONS}
+    ORDER BY pagerank DESC, node
+    """
+
+
+ORACLES["event_pagerank"] = _pagerank_sql()

@@ -633,3 +633,62 @@ ORACLES = {
         LIMIT {PMI_TOP_K}
     """,
 }
+
+
+DOC_TERMS_K = 3  # keywords per document
+
+
+def doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DOCUMENT keyword extraction: top-DOC_TERMS_K terms by
+    tf-idf (tf = in-doc occurrences, idf = ln(N/df)) — the doc-grain
+    twin of tfidf_top_terms, i.e. the keyword column a search index or
+    topic labeler materializes for every document.
+
+    Scale: one corpus-scale (doc, tok) aggregate; df is pre-aggregated
+    to the vocabulary and joined back on tok; the per-doc rank window
+    partitions on doc_id. Rank on the ROUNDED score with the term as
+    tie-break, so the ordering is engine-portable."""
+    toks = _tokens(spark, sf_dir)
+    n_docs = load_table(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    per_doc = _persisted(
+        toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfq = per_doc.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    score = pround(
+        F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "tok")
+    return (
+        per_doc.join(dfq, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score", score)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= DOC_TERMS_K)
+        .select("doc_id", "tok", "tf", "df", "score", "rank")
+        .orderBy("doc_id", "rank")
+    )
+
+
+QUERIES["doc_top_terms"] = doc_top_terms
+
+ORACLES["doc_top_terms"] = f"""
+    WITH t AS ({_SQL_TOKENS}),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY doc_id, tok),
+    dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok)
+    SELECT doc_id, tok, tf, df, score, rank
+    FROM (
+      SELECT doc_id, tok, tf, df,
+             {sql_pround('tf * ln(n_docs::DOUBLE / df)', 6)} AS score,
+             row_number() OVER (
+               PARTITION BY doc_id
+               ORDER BY {sql_pround('tf * ln(n_docs::DOUBLE / df)', 6)}
+                 DESC, tok
+             ) AS rank
+      FROM tf JOIN dfq USING (tok), n
+    ) r
+    WHERE rank <= {DOC_TERMS_K}
+    ORDER BY doc_id, rank
+"""

@@ -142,6 +142,8 @@ _PROMOTED = [
     "order_priority_sla",
     "multimodal_payload_dedup",
     "delay_winsorized_mean",
+    "event_pagerank",
+    "doc_top_terms",
     # --- r01-stale cohort: newest driver evidence is CORRECTNESS_r01 ---
     "peak_hours_summary",
     "suggestions",

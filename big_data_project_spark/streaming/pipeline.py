@@ -112,6 +112,44 @@ def stream_events_hourly(
     )
 
 
+def stream_events_sliding(
+    spark: SparkSession,
+    events_dir: "str | DataFrame",
+    watermark: str = WATERMARK,
+    slide: str = "30 minutes",
+) -> DataFrame:
+    """SLIDING-window twin of stream_events_hourly: each event lands in
+    every 1-hour window that covers it (2 windows at a 30-minute
+    slide) — the smoother live dashboard curve a tumbling window can't
+    give. State per (window, route) is still bounded by the watermark;
+    the fan-out is window/slide (= 2) rows of state per event-hour.
+
+    Batch equivalence: F.window is the same expression in batch mode,
+    so the twin is tested by running the identical aggregation over the
+    static frame."""
+    from ..functions.portable import davg
+
+    src = events_source(spark, events_dir)
+    return (
+        src.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", "1 hour", slide).alias("win"),
+            F.col("event_type").alias("route_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("vehicle_events"),
+            davg("value", 4).alias("avg_delay_seconds"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "route_id",
+            "vehicle_events",
+            "avg_delay_seconds",
+        )
+    )
+
+
 def run_available_now(
     sdf: DataFrame, query_name: str, output_mode: str = "complete"
 ) -> DataFrame:

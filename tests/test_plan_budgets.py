@@ -84,6 +84,11 @@ SHUFFLE_BUDGETS = {
     "order_priority_sla": 3,
     "multimodal_payload_dedup": 3,
     "delay_winsorized_mean": 4,  # one ranked pass, persisted + reused
+    # 10 unrolled power iterations over the persisted types-sized
+    # graph: ~4 exchanges per iteration, each moving <= |event_types|
+    # (~5) rows — plan-node count, not data movement
+    "event_pagerank": 43,
+    "doc_top_terms": 5,
 }
 
 

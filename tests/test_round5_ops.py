@@ -515,3 +515,80 @@ def test_delay_winsorized_mean_bounds(spark):
         assert abs(
             r["trim_effect"] - round(r["raw_mean"] - r["winsorized_mean"], 4)
         ) < 1e-9
+
+
+def test_stream_events_sliding_equals_batch(spark, tmp_path):
+    """Sliding-window streaming agg drains to exactly the batch result
+    of the identical F.window expression (each event in 2 overlapping
+    hourly windows at a 30-minute slide)."""
+    from big_data_project_spark.functions.portable import davg
+
+    src = str(tmp_path / "slide_events")
+    load_table(spark, SF_DIR, "events").limit(3000).write.parquet(src)
+    streamed = pipeline.run_available_now(
+        pipeline.stream_events_sliding(spark, src), "slide_stream"
+    ).collect()
+    batch = (
+        spark.read.schema(pipeline.EVENTS_SCHEMA)
+        .parquet(src)
+        .groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("win"),
+            F.col("event_type").alias("route_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("vehicle_events"),
+            davg("value", 4).alias("avg_delay_seconds"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "route_id",
+            "vehicle_events",
+            "avg_delay_seconds",
+        )
+        .collect()
+    )
+    assert sorted(map(tuple, streamed)) == sorted(map(tuple, batch))
+    assert streamed
+    # sliding fan-out: total window-row events = 2x the raw event count
+    n_raw = spark.read.parquet(src).count()
+    assert sum(r["vehicle_events"] for r in streamed) == 2 * n_raw
+
+
+def test_event_pagerank_is_distribution(spark):
+    """PageRank sums to ~1 (dangling leak bounded), every node present,
+    all scores positive."""
+    from big_data_project_spark.operators.behavior import (
+        event_pagerank,
+        event_transition_matrix,
+    )
+
+    rows = event_pagerank(spark, SF_DIR).collect()
+    types = set()
+    for r in event_transition_matrix(spark, SF_DIR).collect():
+        types.add(r["from_type"])
+        types.add(r["to_type"])
+    assert {r["node"] for r in rows} == types
+    total = sum(r["pagerank"] for r in rows)
+    assert 0.9 <= total <= 1.0 + 1e-6  # <1 only via dangling leak
+    assert all(r["pagerank"] > 0 for r in rows)
+
+
+def test_doc_top_terms_ranks(spark):
+    from big_data_project_spark.operators.corpus import (
+        DOC_TERMS_K,
+        doc_top_terms,
+    )
+
+    rows = doc_top_terms(spark, SF_DIR).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+    assert len(by_doc) == n_docs
+    for doc_rows in by_doc.values():
+        ranks = sorted(r["rank"] for r in doc_rows)
+        assert ranks == list(range(1, len(doc_rows) + 1))
+        assert len(doc_rows) <= DOC_TERMS_K
+        scores = [r["score"] for r in sorted(doc_rows, key=lambda x: x["rank"])]
+        assert scores == sorted(scores, reverse=True)

@@ -156,6 +156,26 @@ def _headway_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shared_rollup(spark, sf_dir, "headway_hourly", _headway_from_base)
 
 
+# Public accessors for the shared tier: the trend/forecast family
+# (operators/trend.py, ml/demand.py) consumes the same (route, hour)
+# rollups as the kpi composites, so routing them through the
+# materialized tier amortizes the corpus scan across the whole family
+# instead of re-deriving per query. Values are bit-identical to the
+# standalone hourly.py views (decimal partials re-aggregate exactly;
+# proven by ml_dataset_hourly's oracle, which is written against the
+# per-view SQL).
+
+
+def demand_hourly_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _demand_cached(spark, sf_dir)
+
+
+def delay_hourly_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _stats_cached(spark, sf_dir).select(
+        "route_id", "hour_ts", "trip_update_events", "avg_delay_seconds"
+    )
+
+
 def ml_dataset_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     pd_ = _demand_cached(spark, sf_dir)
     stats = _stats_cached(spark, sf_dir).select(

@@ -23,7 +23,10 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions.portable import davg, pround, sql_davg, sql_pround
-from .hourly import SQL_DELAY, SQL_DEMAND, SQL_WEATHER, weather_hourly
+from .hourly import SQL_DELAY, SQL_DEMAND, SQL_WEATHER
+from .kpi import delay_hourly_cached as delay_hourly
+from .kpi import demand_hourly_cached as demand_hourly
+from .kpi import _weather_cached as weather_hourly
 
 ASOF_LOOKBACK_H = 3
 ROLLING_HOURS = 3
@@ -76,8 +79,6 @@ def demand_rolling_3h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 3-hour demand per route (ROWS frame over the hourly
     rollup — the frame is tiny and already aggregated, so the window
     shuffles routes x hours rows only)."""
-    from .hourly import demand_hourly
-
     d = demand_hourly(spark, sf_dir)
     w = (
         Window.partitionBy("route_id")
@@ -116,8 +117,6 @@ def top_stops_per_route(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _delay_hourly_ragged(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .hourly import delay_hourly
-
     return delay_hourly(spark, sf_dir)
 
 
@@ -289,8 +288,6 @@ def delay_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one (route, hour) rollup shuffle (shared shape with
     delay_hourly), one route-sized stats aggregate broadcast back —
     the fact table is never joined to itself."""
-    from .hourly import delay_hourly
-
     d = delay_hourly(spark, sf_dir)
     return apply_delay_anomaly(d, route_delay_stats(d)).orderBy(
         "route_id", "hour_ts"
@@ -311,8 +308,6 @@ def delay_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     a second pass over the rollup (and a second events scan). The
     route-mean relation is route-sized and broadcast. Decimal-exact
     folds keep the means engine-portable."""
-    from .hourly import delay_hourly
-
     x = F.col("avg_delay_seconds")
     base = delay_hourly(spark, sf_dir).filter(x.isNotNull())
     buckets = base.groupBy(
@@ -526,8 +521,6 @@ def route_service_availability(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one aggregate over the shared (route x hour) rollup; the
     span arithmetic is integer hour math (exact epoch-hour division,
     both engines)."""
-    from .hourly import delay_hourly
-
     d = delay_hourly(spark, sf_dir)
     hour_idx = (F.unix_micros("hour_ts") / F.lit(3_600_000_000)).cast(
         "long"

@@ -29,7 +29,9 @@ from ..functions.portable import (
     sql_pround,
 )
 from .headway import SQL_HEADWAY, headway_hourly
-from .hourly import SQL_DELAY, SQL_DEMAND, SQL_WEATHER, delay_hourly
+from .hourly import SQL_DELAY, SQL_DEMAND, SQL_WEATHER
+from .kpi import delay_hourly_cached as delay_hourly
+from .kpi import demand_hourly_cached as demand_hourly
 
 CUSUM_MIN_HOURS = 5
 REGULAR_MIN_HOURS = 5
@@ -263,7 +265,6 @@ def seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact shifted timestamps — hash equi-joins on (route, hour),
     rollup-sized."""
     from ..caching import persisted
-    from .hourly import demand_hourly
 
     d = persisted(
         demand_hourly(spark, sf_dir).select(
@@ -327,8 +328,6 @@ def demand_trend_line(spark: SparkSession, sf_dir: str) -> DataFrame:
     subtractions far from catastrophic cancellation), y is the 2-dp
     rollup value; all five moment sums are decimal-exact folds and
     slope/intercept/R² are fixed double expressions over them."""
-    from .hourly import demand_hourly
-
     d = demand_hourly(spark, sf_dir)
     start = Window.partitionBy("route_id")
     x = (
@@ -451,7 +450,7 @@ def weather_delay_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: delay rollup ⋈ broadcast hours-sized weather profile, then
     a routes-sized moment aggregate — the delay_headway_corr shape with
     a broadcast dimension instead of a second rollup."""
-    from .hourly import weather_hourly
+    from .kpi import _weather_cached as weather_hourly
 
     d = delay_hourly(spark, sf_dir).filter(
         F.col("avg_delay_seconds").isNotNull()

@@ -49,24 +49,27 @@ SHUFFLE_BUDGETS = {
     "dau_rolling_wau": 7,
     "event_transition_matrix": 4,
     "split_balance_audit": 3,
-    # time-series tier
-    "delay_seasonal_profile": 4,
+    # time-series tier (+1 cold over round 4: the shared
+    # vehicle-hour base partial aggregate now feeds the whole
+    # trend/forecast family — one extra exchange in a COLD plan buys
+    # every other family member its corpus scan back when warm)
+    "delay_seasonal_profile": 5,
     # round-4 second-batch additions (measured cold-plan counts)
     "token_pmi_bigrams": 6,
     "source_token_kl": 8,
     "bloom_dedup_audit": 7,
     "interevent_gap_histogram": 3,  # one event pass: lag window only
     "delay_ewma_24h": 5,
-    "demand_trend_line": 4,
-    "seasonal_naive_eval": 7,
-    "route_service_availability": 3,
+    "demand_trend_line": 5,
+    "seasonal_naive_eval": 8,
+    "route_service_availability": 4,
     "doc_length_quantiles": 2,
     "label_centroid_similarity": 4,
     "minhash_band_analysis": 4,
     # round-5 additions (measured cold-plan counts)
     "q21_waiting_suppliers": 5,
     "delay_autocorrelation": 5,
-    "weather_delay_corr": 4,
+    "weather_delay_corr": 5,
     "power_user_curve": 2,
     "user_churn": 3,
     "session_duration_histogram": 3,
@@ -75,7 +78,7 @@ SHUFFLE_BUDGETS = {
     # two corpus passes (multiplicity counts + first-occurrence mins)
     # plus 1-row scalar broadcasts; linear at any scale
     "vocab_growth_curve": 10,
-    "baseline_leaderboard": 10,
+    "baseline_leaderboard": 11,
     "ann_recall_eval": 9,
     "orders_fk_audit": 7,
     "span_provenance": 3,

@@ -960,3 +960,110 @@ def _pagerank_sql() -> str:
 
 
 ORACLES["event_pagerank"] = _pagerank_sql()
+
+
+def purchase_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for time-to-first-purchase: among
+    users who VIEWED, the probability of still not having purchased by
+    day k after the first view, with right-censoring at the corpus's
+    last observed timestamp (users who never purchase are censored, not
+    treated as events — the estimator a naive conversion-by-day curve
+    gets wrong). One row per day that carries >= 1 purchase event:
+    at-risk count, event count, and S(k) = Π (1 - d_j/n_j).
+
+    Determinism: event/censor times are integer day offsets; the
+    product is exp(Σ ln(1 - d/n)) with the ln terms folded as exact
+    decimals — same two libm calls on both engines (the tfidf/PSI ln
+    policy); a d = n day is floored at 1e-12 before ln on both sides.
+
+    Scale: the funnel relation is users-sized (one user_id exchange
+    upstream); per-day aggregation and the two cumulative windows run
+    on the days-sized curve."""
+    per = _user_funnel(spark, sf_dir).filter(F.col("fv").isNotNull())
+    max_ts = load_table(spark, sf_dir, "events").agg(
+        F.max("ts").alias("max_ts")
+    )
+    t_event = F.datediff(F.to_date("fp"), F.to_date("fv"))
+    t_cens = F.datediff(F.to_date("max_ts"), F.to_date("fv"))
+    timed = per.crossJoin(F.broadcast(max_ts)).select(
+        F.coalesce(t_event, t_cens).alias("t"),
+        F.col("fp").isNotNull().cast("int").alias("is_event"),
+    )
+    per_day = timed.groupBy("t").agg(
+        F.sum("is_event").alias("d"),
+        F.sum(F.lit(1) - F.col("is_event")).alias("c"),
+    )
+    wall = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    total = F.sum(F.col("d") + F.col("c")).over(
+        Window.partitionBy()
+    )
+    left_before = F.sum(F.col("d") + F.col("c")).over(wall) - (
+        F.col("d") + F.col("c")
+    )
+    curve = per_day.select(
+        "t",
+        "d",
+        (total - left_before).alias("n_risk"),
+    )
+    ln_term = F.log(
+        F.greatest(
+            F.lit(1.0) - F.col("d") / F.col("n_risk"), F.lit(1e-12)
+        )
+    ).cast("decimal(28,6)")
+    surv = F.exp(F.sum(ln_term).over(wall).cast("double"))
+    return (
+        curve.withColumn("survival", pround(surv, 6))
+        .filter(F.col("d") > 0)
+        .select(
+            F.col("t").alias("day_offset"),
+            F.col("n_risk").alias("n_at_risk"),
+            F.col("d").alias("n_events"),
+            "survival",
+        )
+        .orderBy("day_offset")
+    )
+
+
+QUERIES["purchase_survival_km"] = purchase_survival_km
+
+ORACLES["purchase_survival_km"] = f"""
+    WITH {_SQL_FUNNEL},
+    m AS (SELECT max(ts) AS max_ts FROM events),
+    timed AS (
+      SELECT coalesce(
+               datediff('day', CAST(fv AS DATE), CAST(fp AS DATE)),
+               datediff('day', CAST(fv AS DATE), CAST(max_ts AS DATE))
+             ) AS t,
+             CASE WHEN fp IS NOT NULL THEN 1 ELSE 0 END AS is_event
+      FROM funnel CROSS JOIN m
+      WHERE fv IS NOT NULL
+    ),
+    per_day AS (
+      SELECT t, CAST(sum(is_event) AS BIGINT) AS d,
+             CAST(sum(1 - is_event) AS BIGINT) AS c
+      FROM timed GROUP BY t
+    ),
+    curve AS (
+      SELECT t, d,
+             (sum(d + c) OVER ())::BIGINT
+               - ((sum(d + c) OVER (ORDER BY t
+                     ROWS UNBOUNDED PRECEDING))::BIGINT - (d + c))
+               AS n_risk
+      FROM per_day
+    ),
+    km AS (
+      SELECT t, d, n_risk,
+             exp((sum((ln(greatest(1.0 - d::DOUBLE / n_risk, 1e-12)))
+                      ::DECIMAL(28,6))
+                  OVER (ORDER BY t ROWS UNBOUNDED PRECEDING))::DOUBLE)
+               AS surv
+      FROM curve
+    )
+    SELECT t AS day_offset, n_risk AS n_at_risk, d AS n_events,
+           {sql_pround('surv', 6)} AS survival
+    FROM km
+    WHERE d > 0
+    ORDER BY day_offset
+"""

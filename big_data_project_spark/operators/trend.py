@@ -799,3 +799,189 @@ ORACLES["weather_delay_corr"] = f"""
     WHERE n_hours >= {CORR_MIN_HOURS}
     ORDER BY route_id
 """
+
+
+PSI_BINS = 5  # quintile bins from the baseline half
+
+
+def delay_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift check per route: split each
+    route's observed hours into first/second half (rank arithmetic on
+    the hour sequence), bin the delay metric by the FIRST half's exact
+    quintile edges, and report PSI = Σ (p2 - p1)·ln(p2/p1) over the
+    bins — the standard model-monitoring drift score (PSI < 0.1 stable,
+    > 0.25 shifted) for the signal every forecast baseline conditions
+    on. Laplace add-one smoothing keeps empty bins finite and is
+    applied identically on both engines.
+
+    Scale: runs on the (route x hour) shared rollup; the quintile edges
+    are rank-picked per route (one sort partition), bin counts are a
+    routes x bins aggregate, and PSI folds are decimal-exact."""
+    d = delay_hourly(spark, sf_dir).filter(
+        F.col("avg_delay_seconds").isNotNull()
+    )
+    w_ts = Window.partitionBy("route_id").orderBy("hour_ts")
+    wn = Window.partitionBy("route_id")
+    seq = d.select(
+        "route_id",
+        F.col("avg_delay_seconds").alias("x"),
+        F.row_number().over(w_ts).alias("seq"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    ).withColumn(
+        "half",
+        F.when(F.col("seq") <= F.expr("n div 2"), 1).otherwise(2),
+    )
+    from ..caching import persisted
+
+    seq = persisted(seq)
+    base = seq.filter(F.col("half") == 1)
+    w_val = Window.partitionBy("route_id").orderBy("x", "seq")
+    wbn = Window.partitionBy("route_id")
+    ranked = base.select(
+        "route_id",
+        "x",
+        F.row_number().over(w_val).alias("rn"),
+        F.count(F.lit(1)).over(wbn).alias("nb"),
+    )
+    # exact quintile edges: value at rank ceil(q * nb / PSI_BINS)
+    edge_cols = [
+        F.max(
+            F.when(
+                F.col("rn")
+                == F.expr(f"({q} * nb + {PSI_BINS - 1}) div {PSI_BINS}"),
+                F.col("x"),
+            )
+        ).alias(f"e{q}")
+        for q in range(1, PSI_BINS)
+    ]
+    edges = ranked.groupBy("route_id").agg(*edge_cols)
+    # bin id = 1 + number of edges strictly below x (ties go left)
+    binned = seq.join(F.broadcast(edges), "route_id").select(
+        "route_id",
+        "half",
+        sum(
+            [F.lit(1)]
+            + [
+                F.when(F.col("x") > F.col(f"e{q}"), 1).otherwise(0)
+                for q in range(1, PSI_BINS)
+            ]
+        ).alias("bin"),
+    )
+    counts = binned.groupBy("route_id", "bin").agg(
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("half") == 2, 1).otherwise(0)).alias("c2"),
+    )
+    wtot = Window.partitionBy("route_id")
+    smoothed = counts.select(
+        "route_id",
+        "bin",
+        (
+            (F.col("c1") + 1)
+            / (F.sum("c1").over(wtot) + PSI_BINS)
+        ).alias("p1"),
+        (
+            (F.col("c2") + 1)
+            / (F.sum("c2").over(wtot) + PSI_BINS)
+        ).alias("p2"),
+    )
+    term = (
+        (F.col("p2") - F.col("p1")) * F.log(F.col("p2") / F.col("p1"))
+    ).cast("decimal(28,6)")
+    return (
+        smoothed.groupBy("route_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bins"),
+            pround(F.sum(term).cast("double"), 6).alias("psi"),
+        )
+        .select(
+            "route_id",
+            "n_bins",
+            "psi",
+            F.when(F.col("psi") < 0.1, "stable")
+            .when(F.col("psi") < 0.25, "moderate")
+            .otherwise("shifted")
+            .alias("drift_class"),
+        )
+        .orderBy("route_id")
+    )
+
+
+QUERIES["delay_drift_psi"] = delay_drift_psi
+
+_PSI_EDGE_CASES = ",\n             ".join(
+    f"max(CASE WHEN rn = ({q} * nb + {PSI_BINS - 1}) // {PSI_BINS} "
+    f"THEN x END) AS e{q}"
+    for q in range(1, PSI_BINS)
+)
+_PSI_BIN_EXPR = " + ".join(
+    ["1"]
+    + [
+        f"CASE WHEN x > e{q} THEN 1 ELSE 0 END"
+        for q in range(1, PSI_BINS)
+    ]
+)
+
+ORACLES["delay_drift_psi"] = f"""
+    WITH d AS (
+      SELECT * FROM ({SQL_DELAY}) t WHERE avg_delay_seconds IS NOT NULL
+    ),
+    seq AS (
+      SELECT route_id, avg_delay_seconds AS x,
+             row_number() OVER (
+               PARTITION BY route_id ORDER BY hour_ts
+             ) AS seq,
+             count(*) OVER (PARTITION BY route_id) AS n
+      FROM d
+    ),
+    halved AS (
+      SELECT route_id, x, seq,
+             CASE WHEN seq <= n // 2 THEN 1 ELSE 2 END AS half
+      FROM seq
+    ),
+    ranked AS (
+      SELECT route_id, x,
+             row_number() OVER (
+               PARTITION BY route_id ORDER BY x, seq
+             ) AS rn,
+             count(*) OVER (PARTITION BY route_id) AS nb
+      FROM halved WHERE half = 1
+    ),
+    edges AS (
+      SELECT route_id,
+             {_PSI_EDGE_CASES}
+      FROM ranked GROUP BY route_id
+    ),
+    binned AS (
+      SELECT h.route_id, half, {_PSI_BIN_EXPR} AS bin
+      FROM halved h JOIN edges USING (route_id)
+    ),
+    counts AS (
+      SELECT route_id, bin,
+             sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS c1,
+             sum(CASE WHEN half = 2 THEN 1 ELSE 0 END) AS c2
+      FROM binned GROUP BY route_id, bin
+    ),
+    smoothed AS (
+      SELECT route_id, bin,
+             (c1 + 1)::DOUBLE
+               / ((sum(c1) OVER (PARTITION BY route_id))::DOUBLE
+                  + {PSI_BINS}) AS p1,
+             (c2 + 1)::DOUBLE
+               / ((sum(c2) OVER (PARTITION BY route_id))::DOUBLE
+                  + {PSI_BINS}) AS p2
+      FROM counts
+    ),
+    agg AS (
+      SELECT route_id, count(*) AS n_bins,
+             {sql_pround(
+                 '(sum(((p2 - p1) * ln(p2 / p1))::DECIMAL(28,6)))'
+                 '::DOUBLE', 6)} AS psi
+      FROM smoothed GROUP BY route_id
+    )
+    SELECT route_id, n_bins, psi,
+           CASE WHEN psi < 0.1 THEN 'stable'
+                WHEN psi < 0.25 THEN 'moderate'
+                ELSE 'shifted' END AS drift_class
+    FROM agg
+    ORDER BY route_id
+"""

@@ -144,6 +144,8 @@ _PROMOTED = [
     "delay_winsorized_mean",
     "event_pagerank",
     "doc_top_terms",
+    "delay_drift_psi",
+    "purchase_survival_km",
     # --- r01-stale cohort: newest driver evidence is CORRECTNESS_r01 ---
     "peak_hours_summary",
     "suggestions",

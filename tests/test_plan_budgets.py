@@ -92,6 +92,8 @@ SHUFFLE_BUDGETS = {
     # (~5) rows — plan-node count, not data movement
     "event_pagerank": 43,
     "doc_top_terms": 5,
+    "delay_drift_psi": 7,
+    "purchase_survival_km": 4,  # BNLJ is the 1-row max_ts broadcast
 }
 
 

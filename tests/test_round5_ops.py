@@ -1,8 +1,20 @@
-"""Round-5 coverage: bounded-state streaming dedup (watermarked ingest
-variant + its state contract), the injected-source seam for streaming
-entry points, session-wide cache release, the oracle-backed baseline
-leaderboard, and the bench artifact's compact-final-line contract
-(round-4 verdict items 1, 4, 5, 6, 7)."""
+"""Round-5 coverage.
+
+Round-4 verdict items: bounded-state streaming dedup (watermarked
+ingest variant + its state contract), the injected-source seam for
+streaming entry points, session-wide cache release, the oracle-backed
+baseline leaderboard, and the bench artifact's compact-final-line
+contract (items 1, 4, 5, 6, 7).
+
+Round-5 operator semantics (planted-data + invariant tests): TPC-H
+Q21, delay ACF / weather correlation / winsorized mean / PSI drift,
+power-user deciles, weekly churn, session duration histogram + hourly
+concurrency, event-type lift, RFM segments, order-priority SLA,
+referential-integrity audit, ANN recall@k, exact-substring spans +
+provenance, Heaps-law vocabulary curve, audio-framing fan-out, binary
+payload dedup, unrolled PageRank, per-doc tf-idf keywords, the
+Kaplan-Meier purchase-survival curve, and the sliding-window streaming
+twin."""
 
 from __future__ import annotations
 
@@ -592,3 +604,41 @@ def test_doc_top_terms_ranks(spark):
         assert len(doc_rows) <= DOC_TERMS_K
         scores = [r["score"] for r in sorted(doc_rows, key=lambda x: x["rank"])]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_delay_drift_psi_classes(spark):
+    """PSI >= 0 up to smoothing noise; every route present; class
+    labels consistent with the score."""
+    from big_data_project_spark.operators.trend import delay_drift_psi
+
+    rows = delay_drift_psi(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["n_bins"] >= 1
+        want = (
+            "stable" if r["psi"] < 0.1
+            else "moderate" if r["psi"] < 0.25
+            else "shifted"
+        )
+        assert r["drift_class"] == want
+        assert r["psi"] >= 0  # PSI is a sum of (p2-p1)ln(p2/p1) >= 0 terms
+
+
+def test_purchase_survival_km_monotone(spark):
+    """S(k) is non-increasing in k, within (0, 1]; at-risk counts
+    decrease; event counts never exceed at-risk."""
+    from big_data_project_spark.operators.behavior import (
+        purchase_survival_km,
+    )
+
+    rows = purchase_survival_km(spark, SF_DIR).collect()
+    assert rows
+    last_s, last_n = 1.0 + 1e-9, None
+    for r in rows:
+        # survival may legitimately reach 0.0 when every remaining
+        # at-risk user events on the final event day (d == n)
+        assert 0.0 <= r["survival"] <= last_s + 1e-9
+        assert 0 < r["n_events"] <= r["n_at_risk"]
+        if last_n is not None:
+            assert r["n_at_risk"] <= last_n
+        last_s, last_n = r["survival"], r["n_at_risk"]

@@ -166,6 +166,124 @@ def token_count() -> pd.DataFrame:
     return docs[["doc_id", "n_ws_tokens"]]
 
 
+# --- Round-5 headline additions (same reference idiom: pandas frames,
+# Python loops where the reference would loop) ---
+
+
+def dau_rolling_wau() -> pd.DataFrame:
+    """Per-day DAU + trailing-7-day WAU the way a pandas script does
+    it: one boolean-mask filter + nunique PER DAY over the user-day
+    frame (the loop a Spark window/explode-join replaces)."""
+    ev = _read("events")
+    ud = (
+        ev.assign(day=ev["ts"].dt.floor("D"))[["user_id", "day"]]
+        .drop_duplicates()
+    )
+    out = []
+    for d in sorted(ud["day"].unique()):
+        lo = d - pd.Timedelta(days=6)
+        win = ud[(ud["day"] <= d) & (ud["day"] >= lo)]
+        dau = ud[ud["day"] == d]["user_id"].nunique()
+        wau = win["user_id"].nunique()
+        out.append({"day": d, "dau": dau, "wau": wau,
+                    "stickiness": round(dau / wau, 4)})
+    return pd.DataFrame(out)
+
+
+def q21_waiting_suppliers() -> pd.DataFrame:
+    """Q21 with pandas merges/groupbys (the reference's join idiom)."""
+    orders = _read("orders")
+    li = _read("lineitem")
+    supp = _read("supplier")
+    nation = _read("nation")
+    f = orders[orders["o_orderstatus"] == "F"][
+        ["o_orderkey", "o_orderdate"]
+    ]
+    lo = li.merge(f, left_on="l_orderkey", right_on="o_orderkey")
+    lo["is_late"] = (
+        lo["l_shipdate"] > lo["o_orderdate"] + pd.Timedelta(days=60)
+    ).astype(int)
+    so = (
+        lo.groupby(["l_orderkey", "l_suppkey"])["is_late"]
+        .sum()
+        .reset_index(name="late_lines")
+    )
+    po = so.groupby("l_orderkey").agg(
+        n_supp=("l_suppkey", "size"),
+        n_late_supp=("late_lines", lambda x: (x > 0).sum()),
+    ).reset_index()
+    qual = so[so["late_lines"] > 0].merge(po, on="l_orderkey")
+    qual = qual[(qual["n_supp"] >= 2) & (qual["n_late_supp"] == 1)]
+    sn = supp.merge(
+        nation[nation["n_name"] == "NATION_3"],
+        left_on="s_nationkey", right_on="n_nationkey",
+    )
+    j = qual.merge(sn, left_on="l_suppkey", right_on="s_suppkey")
+    return (
+        j.groupby("s_name")["late_lines"].sum()
+        .reset_index(name="numwait")
+        .sort_values(["numwait", "s_name"], ascending=[False, True])
+        .head(100)
+    )
+
+
+def exact_substring_spans() -> pd.DataFrame:
+    """Per-doc shared-window fractions with a Python dict two-pass —
+    the hashlib-loop idiom of the reference's text handling."""
+    docs = _read("documents")
+    support: dict[str, set] = {}
+    windows: dict[int, list] = {}
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        toks = " ".join(text.lower().split()).split(" ")
+        ws = [
+            hashlib.md5(" ".join(toks[i:i + 5]).encode()).hexdigest()
+            for i in range(len(toks) - 4)
+        ]
+        windows[doc_id] = ws
+        for w in ws:
+            support.setdefault(w, set()).add(doc_id)
+    out = []
+    for doc_id, ws in windows.items():
+        if not ws:
+            continue
+        shared = sum(1 for w in ws if len(support[w]) >= 2)
+        out.append({
+            "doc_id": doc_id, "n_windows": len(ws),
+            "n_shared_windows": shared,
+            "shared_frac": round(shared / len(ws), 6),
+        })
+    return pd.DataFrame(out)
+
+
+def session_concurrency_hourly() -> pd.DataFrame:
+    """Gap-based sessionization as the per-user Python loop the
+    reference would write, then an hour-explode concurrency count."""
+    ev = _read("events").sort_values(["user_id", "ts", "event_id"])
+    gap = pd.Timedelta(minutes=30)
+    hours: dict = {}
+    for _, grp in ev.groupby("user_id"):
+        start = last = None
+        spans = []
+        for ts in grp["ts"]:
+            if start is None:
+                start = last = ts
+            elif ts - last > gap:
+                spans.append((start, last))
+                start = last = ts
+            else:
+                last = ts
+        spans.append((start, last))
+        for s, e in spans:
+            h = s.floor("h")
+            end = e.floor("h")
+            while h <= end:
+                hours[h] = hours.get(h, 0) + 1
+                h += pd.Timedelta(hours=1)
+    return pd.DataFrame(
+        [{"hour_ts": h, "n_sessions": n} for h, n in sorted(hours.items())]
+    )
+
+
 def main() -> None:
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
@@ -186,6 +304,10 @@ def main() -> None:
     timed("suggestions", suggestions, kpi)
     timed("dedup_exact", dedup_exact)
     timed("token_count", token_count)
+    timed("dau_rolling_wau", dau_rolling_wau)
+    timed("q21_waiting_suppliers", q21_waiting_suppliers)
+    timed("exact_substring_spans", exact_substring_spans)
+    timed("session_concurrency_hourly", session_concurrency_hourly)
 
     print(json.dumps({"sf_dir": SF_DIR, "queries": timings, "rows": rows}))
 

@@ -103,3 +103,40 @@ def test_shingle_count_formula(tokens):
     assert len(shingles) <= max(0, n - 2)
     if n >= 3 and len(set(tokens)) == n:
         assert len(shingles) == n - 2
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=10**9),
+    st.integers(min_value=1, max_value=99),
+)
+def test_rank_ceil_identity(n, p):
+    """The integer rank form (p*n + 99) div 100 used by the winsorize /
+    PSI / quantile operators is exactly ceil(p*n/100) for every
+    feasible n — no float quantile arithmetic to drift cross-engine."""
+    assert (p * n + 99) // 100 == math.ceil(p * n / 100)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=10**9),
+    st.integers(min_value=1, max_value=20),
+)
+def test_quantile_bucket_rank_identity(n, bins):
+    """The per-bin edge rank (q*n + bins-1) div bins == ceil(q*n/bins)
+    for every bin index q (delay_drift_psi's quintile edges)."""
+    for q in range(1, bins):
+        assert (q * n + bins - 1) // bins == math.ceil(q * n / bins)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(min_value=1, max_value=2**40))
+def test_log2_bucket_bin_identity(duck, x):
+    """length(bin(x)) - 1 == floor(log2(x)) for x >= 1 — the integer
+    bucketing the gap/duration/doc-length histograms rely on instead of
+    a float log that could straddle a bucket edge differently per
+    engine."""
+    got = duck.execute(
+        "SELECT length(bin(CAST(? AS BIGINT))) - 1", [x]
+    ).fetchone()[0]
+    assert got == x.bit_length() - 1

@@ -642,3 +642,49 @@ def test_purchase_survival_km_monotone(spark):
         if last_n is not None:
             assert r["n_at_risk"] <= last_n
         last_s, last_n = r["survival"], r["n_at_risk"]
+
+
+def test_stream_dedup_watermarked_checkpoint_recovery(spark, tmp_path):
+    """Two availableNow runs over a growing directory sharing one
+    checkpoint: a replica of batch-1 content arriving in batch 2 within
+    the watermark is suppressed by the RECOVERED state (not re-emitted),
+    and genuinely new content passes."""
+    src = str(tmp_path / "wm_ckpt_src")
+    ckpt = str(tmp_path / "wm_ckpt")
+    out = str(tmp_path / "wm_out")
+    schema = pipeline.DOCS_SCHEMA + ", ingest_ts string"
+
+    def _write(rows):
+        spark.createDataFrame(rows, schema).withColumn(
+            "ingest_ts", F.col("ingest_ts").cast("timestamp")
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    base = spark.createDataFrame([("never",)], "text string").select(
+        F.md5(F.col("text")).alias("doc_hash")
+    )
+
+    def run_once():
+        sdf = pipeline.stream_dedup_incremental_watermarked(
+            spark, src, base
+        )
+        q = (
+            sdf.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    _write([(1, "first text", "en", "s1", 10, "2026-01-01 10:00:00")])
+    run_once()
+    # batch 2: a replica of doc 1's content 5 minutes later (inside the
+    # 2h watermark — must be suppressed by recovered state) + new content
+    _write([
+        (2, "first text", "en", "s2", 10, "2026-01-01 10:05:00"),
+        (3, "second text", "en", "s1", 11, "2026-01-01 10:06:00"),
+    ])
+    run_once()
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert got == [1, 3]

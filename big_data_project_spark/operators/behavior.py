@@ -856,7 +856,10 @@ def event_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     IDENTICAL K iterations as chained CTEs. Dangling mass (types never
     observed as from_type) leaks by design — documented standard
     simplification, identical in both engines."""
-    counts = (
+    # persist the types^2-sized counts FIRST: nodes and edges both
+    # derive from it, and without the persist each derived relation
+    # would re-run the corpus-scale lead()-window pass
+    counts = persisted(
         event_transition_matrix(spark, sf_dir)
         .select("from_type", "to_type", "n")
     )
@@ -877,7 +880,14 @@ def event_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     pr = nodes.crossJoin(F.broadcast(nn)).select(
         "node", (F.lit(1.0) / F.col("n_nodes")).alias("pr")
     )
+    # Fold the damping constants in PYTHON and hand both engines the
+    # identical IEEE doubles: Spark folds lit(1.0) - lit(0.85) in
+    # doubles (0.15000000000000002) while DuckDB evaluates the same
+    # text as exact DECIMAL (0.1499...94) — a 2-ulp seed difference
+    # that could flip a 1e-6 rounding boundary. The oracle interpolates
+    # repr() of these same Python doubles.
     d = F.lit(PR_DAMPING)
+    leak = F.lit(1.0 - PR_DAMPING)
     for _ in range(PR_ITERATIONS):
         contrib = (
             edges.join(pr, edges.src == pr.node)
@@ -894,7 +904,7 @@ def event_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 "node",
                 (
-                    (F.lit(1.0) - d) / F.col("n_nodes")
+                    leak / F.col("n_nodes")
                     + d * F.coalesce(F.col("inflow"), F.lit(0.0))
                 ).alias("pr"),
             )
@@ -911,7 +921,8 @@ QUERIES["event_pagerank"] = event_pagerank
 def _pagerank_sql() -> str:
     """Unrolled K-iteration PageRank as chained CTEs — the literal SQL
     twin of the Spark loop above (same decimal folds, same damping)."""
-    d = PR_DAMPING
+    d = repr(PR_DAMPING)
+    leak = repr(1.0 - PR_DAMPING)  # same folded double as the Spark side
     cte = f"""
     counts AS (
       SELECT event_type AS from_type,
@@ -942,8 +953,8 @@ def _pagerank_sql() -> str:
         cte += f""",
     pr{k + 1} AS (
       SELECT nodes.node,
-             (1.0 - {d}) / n_nodes
-               + {d} * coalesce(c.inflow, 0.0) AS pr
+             CAST({leak} AS DOUBLE) / n_nodes
+               + CAST({d} AS DOUBLE) * coalesce(c.inflow, 0.0) AS pr
       FROM nodes CROSS JOIN nn
       LEFT JOIN (
         SELECT dst, (sum((w * pr)::DECIMAL(28,6)))::DOUBLE AS inflow

@@ -452,6 +452,24 @@ ORACLES["near_dup_degree_histogram"] = f"""
 SPAN_W = 5  # tokens per exact-substring window
 
 
+def _window_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, window_hash) for every positional SPAN_W-token window
+    (stride 1, WITH multiplicity; docs shorter than SPAN_W excluded) —
+    the ONE place the windowing rule is spelled for both consumers
+    (exact_substring_spans, span_provenance). _SQL_WINDOW_HASHES is the
+    oracle-side twin."""
+    docs = load_table_spread(spark, sf_dir, "documents", "doc_id")
+    toks = F.split(_norm(F.col("text")), " ")
+    n = F.size(toks)
+    wins = F.transform(
+        F.sequence(F.lit(1), n - SPAN_W + 1),
+        lambda i: _hash60(F.array_join(F.slice(toks, i, SPAN_W), " ")),
+    )
+    return docs.filter(n >= SPAN_W).select(
+        "doc_id", F.explode(wins).alias("window_hash")
+    )
+
+
 def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring duplication at sub-document grain: hash every
     positional SPAN_W-token window (stride 1, WITH multiplicity) and
@@ -467,15 +485,8 @@ def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     classification join keys on the same hash — the contamination_check
     shape, self-referential.
     """
-    docs = load_table_spread(spark, sf_dir, "documents", "doc_id")
-    toks = F.split(_norm(F.col("text")), " ")
-    n = F.size(toks)
-    wins = F.transform(
-        F.sequence(F.lit(1), n - SPAN_W + 1),
-        lambda i: _hash60(F.array_join(F.slice(toks, i, SPAN_W), " ")),
-    )
-    w = docs.filter(n >= SPAN_W).select(
-        "doc_id", F.explode(wins).alias("wh")
+    w = _window_hashes(spark, sf_dir).withColumnRenamed(
+        "window_hash", "wh"
     )
     support = w.groupBy("wh").agg(
         F.countDistinct("doc_id").alias("nd")
@@ -569,8 +580,9 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["exact_substring_spans"] = exact_substring_spans
 QUERIES["vocab_growth_curve"] = vocab_growth_curve
 
-ORACLES["exact_substring_spans"] = f"""
-    WITH t AS (
+# Oracle twin of _window_hashes: emits (doc_id, wh).
+_SQL_WINDOW_HASHES = f"""
+    t AS (
       SELECT doc_id, string_split({_SQL_NORM}, ' ') AS toks
       FROM documents
     ),
@@ -584,7 +596,11 @@ ORACLES["exact_substring_spans"] = f"""
              )) AS wh
       FROM t
       WHERE len(toks) >= {SPAN_W}
-    ),
+    )
+"""
+
+ORACLES["exact_substring_spans"] = f"""
+    WITH {_SQL_WINDOW_HASHES},
     d AS (SELECT wh, count(DISTINCT doc_id) AS nd FROM w GROUP BY wh)
     SELECT doc_id, count(*) AS n_windows,
            CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
@@ -644,16 +660,7 @@ def span_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the same one token-stream shuffle as exact_substring_spans;
     output is sized by the duplicated-window vocabulary, not the
     corpus."""
-    docs = load_table_spread(spark, sf_dir, "documents", "doc_id")
-    toks = F.split(_norm(F.col("text")), " ")
-    n = F.size(toks)
-    wins = F.transform(
-        F.sequence(F.lit(1), n - SPAN_W + 1),
-        lambda i: _hash60(F.array_join(F.slice(toks, i, SPAN_W), " ")),
-    )
-    w = docs.filter(n >= SPAN_W).select(
-        "doc_id", F.explode(wins).alias("window_hash")
-    )
+    w = _window_hashes(spark, sf_dir)
     return (
         w.groupBy("window_hash")
         .agg(
@@ -669,26 +676,12 @@ def span_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["span_provenance"] = span_provenance
 
 ORACLES["span_provenance"] = f"""
-    WITH t AS (
-      SELECT doc_id, string_split({_SQL_NORM}, ' ') AS toks
-      FROM documents
-    ),
-    w AS (
-      SELECT doc_id,
-             unnest(list_transform(
-               range(1, len(toks) - {SPAN_W} + 2),
-               i -> {_sql_hash60(
-                 f"array_to_string(toks[i:i + {SPAN_W} - 1], ' ')"
-               )}
-             )) AS window_hash
-      FROM t
-      WHERE len(toks) >= {SPAN_W}
-    )
-    SELECT window_hash, count(DISTINCT doc_id) AS n_docs,
+    WITH {_SQL_WINDOW_HASHES}
+    SELECT wh AS window_hash, count(DISTINCT doc_id) AS n_docs,
            count(*) AS n_occurrences,
            min(doc_id) AS src_doc_id
     FROM w
-    GROUP BY window_hash
+    GROUP BY wh
     HAVING count(DISTINCT doc_id) >= 2
     ORDER BY window_hash
 """

@@ -176,6 +176,10 @@ def delay_hourly_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def weather_hourly_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _weather_cached(spark, sf_dir)
+
+
 def ml_dataset_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     pd_ = _demand_cached(spark, sf_dir)
     stats = _stats_cached(spark, sf_dir).select(

@@ -454,20 +454,29 @@ def orders_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["orders_fk_audit"] = orders_fk_audit
 
+# NOT EXISTS, not NOT IN: a single NULL key in the subquery makes
+# NOT IN three-valued (every probe evaluates to NULL -> count 0),
+# silently masking exactly the dirty-data class this audit exists to
+# catch; NOT EXISTS matches Spark's left_anti (NULL never matches, the
+# NULL-keyed row itself counts as dangling).
 ORACLES["orders_fk_audit"] = """
     SELECT
       (SELECT count(*) FROM orders) AS n_orders,
-      (SELECT count(*) FROM orders
-       WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem))
+      (SELECT count(*) FROM orders o
+       WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                         WHERE l.l_orderkey = o.o_orderkey))
         AS orders_without_lineitems,
-      (SELECT count(*) FROM lineitem
-       WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+      (SELECT count(*) FROM lineitem l
+       WHERE NOT EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_orderkey = l.l_orderkey))
         AS lineitems_without_order,
-      (SELECT count(*) FROM customer
-       WHERE c_custkey NOT IN (SELECT o_custkey FROM orders))
+      (SELECT count(*) FROM customer c
+       WHERE NOT EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_custkey = c.c_custkey))
         AS customers_without_orders,
-      (SELECT count(*) FROM orders
-       WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+      (SELECT count(*) FROM orders o
+       WHERE NOT EXISTS (SELECT 1 FROM customer c
+                         WHERE c.c_custkey = o.o_custkey))
         AS orders_without_customer
 """
 

@@ -663,7 +663,14 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     semi-join and per-query aggregate are output-sized regardless of
     corpus size — the expensive parts are the retrievers themselves,
     which are the things under test."""
-    ex = ann_cosine_topk(spark, sf_dir).select("query_id", "match_id")
+    from .dedup import _persisted
+
+    # the exact top-k feeds BOTH the semi-join and the per-query k
+    # counts; persist the (queries x k)-sized relation so the exact
+    # corpus scan runs once, not once per consumer
+    ex = _persisted(
+        ann_cosine_topk(spark, sf_dir).select("query_id", "match_id")
+    )
     ap = ann_lsh_topk(spark, sf_dir).select(
         "query_id", F.col("match_id").alias("lsh_match_id")
     )

@@ -26,7 +26,7 @@ from ..functions.portable import davg, pround, sql_davg, sql_pround
 from .hourly import SQL_DELAY, SQL_DEMAND, SQL_WEATHER
 from .kpi import delay_hourly_cached as delay_hourly
 from .kpi import demand_hourly_cached as demand_hourly
-from .kpi import _weather_cached as weather_hourly
+from .kpi import weather_hourly_cached as weather_hourly
 
 ASOF_LOOKBACK_H = 3
 ROLLING_HOURS = 3

@@ -450,7 +450,7 @@ def weather_delay_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: delay rollup ⋈ broadcast hours-sized weather profile, then
     a routes-sized moment aggregate — the delay_headway_corr shape with
     a broadcast dimension instead of a second rollup."""
-    from .kpi import _weather_cached as weather_hourly
+    from .kpi import weather_hourly_cached as weather_hourly
 
     d = delay_hourly(spark, sf_dir).filter(
         F.col("avg_delay_seconds").isNotNull()

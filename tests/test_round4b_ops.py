@@ -449,10 +449,20 @@ def test_compact_parquet_reduces_files_keeps_rows(spark, tmp_path):
     assert sorted(
         d for d in _os.listdir(p2) if d.startswith("pd=")
     ) == dirs_before
-    got = spark.read.option(
-        "spark.sql.sources.partitionColumnTypeInference.enabled", "false"
-    ).parquet(p2)
-    assert got.count() == 1000
+    # Read back with inference genuinely off (a SQL conf, NOT a
+    # DataFrameReader option — the .option() form is silently ignored)
+    # so the zero-padded values are verified as the exact strings.
+    conf = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    prior = spark.conf.get(conf)
+    spark.conf.set(conf, "false")
+    try:
+        got = spark.read.parquet(p2)
+        assert got.count() == 1000
+        assert sorted(
+            r["pd"] for r in got.select("pd").distinct().collect()
+        ) == ["00", "01", "02"]
+    finally:
+        spark.conf.set(conf, prior)
 
 
 def test_compact_parquet_all_null_partition(spark, tmp_path):

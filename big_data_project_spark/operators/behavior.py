@@ -1078,3 +1078,156 @@ ORACLES["purchase_survival_km"] = f"""
     WHERE d > 0
     ORDER BY day_offset
 """
+
+
+WEEK_US = 7 * 24 * 3600 * 1000000  # one decay bucket, in microseconds
+
+
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch purchase attribution: each purchase is credited to
+    the user's most recent PRECEDING non-purchase event type (strict
+    event-time order, event_id tie-break); purchases with no prior
+    touch are 'direct'. Output per attributed channel: purchase count,
+    decimal-exact revenue, average order value — the standard
+    marketing-attribution cut over the same event stream the funnel
+    reads.
+
+    Scale: ONE exchange on user_id (the window sort), then a
+    channels-sized aggregate. The IGNORE-NULLS last_value over an
+    unbounded-preceding frame is a running state per user — no
+    self-join, no fan-out."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    pur = ev.select(
+        "event_type", "value", prev.alias("attributed")
+    ).filter(F.col("event_type") == "purchase")
+    return (
+        pur.groupBy(
+            F.coalesce(F.col("attributed"), F.lit("direct")).alias(
+                "attributed_type"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("rev_raw"),
+        )
+        .select(
+            "attributed_type",
+            "n_purchases",
+            pround(F.col("rev_raw"), 2).alias("total_value"),
+            pround(F.col("rev_raw") / F.col("n_purchases"), 4).alias(
+                "avg_value"
+            ),
+        )
+        .orderBy("attributed_type")
+    )
+
+
+def event_value_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed popularity per event type: each event's value is
+    weighted by ``0.5^age_weeks`` (one-week half-life, bucketed to
+    whole weeks behind the corpus max timestamp). Whole-week exponents
+    make every weight an EXACT power of two — identical on both
+    engines, no transcendental-ulp risk — and the age arithmetic runs
+    on microsecond integers (Spark truncates unix_timestamp() to
+    seconds; the feed is microsecond-grained).
+
+    Scale: age/weight are map-side column ops against a broadcast
+    1-row max-ts aggregate; one event-types-sized aggregate."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    anchor = ev.agg(
+        F.max(F.unix_micros(F.col("ts"))).alias("anchor_us")
+    )
+    aged = ev.crossJoin(F.broadcast(anchor)).select(
+        "event_type",
+        "value",
+        F.floor(
+            (F.col("anchor_us") - F.unix_micros(F.col("ts")))
+            / F.lit(WEEK_US)
+        ).alias("weeks_old"),
+    )
+    weight = F.pow(F.lit(0.5), F.col("weeks_old"))
+    return (
+        aged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("raw_sum"),
+            F.sum(
+                (F.col("value") * weight).cast("decimal(28,6)")
+            )
+            .cast("double")
+            .alias("decayed_sum"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            pround(F.col("raw_sum"), 2).alias("raw_value"),
+            pround(F.col("decayed_sum"), 2).alias("decayed_value"),
+            pround(F.col("decayed_sum") / F.col("raw_sum"), 6).alias(
+                "retention_ratio"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["attribution_last_touch"] = attribution_last_touch
+QUERIES["event_value_decay"] = event_value_decay
+
+ORACLES["attribution_last_touch"] = f"""
+    WITH w AS (
+      SELECT event_type, value,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING) AS attributed
+      FROM events
+    ),
+    agg AS (
+      SELECT coalesce(attributed, 'direct') AS attributed_type,
+             count(*) AS n_purchases,
+             (sum((value)::DECIMAL(28,6)))::DOUBLE AS rev_raw
+      FROM w WHERE event_type = 'purchase' GROUP BY 1
+    )
+    SELECT attributed_type, n_purchases,
+           {sql_pround('rev_raw', 2)} AS total_value,
+           {sql_pround('rev_raw / n_purchases', 4)} AS avg_value
+    FROM agg ORDER BY attributed_type
+"""
+
+ORACLES["event_value_decay"] = f"""
+    WITH aged AS (
+      SELECT event_type, value,
+             (max(epoch_us(ts)) OVER () - epoch_us(ts))
+               // {WEEK_US} AS weeks_old
+      FROM events
+      WHERE value IS NOT NULL
+    ),
+    agg AS (
+      SELECT event_type, count(*) AS n_events,
+             (sum((value)::DECIMAL(28,6)))::DOUBLE AS raw_sum,
+             (sum((value * pow(CAST(0.5 AS DOUBLE), weeks_old))
+                  ::DECIMAL(28,6)))::DOUBLE AS decayed_sum
+      FROM aged GROUP BY event_type
+    )
+    SELECT event_type, n_events,
+           {sql_pround('raw_sum', 2)} AS raw_value,
+           {sql_pround('decayed_sum', 2)} AS decayed_value,
+           {sql_pround('decayed_sum / raw_sum', 6)} AS retention_ratio
+    FROM agg ORDER BY event_type
+"""

@@ -1,0 +1,507 @@
+"""Commerce-analytics surface: ABC/Pareto revenue classification,
+market-basket co-occurrence, repeat-purchase cadence, supplier
+concentration (HHI), a GROUPING SETS revenue report, and C4-style
+normalized exact dedup.
+
+Parity: the reference's analyst-facing views slice the same rollup
+grain by priority/month/route (/root/reference/src/optimization/
+kpi_views.sql:19-151) and its suggestion engine ranks entities by
+cumulative contribution before acting
+(/root/reference/src/suggestions/generate_suggestions.py:82-203 reads
+load ordered by severity) — ABC classification, mix shares, and
+concentration indexes are the standard warehouse companions to that
+family, re-expressed Spark-first. ``dedup_normalized`` is the C4
+"exact dedup after normalization" recipe (Raffel et al., 2020) the
+LLM-pipeline section's raw exact dedup deliberately skips.
+
+Scale design:
+- Money is folded through BIGINT 1e-4-dollar units: the per-row
+  ``l_extendedprice*(1-l_discount)`` has exactly 4 decimal places, so
+  ``floor(x*10000+0.5)`` recovers the exact integer on both engines
+  (the true value sits ~1e-13 relative from the double product — never
+  near a .5 boundary) and every downstream sum/cumsum/comparison is
+  exact integer arithmetic, order-independent by construction. Head-
+  room: BIGINT units carry ~9e14 dollars of corpus revenue before the
+  cross-multiplied threshold compare (x20) would overflow — beyond
+  100 TB of TPC-H; past that the fold widens to DECIMAL unchanged.
+- ``part_revenue_abc``'s running share uses cross-multiplied integer
+  compares (run*5 <= total*4) instead of a double division — no
+  boundary-tie risk at the 80/95 cuts. The full-order window is
+  |parts|-sized, AFTER the corpus-scale aggregate.
+- ``basket_part_pairs`` self-joins at ORDER grain on the distinct
+  (order, type) set — fan-out bounded by types-per-order squared
+  (~4 lines/order), never corpus x corpus.
+- ``supplier_concentration_hhi`` squares per-supplier revenue only
+  after rounding it to exact cents, so the squares are 4-dp-exact
+  doubles that fold through DECIMAL(28,6) losslessly; HHI is a single
+  closed-form division per nation.
+- ``dedup_normalized`` is one pass: both exact distinct counts share
+  one Expand(x2) over md5 hashes — the 32-byte shuffle rows, not the
+  document bodies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.portable import davg, pround, sql_davg, sql_pround
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+ABC_A_PCT = 80  # cumulative-revenue cut for class A
+ABC_B_PCT = 95  # cumulative-revenue cut for class B
+BASKET_TOP_PAIRS = 20
+GAP_BUCKET_DAYS = 30
+
+def _rev_units():
+    """Exact BIGINT 1e-4-dollar units for
+    l_extendedprice*(1-l_discount) (built lazily — Columns need an
+    active session)."""
+    return F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+        + F.lit(0.5)
+    )
+_SQL_REV_UNITS = (
+    "(floor(l_extendedprice*(1-l_discount)*10000 + 0.5))::BIGINT"
+)
+
+
+def part_revenue_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) classification of parts by revenue: parts are
+    ranked by revenue (partkey tie-break — total order), the running
+    cumulative share cut at 80% (A) and 95% (B), and the report
+    aggregates each class to count / revenue / exact share. The
+    inventory-policy cut every warehouse runs first.
+
+    Determinism: revenue is exact BIGINT units end-to-end; the class
+    cuts are cross-multiplied integer compares (run*5 <= total*4 and
+    run*20 <= total*19), so the 80/95 boundaries have no float-tie
+    cases on either engine.
+
+    Scale: one corpus-scale aggregate to part grain, then a
+    |parts|-sized fully-ordered window (single partition over ~200k
+    rows/SF — the ranking is inherently global) and a 3-row output."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(_rev_units()).alias("units")
+    )
+    w_run = Window.orderBy(F.desc("units"), F.col("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    ranked = rev.select(
+        "units",
+        F.sum("units").over(w_run).alias("run_units"),
+        F.sum("units").over(w_all).alias("total_units"),
+    )
+    cls = F.when(
+        F.col("run_units") * 100 <= F.col("total_units") * ABC_A_PCT, "A"
+    ).when(
+        F.col("run_units") * 100 <= F.col("total_units") * ABC_B_PCT, "B"
+    ).otherwise("C")
+    return (
+        ranked.select(cls.alias("abc_class"), "units", "total_units")
+        .groupBy("abc_class", "total_units")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("units").alias("class_units"),
+        )
+        .select(
+            "abc_class",
+            "n_parts",
+            pround(F.col("class_units") / 10000.0, 2).alias("revenue"),
+            pround(
+                F.col("class_units")
+                / F.col("total_units").cast("double"),
+                6,
+            ).alias("revenue_share"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+ORACLES["part_revenue_abc"] = f"""
+    WITH rev AS (
+      SELECT l_partkey, (sum({_SQL_REV_UNITS}))::BIGINT AS units
+      FROM lineitem GROUP BY l_partkey
+    ), ranked AS (
+      SELECT units,
+             (sum(units) OVER (ORDER BY units DESC, l_partkey
+                ROWS UNBOUNDED PRECEDING))::BIGINT AS run_units,
+             (sum(units) OVER ())::BIGINT AS total_units
+      FROM rev
+    ), cls AS (
+      SELECT CASE
+               WHEN run_units*100 <= total_units*{ABC_A_PCT} THEN 'A'
+               WHEN run_units*100 <= total_units*{ABC_B_PCT} THEN 'B'
+               ELSE 'C' END AS abc_class,
+             units, total_units
+      FROM ranked
+    )
+    SELECT abc_class,
+           count(*)::BIGINT AS n_parts,
+           {sql_pround("(sum(units))::DOUBLE / 10000.0", 2)} AS revenue,
+           {sql_pround(
+               "(sum(units))::DOUBLE / total_units::DOUBLE", 6
+           )} AS revenue_share
+    FROM cls GROUP BY abc_class, total_units ORDER BY abc_class
+"""
+
+
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the top part-BRAND pairs bought
+    in the same order (support = distinct-order count), ranked with a
+    total order (support desc, then the pair) so top-K is engine-
+    deterministic. Brand grain (25 values here -> 300 possible pairs)
+    gives statistically dense pairs where raw partkey pairs are almost
+    all support-1 (and p_type has only 6 values -- degenerate).
+
+    Scale: part is broadcast; ONE corpus-scale shuffle builds the
+    per-order brand set (collect_set — baskets are ~4 lines), the
+    pair expansion is a map-side array comprehension over the sorted
+    set (fan-out bounded by brands-per-order squared, never a
+    self-join re-shuffle), and the pair aggregate is
+    |brands|^2-bounded."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    baskets = (
+        li.join(
+            F.broadcast(part),
+            li.l_partkey == part.p_partkey,
+        )
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("p_brand")).alias("brands"))
+    )
+    # all i<j pairs of the sorted brand set, generated map-side
+    pair_expr = F.expr(
+        "flatten(transform(brands, (x, i) -> "
+        "transform(slice(brands, i + 2, size(brands)), "
+        "y -> struct(x AS brand_a, y AS brand_b))))"
+    )
+    counted = (
+        baskets.select(F.explode(pair_expr).alias("p"))
+        .groupBy(
+            F.col("p.brand_a").alias("brand_a"),
+            F.col("p.brand_b").alias("brand_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    rank = F.row_number().over(
+        Window.orderBy(
+            F.desc("n_orders"), F.col("brand_a"), F.col("brand_b")
+        )
+    )
+    return (
+        counted.withColumn("pair_rank", rank)
+        .filter(F.col("pair_rank") <= BASKET_TOP_PAIRS)
+        .orderBy("pair_rank")
+    )
+
+
+ORACLES["basket_part_pairs"] = f"""
+    WITH ot AS (
+      SELECT DISTINCT l_orderkey, p_brand
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ), counted AS (
+      SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+             count(*)::BIGINT AS n_orders
+      FROM ot a JOIN ot b
+        ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+      GROUP BY a.p_brand, b.p_brand
+    )
+    SELECT brand_a, brand_b, n_orders, pair_rank FROM (
+      SELECT *, (row_number() OVER (
+               ORDER BY n_orders DESC, brand_a, brand_b))::INT AS pair_rank
+      FROM counted
+    ) WHERE pair_rank <= {BASKET_TOP_PAIRS} ORDER BY pair_rank
+"""
+
+
+def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase cadence: the day gap between each customer's
+    consecutive orders (lag over (custkey, orderdate, orderkey) — the
+    orderkey tie-break totalizes same-day pairs), bucketed into 30-day
+    bins with per-bin counts and the exact average gap. The
+    inter-purchase-interval histogram a retention model calibrates on.
+
+    Scale: one customer-key exchange for the lag window, then a
+    buckets-sized aggregate. No self-join — the window IS the
+    adjacency."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    gaps = (
+        o.select(
+            "o_custkey",
+            "o_orderdate",
+            "o_orderkey",
+            F.datediff(
+                F.to_date("o_orderdate"),
+                F.to_date(F.lag("o_orderdate").over(w)),
+            ).alias("gap_days"),
+        )
+        .filter(F.col("gap_days").isNotNull())
+    )
+    bucket = F.floor(F.col("gap_days") / GAP_BUCKET_DAYS)
+    return (
+        gaps.groupBy(bucket.alias("gap_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            davg(F.col("gap_days").cast("double"), 2).alias(
+                "avg_gap_days"
+            ),
+        )
+        .withColumn(
+            "bucket_lo_days",
+            (F.col("gap_bucket") * GAP_BUCKET_DAYS).cast("bigint"),
+        )
+        .select("gap_bucket", "bucket_lo_days", "n_gaps", "avg_gap_days")
+        .orderBy("gap_bucket")
+    )
+
+
+ORACLES["customer_order_gaps"] = f"""
+    WITH gaps AS (
+      SELECT date_diff('day',
+               lag(o_orderdate::DATE) OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey),
+               o_orderdate::DATE) AS gap_days
+      FROM orders
+    ), g AS (SELECT gap_days FROM gaps WHERE gap_days IS NOT NULL)
+    SELECT (floor(gap_days / {GAP_BUCKET_DAYS}))::BIGINT AS gap_bucket,
+           ((floor(gap_days / {GAP_BUCKET_DAYS}))::BIGINT
+              * {GAP_BUCKET_DAYS})::BIGINT AS bucket_lo_days,
+           count(*)::BIGINT AS n_gaps,
+           {sql_davg("gap_days::DOUBLE", 2)} AS avg_gap_days
+    FROM g GROUP BY 1, 2 ORDER BY gap_bucket
+"""
+
+
+def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier revenue concentration per nation: the
+    Herfindahl-Hirschman index sum_i(share_i^2) of each supplier's
+    revenue share within its nation — the antitrust-style
+    concentration screen for a supply base.
+
+    Determinism: per-supplier revenue folds to exact BIGINT cents
+    ((units+50) div 100 — integer arithmetic, no float floor), the
+    squares are then 4-dp-exact doubles folded through DECIMAL(28,6)
+    losslessly (order-independent), and the HHI is one closed-form
+    division per nation rounded once.
+
+    Scale: one corpus-scale aggregate to supplier grain, broadcast
+    supplier->nation joins, a nations-sized aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    per_sup = li.groupBy("l_suppkey").agg(
+        F.sum(_rev_units()).alias("units")
+    )
+    # exact supplier revenue in cents: round-half-up in pure integers
+    cents = F.expr("(units + 50) div 100")
+    enriched = (
+        per_sup.join(
+            F.broadcast(sup), per_sup.l_suppkey == sup.s_suppkey
+        )
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            cents.alias("rev_cents"),
+        )
+    )
+    rev_d = F.col("rev_cents") / F.lit(100.0)
+    return (
+        enriched.groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum("rev_cents").alias("total_cents"),
+            F.sum((rev_d * rev_d).cast("decimal(28,6)"))
+            .cast("double")
+            .alias("sumsq"),
+        )
+        .select(
+            "nation",
+            "n_suppliers",
+            pround(F.col("total_cents") / 100.0, 2).alias(
+                "total_revenue"
+            ),
+            pround(
+                F.col("sumsq")
+                / (
+                    (F.col("total_cents") / F.lit(100.0))
+                    * (F.col("total_cents") / F.lit(100.0))
+                ),
+                6,
+            ).alias("hhi"),
+        )
+        .orderBy("nation")
+    )
+
+
+ORACLES["supplier_concentration_hhi"] = f"""
+    WITH per_sup AS (
+      SELECT l_suppkey, (sum({_SQL_REV_UNITS}))::BIGINT AS units
+      FROM lineitem GROUP BY l_suppkey
+    ), enriched AS (
+      SELECT n_name AS nation, (units + 50) // 100 AS rev_cents
+      FROM per_sup
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+    )
+    SELECT nation,
+           count(*)::BIGINT AS n_suppliers,
+           {sql_pround("(sum(rev_cents))::DOUBLE / 100.0", 2)}
+             AS total_revenue,
+           {sql_pround(
+               "(sum(((rev_cents/100.0)*(rev_cents/100.0))"
+               "::DECIMAL(28,6)))::DOUBLE"
+               " / (((sum(rev_cents))::DOUBLE/100.0)"
+               "*((sum(rev_cents))::DOUBLE/100.0))", 6
+           )} AS hhi
+    FROM enriched GROUP BY nation ORDER BY nation
+"""
+
+
+def sales_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-grain revenue report in ONE pass: GROUPING SETS
+    ((year, priority), (year), (priority), ()) over orders, with
+    GROUPING flags disambiguating real NULLs from subtotal rows —
+    the report a BI layer issues instead of four separate scans.
+    Complements ``sales_rollup`` (hierarchical) and ``sales_cube``
+    (full lattice) with the arbitrary-sets case.
+
+    Scale: Spark plans one Expand(x4) + single aggregate — the corpus
+    is read once; output is |years| x |priorities| bounded."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.year("o_orderdate").alias("order_year"),
+        F.col("o_orderpriority").alias("priority"),
+        "o_totalprice",
+    )
+    return (
+        base.groupingSets(
+            [["order_year", "priority"], ["order_year"], ["priority"], []],
+            "order_year",
+            "priority",
+        )
+        .agg(
+            F.grouping("order_year").cast("int").alias("g_year"),
+            F.grouping("priority").cast("int").alias("g_priority"),
+            F.count(F.lit(1)).alias("n_orders"),
+            pround(
+                F.sum(F.col("o_totalprice").cast("decimal(28,6)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("revenue"),
+        )
+        .select(
+            "order_year",
+            "priority",
+            "g_year",
+            "g_priority",
+            "n_orders",
+            "revenue",
+        )
+        .orderBy("g_year", "g_priority", "order_year", "priority")
+    )
+
+
+ORACLES["sales_grouping_sets"] = f"""
+    SELECT (year(o_orderdate))::INT AS order_year,
+           o_orderpriority AS priority,
+           (GROUPING(year(o_orderdate)))::INT AS g_year,
+           (GROUPING(o_orderpriority))::INT AS g_priority,
+           count(*)::BIGINT AS n_orders,
+           {sql_pround(
+               "(sum(o_totalprice::DECIMAL(28,6)))::DOUBLE", 2
+           )} AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS
+      ((year(o_orderdate), o_orderpriority),
+       (year(o_orderdate)), (o_orderpriority), ())
+    ORDER BY g_year, g_priority, order_year, priority
+"""
+
+
+def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style normalized exact dedup audit: documents are normalized
+    (lowercase, strip non-[a-z0-9 ], collapse runs of spaces, trim)
+    and the corpus is summarized as raw-distinct vs normalized-distinct
+    counts with the collapse rate — the near-exact-duplicate mass that
+    raw ``dedup_exact`` cannot see (trivial reformatting, case,
+    punctuation). Recipe: Raffel et al. 2020 (C4) normalization before
+    exact matching.
+
+    Determinism: the regex classes are explicit ASCII sets ('[^a-z0-9
+    ]', ' +') — identical under Java regex and RE2 — and both distinct
+    counts run over md5 hex digests.
+
+    Scale: normalization is map-side; both exact distincts share one
+    Expand(x2) aggregate over 32-byte hashes, output is one row."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    return (
+        d.select(
+            F.md5(F.col("text")).alias("raw_h"),
+            F.md5(norm).alias("norm_h"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("raw_h").alias("raw_distinct"),
+            F.countDistinct("norm_h").alias("norm_distinct"),
+        )
+        .select(
+            "n_docs",
+            "raw_distinct",
+            "norm_distinct",
+            (F.col("raw_distinct") - F.col("norm_distinct")).alias(
+                "collapsed"
+            ),
+            pround(
+                (F.col("raw_distinct") - F.col("norm_distinct"))
+                / F.col("raw_distinct").cast("double"),
+                6,
+            ).alias("collapse_rate"),
+        )
+    )
+
+
+ORACLES["dedup_normalized"] = f"""
+    WITH h AS (
+      SELECT md5(text) AS raw_h,
+             md5(trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+               ' +', ' ', 'g'))) AS norm_h
+      FROM documents
+    )
+    SELECT count(*)::BIGINT AS n_docs,
+           (count(DISTINCT raw_h))::BIGINT AS raw_distinct,
+           (count(DISTINCT norm_h))::BIGINT AS norm_distinct,
+           (count(DISTINCT raw_h) - count(DISTINCT norm_h))::BIGINT
+             AS collapsed,
+           {sql_pround(
+               "(count(DISTINCT raw_h) - count(DISTINCT norm_h))::DOUBLE"
+               " / (count(DISTINCT raw_h))::DOUBLE", 6
+           )} AS collapse_rate
+    FROM h
+"""
+
+
+QUERIES["part_revenue_abc"] = part_revenue_abc
+QUERIES["basket_part_pairs"] = basket_part_pairs
+QUERIES["customer_order_gaps"] = customer_order_gaps
+QUERIES["supplier_concentration_hhi"] = supplier_concentration_hhi
+QUERIES["sales_grouping_sets"] = sales_grouping_sets
+QUERIES["dedup_normalized"] = dedup_normalized

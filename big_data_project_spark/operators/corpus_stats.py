@@ -685,3 +685,58 @@ ORACLES["span_provenance"] = f"""
     HAVING count(DISTINCT doc_id) >= 2
     ORDER BY window_hash
 """
+
+
+INVIDX_TOP = 100  # posting-list rows kept (highest document frequency)
+
+
+def inverted_index_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting-list statistics for the corpus's top-{INVIDX_TOP}
+    document-frequency tokens: per token its document frequency, total
+    occurrence count, and first/last posting doc ids — the skeleton an
+    inverted-index builder materializes per shard, cut to the head of
+    the vocabulary so the output is K-sized.
+
+    Scale: ONE token-stream shuffle (explode + map-side-combined
+    aggregate, the token_frequencies shape) followed by a
+    vocabulary-sized top-K sort. The full posting lists never leave
+    the aggregate — only their bounds do; ordering is total
+    (df desc, occurrences desc, token) so the K-cut is deterministic on
+    both engines."""
+    docs = load_table_spread(spark, sf_dir, "documents", "doc_id")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(_norm(F.col("text")), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    return (
+        toks.groupBy("tok")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("doc_id").alias("first_doc_id"),
+            F.max("doc_id").alias("last_doc_id"),
+        )
+        .orderBy(
+            F.desc("n_docs"), F.desc("n_occurrences"), F.col("tok")
+        )
+        .limit(INVIDX_TOP)
+    )
+
+
+QUERIES["inverted_index_sample"] = inverted_index_sample
+
+ORACLES["inverted_index_sample"] = f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split({_SQL_NORM}, ' ')) AS tok
+      FROM documents
+    )
+    SELECT tok, count(DISTINCT doc_id) AS n_docs,
+           count(*) AS n_occurrences,
+           min(doc_id) AS first_doc_id,
+           max(doc_id) AS last_doc_id
+    FROM toks
+    WHERE tok <> ''
+    GROUP BY tok
+    ORDER BY n_docs DESC, n_occurrences DESC, tok
+    LIMIT {INVIDX_TOP}
+"""

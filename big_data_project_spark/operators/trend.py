@@ -985,3 +985,145 @@ ORACLES["delay_drift_psi"] = f"""
     FROM agg
     ORDER BY route_id
 """
+
+
+MAD_CUT = 3.0 * 1.4826  # |x - median| > cut * MAD flags an outlier
+# (1.4826 is the normal-consistency constant; folded in Python so both
+# engines compare against the identical IEEE double)
+
+
+def route_delay_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-route outlier screen on the raw delay feed: exact
+    median, exact MAD (median absolute deviation), and the count of
+    events beyond ``MAD_CUT x MAD`` — the heavy-tail-safe alternative
+    to z-scores next to delay_winsorized_mean's trimmed means.
+
+    Both medians are EXACT and rank-based (row_number over an in-group
+    sort, average of the two middle values) — integer ranks and raw
+    column doubles are bit-identical across engines, unlike
+    interpolated quantile implementations.
+
+    Scale: two in-group sorts over the events feed (the same shuffle an
+    exact median needs anywhere), a broadcast routes-sized stats join,
+    and a routes-sized aggregate. The deviation relation feeds both the
+    MAD rank pass and the outlier count, so it is persisted through the
+    tracked caching helper."""
+    from ..caching import persisted
+    from ..catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("value").isNotNull()
+    )
+    x = ev.select(
+        F.col("event_type").alias("route_id"),
+        "event_id",
+        F.col("value").alias("x"),
+    )
+
+    def _rank_median(df: DataFrame, col: str) -> DataFrame:
+        w = Window.partitionBy("route_id").orderBy(col, "event_id")
+        wn = Window.partitionBy("route_id")
+        r = df.select(
+            "route_id",
+            F.col(col),
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        )
+        lo = F.expr("(n + 1) div 2")
+        hi = F.expr("(n div 2) + 1")
+        return r.groupBy("route_id").agg(
+            (
+                (
+                    F.max(F.when(F.col("rn") == lo, F.col(col)))
+                    + F.max(F.when(F.col("rn") == hi, F.col(col)))
+                )
+                / F.lit(2.0)
+            ).alias("med_" + col)
+        )
+
+    med = _rank_median(x, "x").withColumnRenamed("med_x", "med")
+    dev = persisted(
+        x.join(F.broadcast(med), "route_id").select(
+            "route_id",
+            "event_id",
+            F.abs(F.col("x") - F.col("med")).alias("dev"),
+        )
+    )
+    mad = _rank_median(dev, "dev").withColumnRenamed("med_dev", "mad")
+    stats = F.broadcast(med.join(mad, "route_id"))
+    return (
+        dev.join(stats, "route_id")
+        .groupBy("route_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("med").alias("median_delay"),
+            F.max("mad").alias("mad"),
+            F.sum(
+                F.when(
+                    F.col("dev") > F.lit(MAD_CUT) * F.col("mad"), 1
+                ).otherwise(0)
+            ).alias("n_outliers"),
+        )
+        .withColumn(
+            "outlier_frac",
+            pround(F.col("n_outliers") / F.col("n_events"), 6),
+        )
+        .orderBy("route_id")
+    )
+
+
+QUERIES["route_delay_mad_outliers"] = route_delay_mad_outliers
+
+ORACLES["route_delay_mad_outliers"] = f"""
+    WITH ev AS (
+      SELECT event_type AS route_id, event_id, value AS x
+      FROM events
+      WHERE event_type IS NOT NULL AND value IS NOT NULL
+    ),
+    r1 AS (
+      SELECT route_id, x,
+             row_number() OVER (PARTITION BY route_id
+                                ORDER BY x, event_id) AS rn,
+             count(*) OVER (PARTITION BY route_id) AS n
+      FROM ev
+    ),
+    med AS (
+      SELECT route_id,
+             (max(CASE WHEN rn = (n + 1) // 2 THEN x END)
+              + max(CASE WHEN rn = n // 2 + 1 THEN x END))
+               / CAST(2 AS DOUBLE) AS med
+      FROM r1 GROUP BY route_id
+    ),
+    dev AS (
+      SELECT ev.route_id, ev.event_id, abs(ev.x - med.med) AS dev
+      FROM ev JOIN med USING (route_id)
+    ),
+    r2 AS (
+      SELECT route_id, dev,
+             row_number() OVER (PARTITION BY route_id
+                                ORDER BY dev, event_id) AS rn,
+             count(*) OVER (PARTITION BY route_id) AS n
+      FROM dev
+    ),
+    mad AS (
+      SELECT route_id,
+             (max(CASE WHEN rn = (n + 1) // 2 THEN dev END)
+              + max(CASE WHEN rn = n // 2 + 1 THEN dev END))
+               / CAST(2 AS DOUBLE) AS mad
+      FROM r2 GROUP BY route_id
+    )
+    SELECT dev.route_id, count(*) AS n_events,
+           max(med.med) AS median_delay,
+           max(mad.mad) AS mad,
+           (sum(CASE WHEN dev.dev > CAST({MAD_CUT!r} AS DOUBLE) * mad.mad
+                    THEN 1 ELSE 0 END))::BIGINT AS n_outliers,
+           {sql_pround(
+               '(sum(CASE WHEN dev.dev > CAST(' + repr(MAD_CUT)
+               + ' AS DOUBLE) * mad.mad THEN 1 ELSE 0 END))::DOUBLE'
+               ' / count(*)', 6)} AS outlier_frac
+    FROM dev
+    JOIN med USING (route_id)
+    JOIN mad USING (route_id)
+    GROUP BY dev.route_id
+    ORDER BY route_id
+"""

@@ -1,0 +1,371 @@
+"""Warehouse-operations surface: table profiling, customer-value
+deciles, fulfillment-lag percentiles, order-mix shares, and tenure
+cohorts over the TPC-H-shaped tables.
+
+Parity: the reference ships its relational tables to analysts who run
+exactly this family before anything else — column profiles (the ANALYZE
+step its Postgres `initdb/init-postgis.sql` tables get implicitly),
+priority/month mix summaries next to the q4-style counts
+(/root/reference/src/optimization/kpi_views.sql:19-151 reads the same
+rollup grain), and customer-value segmentation feeding the suggestion
+engine's demand priors. Re-expressed Spark-first as declarative
+DataFrame plans; every oracle is a line-for-line ANSI twin.
+
+Scale design:
+- ``table_profile_lineitem`` runs one pruned single-column scan per
+  profiled column (parquet column pruning means total I/O equals ONE
+  full-table read, spread over 11 branches) instead of one wide pass
+  with 11 exact count-distincts, which would Expand the corpus x11
+  through a single shuffle. Each branch is an independent 2-phase
+  aggregate; the union output is columns-sized.
+- Percentiles are EXACT and rank-based (row_number over an in-group
+  sort + conditional aggregate) rather than interpolating: interpolated
+  quantiles mix engine-specific float expression shapes, while ranks
+  are integers and the selected values are raw column doubles —
+  bit-identical on both engines. The sort is the same shuffle a
+  percentile aggregate would need anyway.
+- Every other key is one corpus-scale aggregate to entity grain
+  followed by entity-sized windows/aggregates (deciles: |customers|;
+  mix shares: months x priorities; tenure: |customers| then buckets).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.portable import (
+    davg,
+    dsum,
+    pround,
+    sql_davg,
+    sql_dsum,
+    sql_pround,
+)
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+LTV_DECILES = 10
+TENURE_BUCKET_DAYS = 90  # one "quarter" per tenure bucket
+
+# (column, render) pairs for the lineitem profile. Renders are chosen
+# for bit-identical cross-engine strings (probed): integers/varchars
+# cast directly, doubles through DECIMAL(28,6) (fixed 6-dp plain text
+# on both engines — double->varchar would go scientific above 1e7 on
+# the JVM), timestamps through DATE.
+_PROFILE_COLS = [
+    ("l_orderkey", "int"),
+    ("l_partkey", "int"),
+    ("l_suppkey", "int"),
+    ("l_linenumber", "int"),
+    ("l_quantity", "double"),
+    ("l_extendedprice", "double"),
+    ("l_discount", "double"),
+    ("l_tax", "double"),
+    ("l_returnflag", "str"),
+    ("l_linestatus", "str"),
+    ("l_shipdate", "ts"),
+]
+
+
+def _render(c: F.Column, kind: str) -> F.Column:
+    if kind == "double":
+        return c.cast("decimal(28,6)").cast("string")
+    if kind == "ts":
+        return F.to_date(c).cast("string")
+    return c.cast("string")
+
+
+def table_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile of ``lineitem``: row count, null count, exact
+    distinct count, and min/max rendered as engine-portable strings —
+    the ANALYZE-style pass an engine runs before planning and an
+    analyst runs before trusting a table.
+
+    Scale: 11 independent single-column branches; parquet column
+    pruning makes the union's total I/O one full-table read, and each
+    branch is a 2-phase (partial + final) aggregate. No Expand, no
+    corpus-wide shuffle of all columns at once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    parts = []
+    for name, kind in _PROFILE_COLS:
+        c = F.col(name)
+        parts.append(
+            li.select(c)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                (F.count(F.lit(1)) - F.count(c)).alias("n_null"),
+                F.countDistinct(c).alias("n_distinct"),
+                _render(F.min(c), kind).alias("min_repr"),
+                _render(F.max(c), kind).alias("max_repr"),
+            )
+            .select(
+                F.lit(name).alias("col_name"),
+                "n_rows",
+                "n_null",
+                "n_distinct",
+                "min_repr",
+                "max_repr",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("col_name")
+
+
+QUERIES["table_profile_lineitem"] = table_profile_lineitem
+
+
+def _sql_render(expr: str, kind: str) -> str:
+    if kind == "double":
+        return f"(({expr})::DECIMAL(28,6))::VARCHAR"
+    if kind == "ts":
+        return f"(({expr})::DATE)::VARCHAR"
+    return f"({expr})::VARCHAR"
+
+
+ORACLES["table_profile_lineitem"] = "\nUNION ALL\n".join(
+    f"""
+    SELECT '{name}' AS col_name,
+           count(*) AS n_rows,
+           count(*) - count({name}) AS n_null,
+           count(DISTINCT {name}) AS n_distinct,
+           {_sql_render(f"min({name})", kind)} AS min_repr,
+           {_sql_render(f"max({name})", kind)} AS max_repr
+    FROM lineitem
+    """
+    for name, kind in _PROFILE_COLS
+) + "\nORDER BY col_name"
+
+
+def customer_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer lifetime-value deciles: total spend per customer,
+    ntile(10) over a FULLY ordered ranking (spend + custkey tie-break,
+    engine-deterministic), then per-decile count / total / average /
+    spend bounds — the cut a marketing or capacity planner reads first.
+
+    Scale: one orders-scale aggregate to customer grain, one
+    customers-sized ntile window, 10-row output."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy(F.col("o_custkey").alias("c")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+        .cast("double")
+        .alias("rev_raw"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    base = per_cust.withColumn("rev", pround("rev_raw", 2))
+    dec = F.ntile(LTV_DECILES).over(Window.orderBy(F.col("rev"), F.col("c")))
+    return (
+        base.select("c", "rev", "n_orders", dec.alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("rev", 2).alias("total_rev"),
+            davg("rev", 2).alias("avg_rev"),
+            F.min("rev").alias("min_rev"),
+            F.max("rev").alias("max_rev"),
+            davg("n_orders", 4).alias("avg_orders"),
+        )
+        .orderBy("decile")
+    )
+
+
+QUERIES["customer_ltv_deciles"] = customer_ltv_deciles
+
+ORACLES["customer_ltv_deciles"] = f"""
+    WITH per_cust AS (
+      SELECT o_custkey AS c,
+             (sum((o_totalprice)::DECIMAL(28,6)))::DOUBLE AS rev_raw,
+             count(*) AS n_orders
+      FROM orders GROUP BY o_custkey
+    ),
+    base AS (
+      SELECT c, n_orders, {sql_pround('rev_raw', 2)} AS rev FROM per_cust
+    ),
+    scored AS (
+      SELECT rev, n_orders,
+             ntile({LTV_DECILES}) OVER (ORDER BY rev, c) AS decile
+      FROM base
+    )
+    SELECT decile, count(*) AS n_customers,
+           {sql_dsum('rev', 2)} AS total_rev,
+           {sql_davg('rev', 2)} AS avg_rev,
+           min(rev) AS min_rev,
+           max(rev) AS max_rev,
+           {sql_davg('n_orders', 4)} AS avg_orders
+    FROM scored GROUP BY decile ORDER BY decile
+"""
+
+FULFILL_PCTS = [("p50", 0.5), ("p90", 0.9), ("p99", 0.99)]
+
+
+def order_fulfillment_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact fulfillment-lag percentiles per order priority: days from
+    order date to the LAST lineitem ship date (order fully shipped),
+    p50/p90/p99 picked by integer rank (value at ``ceil(p*n)``) — the
+    SLA distribution behind order_priority_sla's pass/fail counts.
+
+    Scale: one lineitem max-aggregate to order grain, an equi-join back
+    to orders, one in-group sort per priority (the same shuffle an
+    exact percentile aggregate needs), priorities-sized output. Ranks
+    are integers and outputs raw day counts — no interpolation float."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    last_ship = li.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("last_ship")
+    )
+    j = orders.join(last_ship, orders.o_orderkey == F.col("l_orderkey")).select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.datediff(F.col("last_ship"), F.col("o_orderdate")).alias("lag_days"),
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("lag_days", "o_orderkey")
+    ranked = j.select(
+        "o_orderpriority",
+        "lag_days",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("o_orderpriority"))
+        .alias("n"),
+    )
+    aggs = [F.max("n").alias("n_orders")]
+    for label, p in FULFILL_PCTS:
+        # ceil(p * n) in DOUBLE on both engines (the oracle casts its
+        # literal: DuckDB would otherwise fold p as exact DECIMAL and
+        # disagree with the JVM double product at e.g. 0.9*10)
+        target = F.greatest(F.ceil(F.lit(p) * F.col("n")), F.lit(1))
+        aggs.append(
+            F.max(F.when(F.col("rn") == target, F.col("lag_days"))).alias(
+                label
+            )
+        )
+    return (
+        ranked.groupBy("o_orderpriority").agg(*aggs).orderBy("o_orderpriority")
+    )
+
+
+QUERIES["order_fulfillment_lag"] = order_fulfillment_lag
+
+_PCT_SELECTS = ",\n           ".join(
+    f"max(CASE WHEN rn = greatest(ceil(CAST({p} AS DOUBLE) * n), 1) "
+    f"THEN lag_days END) AS {label}"
+    for label, p in FULFILL_PCTS
+)
+ORACLES["order_fulfillment_lag"] = f"""
+    WITH lags AS (
+      SELECT o_orderpriority, o_orderkey,
+             datediff('day', o_orderdate, last_ship) AS lag_days
+      FROM orders
+      JOIN (SELECT l_orderkey, max(l_shipdate) AS last_ship
+            FROM lineitem GROUP BY l_orderkey) ls
+        ON o_orderkey = ls.l_orderkey
+    ),
+    ranked AS (
+      SELECT o_orderpriority, lag_days,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY lag_days, o_orderkey) AS rn,
+             count(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM lags
+    )
+    SELECT o_orderpriority,
+           max(n) AS n_orders,
+           {_PCT_SELECTS}
+    FROM ranked GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def orders_monthly_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority mix by month: count per (month, priority) and its
+    share of the month's total — the drift view next to q4's global
+    priority counts.
+
+    Scale: one orders-scale aggregate, then a months-sized window over
+    the months x priorities rollup. Shares are integer-ratio doubles
+    (identical division on both engines), floor-rounded to 6 dp."""
+    orders = load_table(spark, sf_dir, "orders")
+    month = F.to_date(F.date_trunc("month", "o_orderdate")).alias(
+        "order_month"
+    )
+    counts = orders.groupBy(month, "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    total = F.sum("n_orders").over(Window.partitionBy("order_month"))
+    return counts.select(
+        "order_month",
+        "o_orderpriority",
+        "n_orders",
+        pround(F.col("n_orders") / total, 6).alias("month_share"),
+    ).orderBy("order_month", "o_orderpriority")
+
+
+QUERIES["orders_monthly_share"] = orders_monthly_share
+
+ORACLES["orders_monthly_share"] = f"""
+    WITH counts AS (
+      SELECT date_trunc('month', o_orderdate)::DATE AS order_month,
+             o_orderpriority, count(*) AS n_orders
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT order_month, o_orderpriority, n_orders,
+           {sql_pround(
+               'n_orders::DOUBLE / (sum(n_orders) '
+               'OVER (PARTITION BY order_month))::DOUBLE', 6)} AS month_share
+    FROM counts ORDER BY order_month, o_orderpriority
+"""
+
+
+def customer_tenure_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer tenure cohorts: days between first and last order,
+    bucketed into {TENURE_BUCKET_DAYS}-day quarters, with per-bucket
+    customer count / average order count / tenure bounds — the
+    engagement-longevity histogram.
+
+    Scale: one orders-scale min/max aggregate to customer grain, then a
+    buckets-sized aggregate. Buckets are integer floor-division — no
+    float edges."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy(F.col("o_custkey").alias("c")).agg(
+        F.min("o_orderdate").alias("first_order"),
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    tenure = F.datediff("last_order", "first_order")
+    base = per_cust.select(
+        "c",
+        "n_orders",
+        tenure.alias("tenure_days"),
+        F.floor(tenure / TENURE_BUCKET_DAYS).alias("tenure_bucket"),
+    )
+    return (
+        base.groupBy("tenure_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            davg("n_orders", 4).alias("avg_orders"),
+            F.min("tenure_days").alias("min_tenure_days"),
+            F.max("tenure_days").alias("max_tenure_days"),
+        )
+        .orderBy("tenure_bucket")
+    )
+
+
+QUERIES["customer_tenure_histogram"] = customer_tenure_histogram
+
+ORACLES["customer_tenure_histogram"] = f"""
+    WITH per_cust AS (
+      SELECT o_custkey AS c,
+             datediff('day', min(o_orderdate), max(o_orderdate))
+               AS tenure_days,
+             count(*) AS n_orders
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT floor(tenure_days::DOUBLE / {TENURE_BUCKET_DAYS})::BIGINT
+             AS tenure_bucket,
+           count(*) AS n_customers,
+           {sql_davg('n_orders', 4)} AS avg_orders,
+           min(tenure_days) AS min_tenure_days,
+           max(tenure_days) AS max_tenure_days
+    FROM per_cust GROUP BY 1 ORDER BY tenure_bucket
+"""

@@ -21,6 +21,7 @@ from .operators import (
     alerts,
     behavior,
     bloom,
+    commerce,
     corpus,
     corpus_stats,
     curation,
@@ -46,6 +47,7 @@ from .operators import (
     trend,
     validation,
     vectorops,
+    warehouse,
 )
 from .ml import demand
 from .sources import generators, jsonfeed, protofeed
@@ -68,6 +70,8 @@ _MODULES = [
     behavior,
     quality,
     bloom,
+    warehouse,
+    commerce,
     # --- r01 cohort: newest driver evidence is CORRECTNESS_r01 ---
     hourly,
     headway,
@@ -146,6 +150,21 @@ _PROMOTED = [
     "doc_top_terms",
     "delay_drift_psi",
     "purchase_survival_km",
+    "table_profile_lineitem",
+    "customer_ltv_deciles",
+    "order_fulfillment_lag",
+    "orders_monthly_share",
+    "customer_tenure_histogram",
+    "route_delay_mad_outliers",
+    "attribution_last_touch",
+    "event_value_decay",
+    "inverted_index_sample",
+    "part_revenue_abc",
+    "basket_part_pairs",
+    "customer_order_gaps",
+    "supplier_concentration_hhi",
+    "sales_grouping_sets",
+    "dedup_normalized",
     # --- r01-stale cohort: newest driver evidence is CORRECTNESS_r01 ---
     "peak_hours_summary",
     "suggestions",

@@ -94,6 +94,29 @@ SHUFFLE_BUDGETS = {
     "doc_top_terms": 5,
     "delay_drift_psi": 7,
     "purchase_survival_km": 4,  # BNLJ is the 1-row max_ts broadcast
+    # round-5 second batch (measured cold-plan counts)
+    # 11 single-column branches x 2-phase exact-distinct aggregation;
+    # each branch's scan is pruned to ONE parquet column
+    "table_profile_lineitem": 22,
+    "customer_ltv_deciles": 2,
+    "order_fulfillment_lag": 3,
+    "orders_monthly_share": 3,
+    "customer_tenure_histogram": 3,
+    "route_delay_mad_outliers": 5,
+    "attribution_last_touch": 3,
+    # 1-row anchor agg + types-sized groupBy + output orderBy; only
+    # the groupBy is corpus-scale
+    "event_value_decay": 3,
+    "inverted_index_sample": 2,
+    # round-5 third batch (measured cold-plan counts); only ONE
+    # exchange in each is corpus-scale — the rest are entity-sized
+    # windows / output ranks
+    "part_revenue_abc": 2,
+    "basket_part_pairs": 2,  # collect_set + map-side pair expansion
+    "customer_order_gaps": 3,
+    "supplier_concentration_hhi": 3,
+    "sales_grouping_sets": 2,  # Expand(x4) + one aggregate
+    "dedup_normalized": 2,  # shared Expand(x2) over md5 hashes
 }
 
 
@@ -149,6 +172,9 @@ NO_NESTED_LOOP = [
     "session_concurrency_hourly",
     "delay_autocorrelation",
     "user_churn",
+    # round-5 third batch: the basket pair expansion must stay a
+    # map-side array comprehension, never an order-grain theta-join
+    "basket_part_pairs",
 ]
 
 

@@ -75,6 +75,13 @@ R5_HEADLINE = [
     "q21_waiting_suppliers",
     "exact_substring_spans",
     "session_concurrency_hourly",
+    # round-5 third/fourth batches: the global-ranking ABC window, the
+    # map-side basket pair expansion, the interval-explode backlog, and
+    # the quality/dup composite (two corpus windows + a doc-grain join)
+    "part_revenue_abc",
+    "basket_part_pairs",
+    "open_orders_monthly",
+    "dup_quality_bias",
 ]
 HEADLINE = R2_HEADLINE + R3_HEADLINE + R4_HEADLINE + R5_HEADLINE
 _R2_KEYS = frozenset(R2_HEADLINE)

@@ -187,7 +187,7 @@ def demand_model_leaderboard(
     """Model leaderboard on the RF's held-out time split: MAE of the
     RandomForest vs the two deterministic baselines (persistence =
     demand at the feature hour, seasonal-naive = demand 24 h before the
-    target hour) on the SAME evaluation rows — the comparison that
+    target hour) on the shared held-out hours — the comparison that
     decides whether the learned model earns its complexity
     (train_predict.py prints only the RF's own MAE; a baseline-beating
     check is the standard missing step). Rows-only: the RF column is

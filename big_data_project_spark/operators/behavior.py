@@ -1231,3 +1231,70 @@ ORACLES["event_value_decay"] = f"""
            {sql_pround('decayed_sum / raw_sum', 6)} AS retention_ratio
     FROM agg ORDER BY event_type
 """
+
+
+def user_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of user engagement: inequality of per-user
+    event counts via the exact rank formula
+    G = (2*sum(i*c_i) - (n+1)*sum(c)) / (n*sum(c)) with counts ranked
+    ascending (user_id tie-break — total order). The one-number answer
+    to "is activity concentrated in a few power users?" that DAU/WAU
+    curves hide.
+
+    Determinism: every term is integer until the single final division
+    — ranks and counts are exact, the i*c_i products fold through
+    DECIMAL(38,0) (headroom far beyond BIGINT's ~9e18 at 100 TB user
+    counts), and the quotient is rounded once.
+
+    Scale: one corpus-scale shuffle to user grain, then a |users|-sized
+    ranking window. The global rank is inherent to the statistic (like
+    any exact quantile); at extreme user counts the same plan
+    range-partitions the sort — only the window's single-partition
+    local-mode execution changes."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    i = F.row_number().over(Window.orderBy("c", "user_id"))
+    ranked = counts.select(
+        "c", i.cast("long").alias("i")
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("c").alias("total_events"),
+        F.sum((F.col("i") * F.col("c")).cast("decimal(38,0)")).alias(
+            "s_dec"
+        ),
+    )
+    n = F.col("n_users").cast("double")
+    t = F.col("total_events").cast("double")
+    s = F.col("s_dec").cast("double")
+    return agg.select(
+        "n_users",
+        "total_events",
+        pround((2 * s - (n + 1) * t) / (n * t), 6).alias("gini"),
+    )
+
+
+QUERIES["user_activity_gini"] = user_activity_gini
+
+ORACLES["user_activity_gini"] = f"""
+    WITH counts AS (
+      SELECT user_id, count(*)::BIGINT AS c
+      FROM events GROUP BY user_id
+    ),
+    ranked AS (
+      SELECT c, (row_number() OVER (ORDER BY c, user_id))::BIGINT AS i
+      FROM counts
+    ),
+    agg AS (
+      SELECT count(*)::BIGINT AS n_users,
+             (sum(c))::BIGINT AS total_events,
+             (sum((i * c)::DECIMAL(38,0)))::DOUBLE AS s
+      FROM ranked
+    )
+    SELECT n_users, total_events,
+           {sql_pround(
+               '(2 * s - (n_users + 1) * total_events::DOUBLE)'
+               ' / (n_users * total_events::DOUBLE)', 6
+           )} AS gini
+    FROM agg
+"""

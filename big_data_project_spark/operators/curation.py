@@ -27,7 +27,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table, load_table_spread
-from ..functions.portable import pround, sql_pround
+from ..functions.portable import davg, pround, sql_davg, sql_pround
 from .dedup import _SQL_NORM, _hash60, _norm, _shingle_arr, _sql_hash60
 from .textops import _sql_marker_score
 
@@ -640,3 +640,86 @@ ORACLES = {
         ORDER BY source, lang
     """,
 }
+
+
+def dup_quality_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Are duplicated documents lower quality? Exact-duplicate status
+    (md5(text) group size > 1 — the dedup_exact relation) crossed with
+    quality deciles (ntile over the quality_score output, doc_id
+    tie-break): per decile the doc count, duplicate count, duplicate
+    rate, and average quality. The curation diagnostic that decides
+    whether dedup and quality filtering are redundant or complementary
+    (near-duplicate boilerplate is typically low-quality, so a strong
+    bias here means dedup-first saves the quality pass work).
+
+    Scale: the dup flag is a corpus-scale window over the md5 hash
+    (hash-partitioned — no skew beyond the duplicate classes
+    themselves); the decile is a |docs|-sized ranking (exact ntile
+    needs the total order, like any exact quantile); one doc-grain
+    equi-join; deciles-sized output."""
+    from .textops import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    dup = docs.select(
+        "doc_id",
+        (
+            F.count(F.lit(1)).over(
+                Window.partitionBy(F.md5(F.col("text")))
+            )
+            > 1
+        )
+        .cast("int")
+        .alias("is_dup"),
+    )
+    q = quality_score(spark, sf_dir).select("doc_id", "quality")
+    decile = F.ntile(10).over(Window.orderBy("quality", "doc_id"))
+    scored = q.join(dup, "doc_id").select(
+        "quality", "is_dup", decile.alias("quality_decile")
+    )
+    return (
+        scored.groupBy("quality_decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("is_dup").alias("n_dup"),
+            pround(
+                F.sum("is_dup") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("dup_rate"),
+            davg("quality", 6).alias("avg_quality"),
+        )
+        .orderBy("quality_decile")
+    )
+
+
+QUERIES["dup_quality_bias"] = dup_quality_bias
+
+
+def _dup_quality_bias_oracle() -> str:
+    # composed from the quality_score oracle so the score definition
+    # stays single-source
+    from .textops import ORACLES as _TEXT_ORACLES
+
+    return f"""
+    WITH q AS ({_TEXT_ORACLES["quality_score"]}),
+    dup AS (
+      SELECT doc_id,
+             CASE WHEN count(*) OVER (PARTITION BY md5(text)) > 1
+                  THEN 1 ELSE 0 END AS is_dup
+      FROM documents
+    ),
+    scored AS (
+      SELECT q.quality, dup.is_dup,
+             ntile(10) OVER (ORDER BY q.quality, q.doc_id)
+               AS quality_decile
+      FROM q JOIN dup ON q.doc_id = dup.doc_id
+    )
+    SELECT quality_decile::INT AS quality_decile,
+           count(*)::BIGINT AS n_docs,
+           (sum(is_dup))::BIGINT AS n_dup,
+           {sql_pround("(sum(is_dup))::DOUBLE / count(*)", 6)}
+             AS dup_rate,
+           {sql_davg("quality", 6)} AS avg_quality
+    FROM scored GROUP BY quality_decile ORDER BY quality_decile
+    """
+
+
+ORACLES["dup_quality_bias"] = _dup_quality_bias_oracle()

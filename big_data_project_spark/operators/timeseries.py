@@ -659,3 +659,89 @@ ORACLES["delay_winsorized_mean"] = f"""
     GROUP BY r.route_id, b.n_values
     ORDER BY r.route_id
 """
+
+
+def seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-explained seasonality score per route: the fraction of
+    hourly-delay variance captured by the hour-of-day profile,
+    strength = SS_between / SS_total over the 24 hour-of-day buckets
+    (the ANOVA decomposition SS_total = SS_within + SS_between). This
+    is the scalar that decides whether delay_seasonal_profile's
+    adjustment is worth applying per route (Hyndman's seasonal-strength
+    measure, computed on the additive bucket decomposition).
+
+    Determinism: bucket moments (n, sum x, sum x^2) fold through
+    DECIMAL(28,6); the per-bucket quadratic terms sx^2/n are doubles
+    computed from identical inputs on both engines and re-folded
+    through DECIMAL(28,6) (cast never lands on a representable decimal
+    half-way), so the route combine is order-independent.
+
+    Scale: ONE consumption of the (route x hour)-sized hourly rollup;
+    the bucket and route aggregates are 24x|routes|- and
+    |routes|-sized."""
+    x = F.col("avg_delay_seconds")
+    base = delay_hourly(spark, sf_dir).filter(x.isNotNull())
+    buckets = base.groupBy(
+        "route_id", F.hour("hour_ts").alias("hod")
+    ).agg(
+        F.count(F.lit(1)).alias("n_b"),
+        F.sum(x.cast("decimal(28,6)")).cast("double").alias("sx"),
+        F.sum((x * x).cast("decimal(28,6)")).cast("double").alias("sxx"),
+    )
+    per_route = buckets.groupBy("route_id").agg(
+        F.sum("n_b").alias("n_hours"),
+        F.sum(F.col("sx").cast("decimal(28,6)")).cast("double").alias("SX"),
+        F.sum(F.col("sxx").cast("decimal(28,6)"))
+        .cast("double")
+        .alias("SXX"),
+        F.sum(
+            (F.col("sx") * F.col("sx") / F.col("n_b")).cast(
+                "decimal(28,6)"
+            )
+        )
+        .cast("double")
+        .alias("SWB"),
+    )
+    ss_total = F.col("SXX") - F.col("SX") * F.col("SX") / F.col("n_hours")
+    ss_between = F.col("SWB") - F.col("SX") * F.col("SX") / F.col("n_hours")
+    return per_route.select(
+        "route_id",
+        "n_hours",
+        pround(ss_total / F.col("n_hours"), 6).alias("route_var"),
+        F.when(ss_total > 0, pround(ss_between / ss_total, 6)).alias(
+            "strength"
+        ),
+    ).orderBy("route_id")
+
+
+QUERIES["seasonality_strength"] = seasonality_strength
+
+ORACLES["seasonality_strength"] = f"""
+    WITH d AS (
+      SELECT * FROM ({SQL_DELAY}) t WHERE avg_delay_seconds IS NOT NULL
+    ),
+    b AS (
+      SELECT route_id, hour(hour_ts) AS hod, count(*) AS n_b,
+             (sum((avg_delay_seconds)::DECIMAL(28,6)))::DOUBLE AS sx,
+             (sum((avg_delay_seconds * avg_delay_seconds)
+                  ::DECIMAL(28,6)))::DOUBLE AS sxx
+      FROM d GROUP BY route_id, hour(hour_ts)
+    ),
+    r AS (
+      SELECT route_id, (sum(n_b))::BIGINT AS n_hours,
+             (sum((sx)::DECIMAL(28,6)))::DOUBLE AS sx_r,
+             (sum((sxx)::DECIMAL(28,6)))::DOUBLE AS sxx_r,
+             (sum((sx * sx / n_b)::DECIMAL(28,6)))::DOUBLE AS swb_r
+      FROM b GROUP BY route_id
+    )
+    SELECT route_id, n_hours,
+           {sql_pround(
+               '(sxx_r - sx_r * sx_r / n_hours) / n_hours', 6
+           )} AS route_var,
+           CASE WHEN sxx_r - sx_r * sx_r / n_hours > 0 THEN
+             {sql_pround(
+                 '(swb_r - sx_r * sx_r / n_hours)'
+                 ' / (sxx_r - sx_r * sx_r / n_hours)', 6
+             )} END AS strength
+    FROM r ORDER BY route_id
+"""

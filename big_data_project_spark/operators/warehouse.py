@@ -369,3 +369,85 @@ ORACLES["customer_tenure_histogram"] = f"""
            max(tenure_days) AS max_tenure_days
     FROM per_cust GROUP BY 1 ORDER BY tenure_bucket
 """
+
+
+def open_orders_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly open-order backlog: for every order month between the
+    order date and its LAST lineitem ship date (inclusive, month
+    grain), the order counts as in-flight; the report gives per-month
+    backlog plus opened/closed flows — the interval-aggregation class
+    (a point-in-time count over validity ranges) that a naive
+    month-equality groupBy cannot express.
+
+    Re-expression: each order explodes into its covered month spine
+    (``sequence(start_month, end_month, interval 1 month)``) and the
+    backlog is a plain equi-groupBy on the covered month — the same
+    explode-to-covered-range rewrite that replaced dau_rolling_wau's
+    nested-loop join; fan-out is bounded by the order lifetime
+    (months, single digits in this schema). Orders with no lineitems
+    (none in the generated data) would drop out of the inner join.
+
+    Scale: one lineitem-scale max-aggregate to order grain, one
+    order-grain equi-join, map-side explode, months-sized aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    last_ship = li.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("last_ship")
+    )
+    spans = o.join(
+        last_ship, o.o_orderkey == F.col("l_orderkey")
+    ).select(
+        F.to_date(F.date_trunc("month", "o_orderdate")).alias("m_start"),
+        F.to_date(F.date_trunc("month", "last_ship")).alias("m_end"),
+    )
+    covered = spans.select(
+        "m_start",
+        "m_end",
+        F.explode(
+            F.expr(
+                "sequence(m_start, greatest(m_start, m_end),"
+                " interval 1 month)"
+            )
+        ).alias("month"),
+    )
+    return (
+        covered.groupBy("month")
+        .agg(
+            F.count(F.lit(1)).alias("n_open"),
+            F.sum(
+                F.when(F.col("month") == F.col("m_start"), 1).otherwise(0)
+            ).alias("n_opened"),
+            F.sum(
+                F.when(
+                    F.col("month") == F.greatest("m_start", "m_end"), 1
+                ).otherwise(0)
+            ).alias("n_closed"),
+        )
+        .orderBy("month")
+    )
+
+
+QUERIES["open_orders_monthly"] = open_orders_monthly
+
+ORACLES["open_orders_monthly"] = """
+    WITH spans AS (
+      SELECT (date_trunc('month', o_orderdate))::DATE AS m_start,
+             (date_trunc('month', max(l_shipdate)))::DATE AS m_end
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY o_orderkey, o_orderdate
+    ),
+    covered AS (
+      SELECT m_start, m_end,
+             (unnest(generate_series(
+               m_start, greatest(m_start, m_end),
+               INTERVAL 1 MONTH)))::DATE AS month
+      FROM spans
+    )
+    SELECT month,
+           count(*)::BIGINT AS n_open,
+           (sum(CASE WHEN month = m_start THEN 1 ELSE 0 END))::BIGINT
+             AS n_opened,
+           (sum(CASE WHEN month = greatest(m_start, m_end) THEN 1
+                     ELSE 0 END))::BIGINT AS n_closed
+    FROM covered GROUP BY month ORDER BY month
+"""

@@ -165,6 +165,10 @@ _PROMOTED = [
     "supplier_concentration_hhi",
     "sales_grouping_sets",
     "dedup_normalized",
+    "seasonality_strength",
+    "user_activity_gini",
+    "open_orders_monthly",
+    "dup_quality_bias",
     # --- r01-stale cohort: newest driver evidence is CORRECTNESS_r01 ---
     "peak_hours_summary",
     "suggestions",

@@ -117,6 +117,12 @@ SHUFFLE_BUDGETS = {
     "supplier_concentration_hhi": 3,
     "sales_grouping_sets": 2,  # Expand(x4) + one aggregate
     "dedup_normalized": 2,  # shared Expand(x2) over md5 hashes
+    # round-5 fourth batch (measured cold-plan counts)
+    # includes the cold delay_hourly rollup build it consumes
+    "seasonality_strength": 5,
+    "user_activity_gini": 2,
+    "open_orders_monthly": 3,
+    "dup_quality_bias": 3,
 }
 
 

@@ -284,6 +284,90 @@ def session_concurrency_hourly() -> pd.DataFrame:
     )
 
 
+def part_revenue_abc() -> pd.DataFrame:
+    """ABC classification the pandas way: one groupby, a sort, a
+    cumulative sum, vectorized class cuts (the reference best case —
+    no row loop)."""
+    li = _read("lineitem")
+    units = (
+        (li["l_extendedprice"] * (1 - li["l_discount"]) * 10000 + 0.5)
+        .astype("int64")
+        .groupby(li["l_partkey"])
+        .sum()
+        .sort_values(ascending=False, kind="mergesort")
+    )
+    run = units.cumsum()
+    total = int(units.sum())
+    cls = pd.Series("C", index=units.index)
+    cls[run * 100 <= total * 95] = "B"
+    cls[run * 100 <= total * 80] = "A"
+    g = units.groupby(cls)
+    return pd.DataFrame(
+        {
+            "n_parts": g.size(),
+            "revenue": (g.sum() / 10000.0).round(2),
+            "revenue_share": (g.sum() / total).round(6),
+        }
+    ).reset_index()
+
+
+def basket_part_pairs() -> pd.DataFrame:
+    """Market-basket pair counting with a per-order Python loop over
+    itertools combinations — exactly how a pandas script mines pairs
+    (the nested-loop idiom the Spark array expansion replaces)."""
+    import itertools
+
+    li = _read("lineitem")
+    part = _read("part")[["p_partkey", "p_brand"]]
+    j = li.merge(part, left_on="l_partkey", right_on="p_partkey")
+    support: dict = {}
+    for _, brands in j.groupby("l_orderkey")["p_brand"]:
+        for a, b in itertools.combinations(sorted(set(brands)), 2):
+            support[(a, b)] = support.get((a, b), 0) + 1
+    top = sorted(support.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    return pd.DataFrame(
+        [
+            {"brand_a": a, "brand_b": b, "n_orders": n, "pair_rank": i + 1}
+            for i, ((a, b), n) in enumerate(top)
+        ]
+    )
+
+
+def open_orders_monthly() -> pd.DataFrame:
+    """Monthly backlog via a per-order Python loop over the covered
+    month range (the pandas interval-aggregation idiom)."""
+    o = _read("orders")
+    li = _read("lineitem")
+    last = li.groupby("l_orderkey")["l_shipdate"].max()
+    spans = o.set_index("o_orderkey").join(last.rename("last_ship"), how="inner")
+    counts: dict = {}
+    opened: dict = {}
+    closed: dict = {}
+    for start, end in zip(
+        spans["o_orderdate"].dt.to_period("M"),
+        spans["last_ship"].dt.to_period("M"),
+    ):
+        if end < start:
+            end = start
+        opened[start] = opened.get(start, 0) + 1
+        closed[end] = closed.get(end, 0) + 1
+        m = start
+        while m <= end:
+            counts[m] = counts.get(m, 0) + 1
+            m += 1
+    return pd.DataFrame(
+        [
+            {
+                "month": m.to_timestamp(),
+                "n_open": n,
+                "n_opened": opened.get(m, 0),
+                "n_closed": closed.get(m, 0),
+            }
+            for m, n in sorted(counts.items())
+        ]
+    )
+
+
 def main() -> None:
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
@@ -308,6 +392,9 @@ def main() -> None:
     timed("q21_waiting_suppliers", q21_waiting_suppliers)
     timed("exact_substring_spans", exact_substring_spans)
     timed("session_concurrency_hourly", session_concurrency_hourly)
+    timed("part_revenue_abc", part_revenue_abc)
+    timed("basket_part_pairs", basket_part_pairs)
+    timed("open_orders_monthly", open_orders_monthly)
 
     print(json.dumps({"sf_dir": SF_DIR, "queries": timings, "rows": rows}))
 

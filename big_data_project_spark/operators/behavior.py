@@ -1298,3 +1298,118 @@ ORACLES["user_activity_gini"] = f"""
            )} AS gini
     FROM agg
 """
+
+
+def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch purchase attribution: each purchase's value
+    is split EQUALLY across the distinct-position non-purchase touches
+    in its journey (the events since the user's previous purchase,
+    strict event-time order, event_id tie-break); purchases with no
+    preceding touch credit 'direct'. The multi-touch companion to
+    attribution_last_touch — same stream, different credit rule.
+
+    Journeys are derived without a self-join: a running count of
+    PRIOR purchase rows per user segments the stream, so each journey
+    holds at most one purchase (a purchase closes its own journey).
+
+    Determinism: per-touch credit value/n is a double from identical
+    inputs; channel sums fold through DECIMAL(28,6).
+
+    Scale: one user_id window exchange, one (user, journey)-grain
+    equi-join of touches to journey purchase values, channels-sized
+    output."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_p = (F.col("event_type") == "purchase").cast("int")
+    seg = ev.select(
+        "user_id",
+        "event_type",
+        "value",
+        F.coalesce(F.sum(is_p).over(w), F.lit(0)).alias("journey"),
+    )
+    purchases = seg.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "journey",
+        F.col("value").alias("purchase_value"),
+    )
+    touches = seg.filter(F.col("event_type") != "purchase").select(
+        "user_id", "journey", F.col("event_type").alias("channel")
+    )
+    n_t = F.count(F.lit(1)).over(
+        Window.partitionBy("user_id", "journey")
+    )
+    credited = touches.select(
+        "user_id", "journey", "channel", n_t.alias("n_touches")
+    ).join(purchases, ["user_id", "journey"])
+    direct = purchases.join(
+        touches.select("user_id", "journey").distinct(),
+        ["user_id", "journey"],
+        "left_anti",
+    ).select(
+        F.lit("direct").alias("channel"),
+        F.lit(1).alias("n_touches"),
+        "purchase_value",
+    )
+    credit = F.col("purchase_value") / F.col("n_touches")
+    return (
+        credited.select("channel", "n_touches", "purchase_value")
+        .unionByName(direct)
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_credits"),
+            F.sum(credit.cast("decimal(28,6)"))
+            .cast("double")
+            .alias("cred_raw"),
+        )
+        .select(
+            "channel",
+            "n_credits",
+            pround(F.col("cred_raw"), 2).alias("attributed_value"),
+        )
+        .orderBy("channel")
+    )
+
+
+QUERIES["attribution_linear"] = attribution_linear
+
+ORACLES["attribution_linear"] = f"""
+    WITH seg AS (
+      SELECT user_id, event_type, value,
+             coalesce(sum(CASE WHEN event_type = 'purchase'
+                               THEN 1 ELSE 0 END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0)::BIGINT AS journey
+      FROM events
+    ),
+    purchases AS (
+      SELECT user_id, journey, value AS purchase_value
+      FROM seg WHERE event_type = 'purchase'
+    ),
+    touches AS (
+      SELECT user_id, journey, event_type AS channel,
+             (count(*) OVER (PARTITION BY user_id, journey))::BIGINT
+               AS n_touches
+      FROM seg WHERE event_type <> 'purchase'
+    ),
+    credited AS (
+      SELECT t.channel, t.n_touches, p.purchase_value
+      FROM touches t JOIN purchases p USING (user_id, journey)
+      UNION ALL
+      SELECT 'direct', 1, p.purchase_value
+      FROM purchases p
+      WHERE NOT EXISTS (
+        SELECT 1 FROM touches t
+        WHERE t.user_id = p.user_id AND t.journey = p.journey)
+    )
+    SELECT channel, count(*)::BIGINT AS n_credits,
+           {sql_pround(
+               "(sum((purchase_value / n_touches)::DECIMAL(28,6)))"
+               "::DOUBLE", 2
+           )} AS attributed_value
+    FROM credited GROUP BY channel ORDER BY channel
+"""

@@ -451,3 +451,94 @@ ORACLES["open_orders_monthly"] = """
                      ELSE 0 END))::BIGINT AS n_closed
     FROM covered GROUP BY month ORDER BY month
 """
+
+
+def cohort_ltv_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value triangle: customers grouped by
+    first-order month, each cohort's revenue tracked by age (months
+    since cohort start), with active-customer counts and the running
+    cumulative revenue per cohort — the retention-economics table
+    (cohort x age triangle) every subscription/commerce review reads.
+
+    Determinism: month age is exact integer arithmetic
+    (year*12 + month differences — no date subtraction semantics to
+    align), revenue folds through DECIMAL(28,6), and the cumulative
+    sum re-folds the per-cell doubles through DECIMAL(28,6) over the
+    (cohorts x ages)-sized triangle.
+
+    Scale: one orders-scale min-aggregate to customer grain, one
+    customer-grain equi-join back to orders, a (cohorts x ages)
+    aggregate, triangle-sized windows."""
+    o = load_table(spark, sf_dir, "orders")
+    first = o.groupBy("o_custkey").agg(
+        F.min(F.to_date(F.date_trunc("month", "o_orderdate"))).alias(
+            "cohort_month"
+        )
+    )
+    mnum = lambda c: F.year(c) * 12 + F.month(c)  # noqa: E731
+    cells = (
+        o.join(first, "o_custkey")
+        .select(
+            "o_custkey",
+            "cohort_month",
+            (
+                mnum(F.col("o_orderdate")) - mnum(F.col("cohort_month"))
+            ).alias("age_months"),
+            "o_totalprice",
+        )
+        .groupBy("cohort_month", "age_months")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("rev_raw"),
+        )
+    )
+    w_cum = (
+        Window.partitionBy("cohort_month")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return cells.select(
+        "cohort_month",
+        "age_months",
+        "n_customers",
+        pround(F.col("rev_raw"), 2).alias("revenue"),
+        pround(
+            F.sum(F.col("rev_raw").cast("decimal(28,6)"))
+            .over(w_cum)
+            .cast("double"),
+            2,
+        ).alias("cum_revenue"),
+    ).orderBy("cohort_month", "age_months")
+
+
+QUERIES["cohort_ltv_triangle"] = cohort_ltv_triangle
+
+ORACLES["cohort_ltv_triangle"] = f"""
+    WITH first AS (
+      SELECT o_custkey,
+             min((date_trunc('month', o_orderdate))::DATE)
+               AS cohort_month
+      FROM orders GROUP BY o_custkey
+    ),
+    cells AS (
+      SELECT cohort_month,
+             (year(o_orderdate)*12 + month(o_orderdate))
+               - (year(cohort_month)*12 + month(cohort_month))
+               AS age_months,
+             count(DISTINCT o.o_custkey)::BIGINT AS n_customers,
+             (sum((o_totalprice)::DECIMAL(28,6)))::DOUBLE AS rev_raw
+      FROM orders o JOIN first f ON o.o_custkey = f.o_custkey
+      GROUP BY cohort_month, 2
+    )
+    SELECT cohort_month, age_months, n_customers,
+           {sql_pround("rev_raw", 2)} AS revenue,
+           {sql_pround(
+               "(sum((rev_raw)::DECIMAL(28,6)) OVER ("
+               "PARTITION BY cohort_month ORDER BY age_months "
+               "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))"
+               "::DOUBLE", 2
+           )} AS cum_revenue
+    FROM cells ORDER BY cohort_month, age_months
+"""

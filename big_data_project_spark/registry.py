@@ -169,6 +169,8 @@ _PROMOTED = [
     "user_activity_gini",
     "open_orders_monthly",
     "dup_quality_bias",
+    "attribution_linear",
+    "cohort_ltv_triangle",
     # --- r01-stale cohort: newest driver evidence is CORRECTNESS_r01 ---
     "peak_hours_summary",
     "suggestions",

@@ -123,6 +123,10 @@ SHUFFLE_BUDGETS = {
     "user_activity_gini": 2,
     "open_orders_monthly": 3,
     "dup_quality_bias": 3,
+    # round-5 fifth batch: journey segmentation reuses the user_id
+    # exchange; touch/purchase/anti branches re-key on (user, journey)
+    "attribution_linear": 6,
+    "cohort_ltv_triangle": 5,
 }
 
 

@@ -808,3 +808,140 @@ ORACLES = {
         ORDER BY band_idx
     """,
 }
+
+
+CONTAIN_TAU = 0.8  # containment threshold for the subset class
+
+
+def doc_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup detection: LSH candidate pairs where the
+    SMALLER document's shingle set is largely CONTAINED in the larger's
+    (containment = |A∩B| / min(|A|,|B|) >= 0.8), with
+    ``jaccard_missed`` flagging the pairs whose symmetric Jaccard stays
+    below TAU — the quote/excerpt/boilerplate-subset class a
+    Jaccard-thresholded dedup misses by construction (Broder's
+    containment vs resemblance distinction; this corpus's near-dups are
+    whole-document, so the flag is the monitoring bit that lights up
+    when excerpts appear). ``contained_id`` names the smaller
+    (engulfed) document, a_id on ties.
+
+    Scale: identical cost profile to dedup_minhash_lsh — the banded
+    candidate join bounds the pair set, the intersect runs in-row on
+    the per-doc hash arrays; only the report predicate differs. (LSH
+    banding recalls high-containment/low-Jaccard pairs only when the
+    MinHash signatures still collide in >= 1 band; like
+    dedup_threshold_sweep, the population is the candidate set and the
+    operator characterizes the boundary, not exhaustive subset pairs.)
+    """
+    docs_arr, bands = _band_relation(spark, sf_dir)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .distinct()
+    )
+    za = docs_arr.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("hs").alias("hs_a"),
+        F.size("hs").alias("na"),
+    )
+    zb = docs_arr.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("hs").alias("hs_b"),
+        F.size("hs").alias("nb"),
+    )
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    scored = (
+        cand.join(za, "a_id")
+        .join(zb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            "na",
+            "nb",
+            inter.alias("i"),
+        )
+        .select(
+            "a_id",
+            "b_id",
+            (
+                F.col("i").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("i"))
+            ).alias("jaccard"),
+            (
+                F.col("i").cast("double") / F.least("na", "nb")
+            ).alias("containment"),
+            F.when(F.col("na") <= F.col("nb"), F.col("a_id"))
+            .otherwise(F.col("b_id"))
+            .alias("contained_id"),
+        )
+    )
+    return (
+        scored.filter(F.col("containment") >= CONTAIN_TAU)
+        .select(
+            "a_id",
+            "b_id",
+            F.round("jaccard", 6).alias("jaccard"),
+            F.round("containment", 6).alias("containment"),
+            "contained_id",
+            (F.col("jaccard") < TAU).cast("int").alias("jaccard_missed"),
+        )
+        .orderBy("a_id", "b_id")
+    )
+
+
+QUERIES["doc_shingle_containment"] = doc_shingle_containment
+
+_SQL_CONTAINMENT = f"""
+    WITH hashed AS ({_SQL_SHINGLE_HASHES.format(h=_sql_hash60("sh"))}),
+    mh AS (
+      SELECT doc_id,
+           {_SQL_MINHASH_AGGS}
+      FROM hashed GROUP BY doc_id
+    ),
+    bands AS (
+{_SQL_BANDS}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM bands a
+      JOIN bands b ON a.band_idx = b.band_idx
+                  AND a.band_val = b.band_val
+                  AND a.doc_id < b.doc_id
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM hashed GROUP BY doc_id),
+    inter AS (
+      SELECT c.a_id, c.b_id, count(*) AS i
+      FROM cand c
+      JOIN hashed a ON a.doc_id = c.a_id
+      JOIN hashed b ON b.doc_id = c.b_id AND b.h31 = a.h31
+      GROUP BY c.a_id, c.b_id
+    ),
+    scored AS (
+      SELECT i.a_id, i.b_id,
+             CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) AS jaccard,
+             CAST(i.i AS DOUBLE) / least(sa.n, sb.n) AS containment,
+             CASE WHEN sa.n <= sb.n THEN i.a_id ELSE i.b_id END
+               AS contained_id
+      FROM inter i
+      JOIN sz sa ON sa.doc_id = i.a_id
+      JOIN sz sb ON sb.doc_id = i.b_id
+    )
+    SELECT a_id, b_id, round(jaccard, 6) AS jaccard,
+           round(containment, 6) AS containment, contained_id,
+           (CASE WHEN jaccard < {TAU} THEN 1 ELSE 0 END)::INT
+             AS jaccard_missed
+    FROM scored
+    WHERE containment >= {CONTAIN_TAU}
+    ORDER BY a_id, b_id
+"""
+
+ORACLES["doc_shingle_containment"] = _SQL_CONTAINMENT

@@ -643,3 +643,96 @@ ORACLES["order_priority_sla"] = f"""
     GROUP BY date_trunc('month', o_orderdate), o_orderpriority
     ORDER BY order_month, o_orderpriority
 """
+
+
+def lineitem_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row column/domain-constraint audit over lineitem — the CHECK
+    constraints the reference's Postgres schema would enforce at write
+    time (initdb/init-postgis.sql column domains), expressed as a scan:
+    non-positive quantity/price, discount outside [0, 0.10], tax
+    outside [0, 0.08], return-flag / line-status outside their enums,
+    NULL keys, and the one CROSS-TABLE temporal rule — lineitems that
+    ship BEFORE their order date (which the generated feed actually
+    violates: the audit proves its worth by finding them).
+
+    Scale: one pass of conditional sums over lineitem plus one
+    order-grain equi-join for the temporal rule; output is one row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+
+    def _viol(cond, name):
+        return F.sum(F.when(cond, 1).otherwise(0)).alias(name)
+
+    base = li.agg(
+        F.count(F.lit(1)).alias("n_lineitems"),
+        _viol(F.col("l_quantity") <= 0, "qty_nonpositive"),
+        _viol(F.col("l_extendedprice") <= 0, "price_nonpositive"),
+        _viol(
+            (F.col("l_discount") < 0) | (F.col("l_discount") > 0.10),
+            "discount_out_of_range",
+        ),
+        _viol(
+            (F.col("l_tax") < 0) | (F.col("l_tax") > 0.08),
+            "tax_out_of_range",
+        ),
+        _viol(
+            ~F.col("l_returnflag").isin("A", "N", "R")
+            | F.col("l_returnflag").isNull(),
+            "returnflag_out_of_domain",
+        ),
+        _viol(
+            ~F.col("l_linestatus").isin("O", "F")
+            | F.col("l_linestatus").isNull(),
+            "linestatus_out_of_domain",
+        ),
+        _viol(
+            F.col("l_orderkey").isNull()
+            | F.col("l_partkey").isNull()
+            | F.col("l_suppkey").isNull(),
+            "null_keys",
+        ),
+    )
+    temporal = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .agg(
+            _viol(
+                F.col("l_shipdate") < F.col("o_orderdate"),
+                "ship_before_order",
+            )
+        )
+    )
+    return base.crossJoin(F.broadcast(temporal))
+
+
+QUERIES["lineitem_constraint_audit"] = lineitem_constraint_audit
+
+ORACLES["lineitem_constraint_audit"] = """
+    SELECT
+      (SELECT count(*) FROM lineitem)::BIGINT AS n_lineitems,
+      (SELECT (sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END))::BIGINT
+       FROM lineitem) AS qty_nonpositive,
+      (SELECT (sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0
+                   END))::BIGINT
+       FROM lineitem) AS price_nonpositive,
+      (SELECT (sum(CASE WHEN l_discount < 0 OR l_discount > 0.10
+                        THEN 1 ELSE 0 END))::BIGINT
+       FROM lineitem) AS discount_out_of_range,
+      (SELECT (sum(CASE WHEN l_tax < 0 OR l_tax > 0.08
+                        THEN 1 ELSE 0 END))::BIGINT
+       FROM lineitem) AS tax_out_of_range,
+      (SELECT (sum(CASE WHEN l_returnflag NOT IN ('A','N','R')
+                        OR l_returnflag IS NULL
+                        THEN 1 ELSE 0 END))::BIGINT
+       FROM lineitem) AS returnflag_out_of_domain,
+      (SELECT (sum(CASE WHEN l_linestatus NOT IN ('O','F')
+                        OR l_linestatus IS NULL
+                        THEN 1 ELSE 0 END))::BIGINT
+       FROM lineitem) AS linestatus_out_of_domain,
+      (SELECT (sum(CASE WHEN l_orderkey IS NULL OR l_partkey IS NULL
+                        OR l_suppkey IS NULL THEN 1 ELSE 0 END))::BIGINT
+       FROM lineitem) AS null_keys,
+      (SELECT (sum(CASE WHEN l_shipdate < o_orderdate
+                        THEN 1 ELSE 0 END))::BIGINT
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        AS ship_before_order
+"""

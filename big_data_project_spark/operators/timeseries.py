@@ -745,3 +745,61 @@ ORACLES["seasonality_strength"] = f"""
              )} END AS strength
     FROM r ORDER BY route_id
 """
+
+
+def delay_anomaly_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-anomaly runs per route (gaps-and-islands): the
+    anomalous hours from delay_anomaly_hours grouped into maximal runs
+    of CONSECUTIVE hours via the hour-index-minus-row-number island
+    key — a 3-hour sustained excursion is an incident, three isolated
+    spikes are noise, and the hourly table can't tell them apart.
+    Output: one row per run with its span, length, and peak |z|.
+
+    Scale: the runs computation is entirely on the (already
+    route/hour-sized, anomaly-filtered) output of the z-score pass —
+    one route-partitioned window + one island aggregate. No new scan
+    of the fact table."""
+    anom = delay_anomaly_hours(spark, sf_dir)
+    rn = F.row_number().over(
+        Window.partitionBy("route_id").orderBy("hour_ts")
+    )
+    hour_idx = F.expr("unix_timestamp(hour_ts) div 3600")
+    islands = anom.select(
+        "route_id",
+        "hour_ts",
+        F.abs(F.col("z_score")).alias("abs_z"),
+        (hour_idx - rn).alias("island"),
+    )
+    return (
+        islands.groupBy("route_id", "island")
+        .agg(
+            F.min("hour_ts").alias("run_start"),
+            F.max("hour_ts").alias("run_end"),
+            F.count(F.lit(1)).alias("run_hours"),
+            pround(F.max("abs_z"), 4).alias("peak_abs_z"),
+        )
+        .drop("island")
+        .orderBy("route_id", "run_start")
+    )
+
+
+QUERIES["delay_anomaly_runs"] = delay_anomaly_runs
+
+ORACLES["delay_anomaly_runs"] = f"""
+    WITH anom AS ({ORACLES["delay_anomaly_hours"]}),
+    islands AS (
+      SELECT route_id, hour_ts, abs(z_score) AS abs_z,
+             (epoch(hour_ts)::BIGINT // 3600)
+               - row_number() OVER (PARTITION BY route_id
+                                    ORDER BY hour_ts) AS island
+      FROM anom
+    )
+    SELECT route_id,
+           min(hour_ts) AS run_start,
+           max(hour_ts) AS run_end,
+           count(*)::BIGINT AS run_hours,
+           {sql_pround("max(abs_z)", 4)} AS peak_abs_z
+    FROM islands
+    GROUP BY route_id, island
+    ORDER BY route_id, run_start
+"""

@@ -1127,3 +1127,116 @@ ORACLES["route_delay_mad_outliers"] = f"""
     GROUP BY dev.route_id
     ORDER BY route_id
 """
+
+
+STL_MA_HALF = 6  # centered moving-average half-width (13-term window)
+
+
+def revenue_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of monthly order revenue:
+    trend = 13-term centered moving average (full-window months only),
+    seasonal = month-of-year mean of the detrended series, residual =
+    what's left. The STL-style read (trend vs seasonality vs noise) a
+    naive month-over-month delta conflates.
+
+    Determinism: monthly revenue folds to exact BIGINT cents
+    (floor(x*100+0.5) — o_totalprice is 2-dp), so the moving-average
+    window is an exact integer sum on both engines (DuckDB's windowed
+    HUGEINT cast back); detrended values are doubles from identical
+    inputs, and the seasonal means re-fold them through DECIMAL(28,6).
+
+    Scale: one corpus-scale aggregate to month grain; every window and
+    join after it runs on the months spine (|months| ~ 10^2 rows by
+    construction — a spine, not a corpus)."""
+    from ..catalog import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.to_date(F.date_trunc("month", "o_orderdate")).alias("month")
+    ).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                "long"
+            )
+        ).alias("rev_cents")
+    )
+    w = Window.orderBy("month").rowsBetween(-STL_MA_HALF, STL_MA_HALF)
+    with_trend = monthly.select(
+        "month",
+        "rev_cents",
+        F.when(
+            F.count(F.lit(1)).over(w) == 2 * STL_MA_HALF + 1,
+            F.sum("rev_cents").over(w)
+            / F.lit(100.0 * (2 * STL_MA_HALF + 1)),
+        ).alias("trend"),
+    ).withColumn(
+        "detrended", F.col("rev_cents") / F.lit(100.0) - F.col("trend")
+    )
+    seasonal = (
+        with_trend.filter(F.col("trend").isNotNull())
+        .groupBy(F.month("month").alias("moy"))
+        .agg(
+            F.sum(F.col("detrended").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("sd"),
+            F.count(F.lit(1)).alias("nd"),
+        )
+        .select("moy", (F.col("sd") / F.col("nd")).alias("seasonal_raw"))
+    )
+    return (
+        with_trend.join(
+            F.broadcast(seasonal),
+            F.month("month") == F.col("moy"),
+            "left",
+        )
+        .select(
+            "month",
+            pround(F.col("rev_cents") / F.lit(100.0), 2).alias("revenue"),
+            pround(F.col("trend"), 2).alias("trend"),
+            pround(F.col("seasonal_raw"), 2).alias("seasonal"),
+            pround(
+                F.col("detrended") - F.col("seasonal_raw"), 2
+            ).alias("residual"),
+        )
+        .orderBy("month")
+    )
+
+
+QUERIES["revenue_stl_decompose"] = revenue_stl_decompose
+
+ORACLES["revenue_stl_decompose"] = f"""
+    WITH monthly AS (
+      SELECT (date_trunc('month', o_orderdate))::DATE AS month,
+             (sum((floor(o_totalprice * 100 + 0.5))::BIGINT))::BIGINT
+               AS rev_cents
+      FROM orders GROUP BY 1
+    ),
+    t AS (
+      SELECT month, rev_cents,
+             CASE WHEN count(*) OVER w = {2 * STL_MA_HALF + 1} THEN
+               (sum(rev_cents) OVER w)::DOUBLE
+                 / {100.0 * (2 * STL_MA_HALF + 1)}
+             END AS trend
+      FROM monthly
+      WINDOW w AS (ORDER BY month
+                   ROWS BETWEEN {STL_MA_HALF} PRECEDING
+                   AND {STL_MA_HALF} FOLLOWING)
+    ),
+    d AS (
+      SELECT *, rev_cents / 100.0 - trend AS detrended FROM t
+    ),
+    seas AS (
+      SELECT month(month) AS moy,
+             (sum((detrended)::DECIMAL(28,6)))::DOUBLE / count(*)
+               AS seasonal_raw
+      FROM d WHERE trend IS NOT NULL GROUP BY 1
+    )
+    SELECT d.month,
+           {sql_pround("d.rev_cents / 100.0", 2)} AS revenue,
+           {sql_pround("d.trend", 2)} AS trend,
+           {sql_pround("seas.seasonal_raw", 2)} AS seasonal,
+           {sql_pround("d.detrended - seas.seasonal_raw", 2)}
+             AS residual
+    FROM d LEFT JOIN seas ON month(d.month) = seas.moy
+    ORDER BY d.month
+"""

@@ -171,6 +171,10 @@ _PROMOTED = [
     "dup_quality_bias",
     "attribution_linear",
     "cohort_ltv_triangle",
+    "revenue_stl_decompose",
+    "lineitem_constraint_audit",
+    "doc_shingle_containment",
+    "delay_anomaly_runs",
     # --- r01-stale cohort: newest driver evidence is CORRECTNESS_r01 ---
     "peak_hours_summary",
     "suggestions",

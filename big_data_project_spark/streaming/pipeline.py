@@ -872,6 +872,93 @@ def materialize_hourly(
     q.awaitTermination()
 
 
+_ATTRIB_OUT = StructType(
+    [
+        StructField("attributed_type", StringType()),
+        StructField("n_purchases", LongType()),
+        StructField("value_sum", DoubleType()),
+    ]
+)
+
+# last non-purchase touch per user plus the event-time cursor —
+# O(1) state, sharded on user_id like the funnel/transition twins
+_ATTRIB_STATE = StructType(
+    [
+        StructField("last_ts", LongType()),
+        StructField("last_event_id", LongType()),
+        StructField("last_touch", StringType()),
+    ]
+)
+
+
+def _attrib_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user last-touch attributor: replays the batch's events in
+    event-time order (event_id tie-break); every purchase is credited
+    to the last non-purchase event type seen so far ('direct' if none),
+    and only the (channel, count, value-sum) pre-aggregate leaves the
+    Python worker. State is one (ts, event_id, touch) triple per user —
+    a purchase does NOT reset the touch, matching the batch
+    IGNORE-NULLS last_value window (behavior.py::attribution_last_touch).
+
+    Cross-batch caveat (same class as stream_funnel): an event arriving
+    in a later batch with an earlier timestamp than the consumed prefix
+    is sequenced after it, so batch-equivalence holds for feeds ordered
+    across batches — what a watermarked event-time source delivers.
+
+    NULL purchase values count the purchase but add 0 to the sum,
+    matching the batch twin's count(*) + null-skipping sum."""
+    del key
+    last = state.get if state.exists else (None, None, None)
+    _last_ts, _last_eid, last_touch = last
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    if not pdf.empty:
+        pdf = pdf.sort_values(["ts", "event_id"])
+    counts: dict[str, int] = {}
+    sums: dict[str, float] = {}
+    for ts, eid, et, val in zip(
+        pdf["ts"], pdf["event_id"], pdf["event_type"], pdf["value"]
+    ):
+        if et == "purchase":
+            ch = last_touch if last_touch is not None else "direct"
+            counts[ch] = counts.get(ch, 0) + 1
+            if not pd.isna(val):
+                sums[ch] = sums.get(ch, 0.0) + float(val)
+        else:
+            last_touch = et
+        _last_ts, _last_eid = int(ts.value // 1000), int(eid)
+    state.update((_last_ts, _last_eid, last_touch))
+    if counts:
+        yield pd.DataFrame(
+            [
+                (ch, n, sums.get(ch, 0.0))
+                for ch, n in sorted(counts.items())
+            ],
+            columns=["attributed_type", "n_purchases", "value_sum"],
+        )
+
+
+def stream_attribution(sdf: DataFrame) -> DataFrame:
+    """Streaming twin of behavior.py::attribution_last_touch (sums only
+    — the rounded report is a trivial batch view over the served
+    pre-aggregates): emits per-batch (channel, purchases, value) rows;
+    summing downstream reproduces the batch attribution table."""
+    return sdf.groupBy("user_id").applyInPandasWithState(
+        _attrib_fn,
+        outputStructType=_ATTRIB_OUT,
+        stateStructType=_ATTRIB_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_attribution_from_dir(
+    spark: SparkSession, events_dir: "str | DataFrame"
+) -> DataFrame:
+    return stream_attribution(events_source(spark, events_dir))
+
+
 QUERIES = {"user_sessions": sessionize_batch}
 
 ORACLES = {

@@ -127,6 +127,14 @@ SHUFFLE_BUDGETS = {
     # exchange; touch/purchase/anti branches re-key on (user, journey)
     "attribution_linear": 6,
     "cohort_ltv_triangle": 5,
+    # round-5 sixth batch; the audit's 2 BNLJs are 1-row broadcast
+    # cross-joins of scalar aggregates (same class as orders_fk_audit)
+    "revenue_stl_decompose": 4,
+    "lineitem_constraint_audit": 2,
+    # round-5 seventh batch; containment shares the LSH pipeline cost
+    # profile, runs includes the cold delay rollup + z-score pass
+    "doc_shingle_containment": 3,
+    "delay_anomaly_runs": 6,
 }
 
 

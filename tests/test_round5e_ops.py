@@ -138,3 +138,97 @@ def test_write_sorted_layout_skips(spark, tmp_path):
     plan = narrow._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(ts), LessThanOrEqual(ts" in plan
     assert narrow.count() == ev.filter(F.col("ts") <= F.lit(cut)).count()
+
+
+def test_stream_attribution_equals_batch(spark, tmp_path):
+    """Draining the events table through the stateful attributor and
+    summing the per-batch pre-aggregates reproduces the batch
+    last-touch attribution exactly."""
+    from big_data_project_spark.operators.behavior import (
+        attribution_last_touch,
+    )
+    from big_data_project_spark.streaming import pipeline
+
+    src = str(tmp_path / "attrib_src")
+    load_table(spark, SF_DIR, "events").write.parquet(src)
+    out = pipeline.run_available_now(
+        pipeline.stream_attribution_from_dir(spark, src),
+        "attrib_out",
+        output_mode="append",
+    ).collect()
+    streamed: dict = {}
+    for r in out:
+        n, v = streamed.get(r.attributed_type, (0, 0.0))
+        streamed[r.attributed_type] = (
+            n + r.n_purchases,
+            v + r.value_sum,
+        )
+    batch = {
+        r.attributed_type: r
+        for r in attribution_last_touch(spark, SF_DIR).collect()
+    }
+    assert set(streamed) == set(batch)
+    for ch, (n, v) in streamed.items():
+        assert n == batch[ch].n_purchases
+        assert v == pytest.approx(batch[ch].total_value, abs=0.02)
+
+
+def test_stream_attribution_state_across_batches():
+    """The last-touch state survives the batch boundary and purchases
+    do not reset it (matching the batch IGNORE-NULLS window)."""
+    from big_data_project_spark.streaming.pipeline import _attrib_fn
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    def batch(rows):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "event_type", "value"]
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        return pdf
+
+    st = FakeState()
+    # batch 1: a purchase with no prior touch -> direct; then a view
+    out1 = list(
+        _attrib_fn(
+            (7,),
+            iter([batch([
+                (1, "2026-01-01 09:00:00", "purchase", 10.0),
+                (2, "2026-01-01 10:00:00", "view", None),
+            ])]),
+            st,
+        )
+    )
+    assert len(out1) == 1
+    r1 = out1[0].iloc[0]
+    assert (r1.attributed_type, r1.n_purchases, r1.value_sum) == (
+        "direct", 1, 10.0,
+    )
+    # batch 2: two purchases — both credit the batch-1 view (the first
+    # purchase does not reset the touch); NULL value adds 0 to the sum
+    out2 = list(
+        _attrib_fn(
+            (7,),
+            iter([batch([
+                (3, "2026-01-01 11:00:00", "purchase", 5.0),
+                (4, "2026-01-01 12:00:00", "purchase", None),
+            ])]),
+            st,
+        )
+    )
+    assert len(out2) == 1
+    r2 = out2[0].iloc[0]
+    assert (r2.attributed_type, r2.n_purchases, r2.value_sum) == (
+        "view", 2, 5.0,
+    )

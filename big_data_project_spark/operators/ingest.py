@@ -79,3 +79,57 @@ ORACLES = {
         FROM d GROUP BY l_returnflag
     """,
 }
+
+
+def salted_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key aggregation through the salted two-phase path
+    (functions/skew.py::salted_aggregate): event_type has single-digit
+    cardinality, so a plain groupBy funnels ~1/5 of a 100 TB feed into
+    ONE reduce task per key; salting splits each key across 16 partial
+    groups and recombines. The oracle is the PLAIN group-by — the whole
+    point is that the salted plan returns byte-identical answers, so
+    the skew tool ships with a correctness contract instead of a
+    promise.
+
+    Determinism: count partials are integers; the value sum folds
+    through DECIMAL(28,6) partials whose recombination is exact.
+
+    Scale: two shuffles (corpus-scale on (key, salt) with 16x the key
+    cardinality, then a keys x 16-sized combine) — the straggler task
+    becomes 16 even ones."""
+    from ..functions.portable import pround
+    from ..functions.skew import salted_aggregate
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.col("value").cast("decimal(28,6)").alias("value_dec"),
+    )
+    out = salted_aggregate(
+        ev,
+        keys=["event_type"],
+        metrics={
+            "n_events": ("count", "event_id"),
+            "sum_dec": ("sum", "value_dec"),
+        },
+        distributor="event_id",
+        buckets=16,
+    )
+    return out.select(
+        "event_type",
+        "n_events",
+        pround(F.col("sum_dec").cast("double"), 2).alias("total_value"),
+    ).orderBy("event_type")
+
+
+QUERIES["salted_event_type_counts"] = salted_event_type_counts
+
+from ..functions.portable import sql_pround as _sql_pround  # noqa: E402
+
+ORACLES["salted_event_type_counts"] = f"""
+    SELECT event_type,
+           count(event_id)::BIGINT AS n_events,
+           {_sql_pround("(sum((value)::DECIMAL(28,6)))::DOUBLE", 2)}
+             AS total_value
+    FROM events GROUP BY event_type ORDER BY event_type
+"""

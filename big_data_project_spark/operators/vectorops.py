@@ -322,3 +322,90 @@ ORACLES = {
         ORDER BY label_a, label_b
     """,
 }
+
+
+GRAM_DIM = 64  # embedding dimensionality of the corpus table
+GRAM_SCALE = 1_000_000  # 1e-6 quantization of per-row products
+
+
+def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncentered Gram (second-moment) matrix of the embedding table —
+    the d x d statistic PCA / whitening / OPQ rotation all start from,
+    computed the one way that scales: a single Arrow-batched
+    mapInPandas pass emits PER-PARTITION partial matrices (d^2 rows
+    each), and a tiny (d^2)-sized aggregate combines them. The corpus
+    crosses the Python boundary once; nothing row-sized is shuffled.
+
+    Determinism: each per-row product e_i*e_j is evaluated in float64
+    from the stored float32 values (numpy upcast == both engines'
+    FLOAT->DOUBLE promotion), quantized to an exact 1e-6 integer
+    BEFORE summation, and every downstream sum is int64 — order- and
+    partitioning-independent by construction. The oracle replays the
+    identical quantized sum via list indexing.
+
+    Scale: one corpus pass, d^2 x n_partitions intermediate rows, one
+    (i, j)-keyed combine. At 100 TB the partials stay d^2-sized per
+    task; only the final 4096-row aggregate is global."""
+    import numpy as np
+    import pandas as pd
+
+    d = GRAM_DIM
+    scale = float(GRAM_SCALE)
+
+    def gram_partials(batches):
+        acc = np.zeros((d, d), dtype=np.int64)
+        seen = False
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            e = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            # chunked outer products keep peak memory ~8 MB
+            for lo in range(0, e.shape[0], 256):
+                chunk = e[lo : lo + 256]
+                prods = np.einsum("ri,rj->rij", chunk, chunk)
+                acc += np.floor(prods * scale + 0.5).astype(
+                    np.int64
+                ).sum(axis=0)
+            seen = True
+        if seen:
+            ii, jj = np.meshgrid(range(d), range(d), indexing="ij")
+            yield pd.DataFrame(
+                {
+                    "i": (ii + 1).ravel().astype("int32"),
+                    "j": (jj + 1).ravel().astype("int32"),
+                    "units": acc.ravel(),
+                }
+            )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+    partials = emb.mapInPandas(
+        gram_partials, schema="i int, j int, units long"
+    )
+    return (
+        partials.groupBy("i", "j")
+        .agg(F.sum("units").alias("u"))
+        .select(
+            "i",
+            "j",
+            pround(F.col("u") / F.lit(float(GRAM_SCALE)), 4).alias(
+                "gram"
+            ),
+        )
+        .orderBy("i", "j")
+    )
+
+
+QUERIES["embedding_gram_matrix"] = embedding_gram_matrix
+
+ORACLES["embedding_gram_matrix"] = f"""
+    SELECT i::INT AS i, j::INT AS j,
+           {sql_pround(
+               "(sum((floor(embedding[i]::DOUBLE * embedding[j]::DOUBLE"
+               f" * {GRAM_SCALE} + 0.5))::BIGINT))::DOUBLE"
+               f" / {GRAM_SCALE}", 4
+           )} AS gram
+    FROM embeddings,
+         generate_series(1, {GRAM_DIM}) g1(i),
+         generate_series(1, {GRAM_DIM}) g2(j)
+    GROUP BY i, j ORDER BY i, j
+"""

@@ -175,6 +175,8 @@ _PROMOTED = [
     "lineitem_constraint_audit",
     "doc_shingle_containment",
     "delay_anomaly_runs",
+    "salted_event_type_counts",
+    "embedding_gram_matrix",
     # --- r01-stale cohort: newest driver evidence is CORRECTNESS_r01 ---
     "peak_hours_summary",
     "suggestions",

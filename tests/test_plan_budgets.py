@@ -135,6 +135,10 @@ SHUFFLE_BUDGETS = {
     # profile, runs includes the cold delay rollup + z-score pass
     "doc_shingle_containment": 3,
     "delay_anomaly_runs": 6,
+    # round-5 eighth batch: the salted path's extra (key, salt)
+    # exchange IS the operator; the Gram combine is d^2-sized
+    "salted_event_type_counts": 3,
+    "embedding_gram_matrix": 2,
 }
 
 

@@ -1242,9 +1242,11 @@ def user_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     curves hide.
 
     Determinism: every term is integer until the single final division
-    — ranks and counts are exact, the i*c_i products fold through
-    DECIMAL(38,0) (headroom far beyond BIGINT's ~9e18 at 100 TB user
-    counts), and the quotient is rounded once.
+    — ranks and counts are exact, and the rank operand is widened to
+    DECIMAL(38,0) BEFORE the i*c_i multiply (a post-multiply cast
+    would wrap BIGINT first at rank ~1e10 × count ~1e9), so the
+    products and their fold carry ~1e38 headroom; the quotient is
+    rounded once.
 
     Scale: one corpus-scale shuffle to user grain, then a |users|-sized
     ranking window. The global rank is inherent to the statistic (like
@@ -1260,7 +1262,11 @@ def user_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = ranked.agg(
         F.count(F.lit(1)).alias("n_users"),
         F.sum("c").alias("total_events"),
-        F.sum((F.col("i") * F.col("c")).cast("decimal(38,0)")).alias(
+        # cast an OPERAND before the multiply: i*c in BIGINT first
+        # would wrap at i·c > ~9.2e18 (rank ~1e10 × count ~1e9) and
+        # only then widen — the decimal headroom must cover the
+        # product itself
+        F.sum(F.col("i").cast("decimal(38,0)") * F.col("c")).alias(
             "s_dec"
         ),
     )
@@ -1288,7 +1294,10 @@ ORACLES["user_activity_gini"] = f"""
     agg AS (
       SELECT count(*)::BIGINT AS n_users,
              (sum(c))::BIGINT AS total_events,
-             (sum((i * c)::DECIMAL(38,0)))::DOUBLE AS s
+             -- widen an OPERAND first (HUGEINT ~ the Spark side's
+             -- DECIMAL(38,0)): (i*c)::DECIMAL would overflow the
+             -- BIGINT multiply before the cast applied
+             (sum(i::HUGEINT * c))::DOUBLE AS s
       FROM ranked
     )
     SELECT n_users, total_events,

@@ -76,17 +76,20 @@ def part_revenue_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates each class to count / revenue / exact share. The
     inventory-policy cut every warehouse runs first.
 
-    Determinism: revenue is exact BIGINT units end-to-end; the class
-    cuts are cross-multiplied integer compares (run*5 <= total*4 and
-    run*20 <= total*19), so the 80/95 boundaries have no float-tie
-    cases on either engine.
+    Determinism: revenue units are exact integers folded at
+    DECIMAL(38,0) (generated data carries ~3e15 units per SF, so the
+    corpus total passes BIGINT's ~9.2e18 near SF 3000 and the
+    cross-multiplied compare would wrap silently near SF 30 — decimal
+    folds keep ~1e38 of headroom, far past 100 TB); the class cuts are
+    cross-multiplied integer compares (run*100 <= total*80 / total*95),
+    so the 80/95 boundaries have no float-tie cases on either engine.
 
     Scale: one corpus-scale aggregate to part grain, then a
     |parts|-sized fully-ordered window (single partition over ~200k
     rows/SF — the ranking is inherently global) and a 3-row output."""
     li = load_table(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_partkey").agg(
-        F.sum(_rev_units()).alias("units")
+        F.sum(_rev_units().cast("decimal(38,0)")).alias("units")
     )
     w_run = Window.orderBy(F.desc("units"), F.col("l_partkey")).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -125,13 +128,16 @@ def part_revenue_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLES["part_revenue_abc"] = f"""
     WITH rev AS (
-      SELECT l_partkey, (sum({_SQL_REV_UNITS}))::BIGINT AS units
+      -- HUGEINT (128-bit) mirrors the Spark side's DECIMAL(38,0)
+      -- folds: the cross-multiplied class compare wraps BIGINT near
+      -- SF 30 and the corpus total passes BIGINT near SF 3000.
+      SELECT l_partkey, (sum({_SQL_REV_UNITS}))::HUGEINT AS units
       FROM lineitem GROUP BY l_partkey
     ), ranked AS (
       SELECT units,
              (sum(units) OVER (ORDER BY units DESC, l_partkey
-                ROWS UNBOUNDED PRECEDING))::BIGINT AS run_units,
-             (sum(units) OVER ())::BIGINT AS total_units
+                ROWS UNBOUNDED PRECEDING))::HUGEINT AS run_units,
+             (sum(units) OVER ())::HUGEINT AS total_units
       FROM rev
     ), cls AS (
       SELECT CASE

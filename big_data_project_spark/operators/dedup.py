@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table, load_table_spread
+from ..functions.portable import pround, sql_pround
 
 TAU = 0.8  # exact-Jaccard duplicate threshold
 SWEEP_TAUS = (0.5, 0.6, 0.7, 0.8, 0.9)  # dedup_threshold_sweep grid
@@ -889,8 +890,11 @@ def doc_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "a_id",
             "b_id",
-            F.round("jaccard", 6).alias("jaccard"),
-            F.round("containment", 6).alias("containment"),
+            # pround, not F.round: i/min(na,nb) is an exact dyadic
+            # whenever min(na,nb) is a power of two, and Spark HALF_UP
+            # vs DuckDB half-to-even diverge on exactly those ties
+            pround(F.col("jaccard"), 6).alias("jaccard"),
+            pround(F.col("containment"), 6).alias("containment"),
             "contained_id",
             (F.col("jaccard") < TAU).cast("int").alias("jaccard_missed"),
         )
@@ -935,8 +939,8 @@ _SQL_CONTAINMENT = f"""
       JOIN sz sa ON sa.doc_id = i.a_id
       JOIN sz sb ON sb.doc_id = i.b_id
     )
-    SELECT a_id, b_id, round(jaccard, 6) AS jaccard,
-           round(containment, 6) AS containment, contained_id,
+    SELECT a_id, b_id, {sql_pround("jaccard", 6)} AS jaccard,
+           {sql_pround("containment", 6)} AS containment, contained_id,
            (CASE WHEN jaccard < {TAU} THEN 1 ELSE 0 END)::INT
              AS jaccard_missed
     FROM scored

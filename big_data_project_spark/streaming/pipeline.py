@@ -880,15 +880,10 @@ _ATTRIB_OUT = StructType(
     ]
 )
 
-# last non-purchase touch per user plus the event-time cursor —
-# O(1) state, sharded on user_id like the funnel/transition twins
-_ATTRIB_STATE = StructType(
-    [
-        StructField("last_ts", LongType()),
-        StructField("last_event_id", LongType()),
-        StructField("last_touch", StringType()),
-    ]
-)
+# last non-purchase touch per user — O(1) state, sharded on user_id
+# like the funnel/transition twins (no event-time cursor: nothing
+# reads one, and unread fields only inflate the state store)
+_ATTRIB_STATE = StructType([StructField("last_touch", StringType())])
 
 
 def _attrib_fn(
@@ -898,8 +893,8 @@ def _attrib_fn(
     event-time order (event_id tie-break); every purchase is credited
     to the last non-purchase event type seen so far ('direct' if none),
     and only the (channel, count, value-sum) pre-aggregate leaves the
-    Python worker. State is one (ts, event_id, touch) triple per user —
-    a purchase does NOT reset the touch, matching the batch
+    Python worker. State is one last-touch string per user — a
+    purchase does NOT reset the touch, matching the batch
     IGNORE-NULLS last_value window (behavior.py::attribution_last_touch).
 
     Cross-batch caveat (same class as stream_funnel): an event arriving
@@ -908,18 +903,20 @@ def _attrib_fn(
     across batches — what a watermarked event-time source delivers.
 
     NULL purchase values count the purchase but add 0 to the sum,
-    matching the batch twin's count(*) + null-skipping sum."""
+    matching the batch twin's count(*) + null-skipping sum. A NULL
+    event_type is neither a purchase nor a touch — skipped, exactly as
+    the batch twin's IGNORE-NULLS window skips the NULL the
+    non-purchase CASE maps it to."""
     del key
-    last = state.get if state.exists else (None, None, None)
-    _last_ts, _last_eid, last_touch = last
+    (last_touch,) = state.get if state.exists else (None,)
     pdf = pd.concat(list(pdfs), ignore_index=True)
     if not pdf.empty:
         pdf = pdf.sort_values(["ts", "event_id"])
     counts: dict[str, int] = {}
     sums: dict[str, float] = {}
-    for ts, eid, et, val in zip(
-        pdf["ts"], pdf["event_id"], pdf["event_type"], pdf["value"]
-    ):
+    for et, val in zip(pdf["event_type"], pdf["value"]):
+        if et is None or (isinstance(et, float) and pd.isna(et)):
+            continue
         if et == "purchase":
             ch = last_touch if last_touch is not None else "direct"
             counts[ch] = counts.get(ch, 0) + 1
@@ -927,8 +924,7 @@ def _attrib_fn(
                 sums[ch] = sums.get(ch, 0.0) + float(val)
         else:
             last_touch = et
-        _last_ts, _last_eid = int(ts.value // 1000), int(eid)
-    state.update((_last_ts, _last_eid, last_touch))
+    state.update((last_touch,))
     if counts:
         yield pd.DataFrame(
             [

@@ -232,3 +232,23 @@ def test_stream_attribution_state_across_batches():
     assert (r2.attributed_type, r2.n_purchases, r2.value_sum) == (
         "view", 2, 5.0,
     )
+    # batch 3: a NULL event_type is neither a purchase nor a touch —
+    # the following purchase still credits the batch-1 view, exactly
+    # as the batch twin's IGNORE-NULLS window skips the NULL the
+    # non-purchase CASE maps it to
+    out3 = list(
+        _attrib_fn(
+            (7,),
+            iter([batch([
+                (5, "2026-01-01 13:00:00", None, None),
+                (6, "2026-01-01 14:00:00", "purchase", 2.0),
+            ])]),
+            st,
+        )
+    )
+    assert len(out3) == 1
+    r3 = out3[0].iloc[0]
+    assert (r3.attributed_type, r3.n_purchases, r3.value_sum) == (
+        "view", 1, 2.0,
+    )
+    assert st.get == ("view",)

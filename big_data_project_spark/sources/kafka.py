@@ -1,0 +1,109 @@
+"""Kafka-envelope decoding for the streaming pipeline's injected-source
+seam.
+
+The reference's realtime path is Kafka-first: the poller publishes JSON
+payloads to topics (reference src/gtfs-realtime-poller/poller.py:69-188)
+and the ingestion service consumes and upserts them
+(src/db-ingestion-service/ingestor.py:34-137). Spark's Kafka source
+(`spark.readStream.format("kafka")`) always yields the SAME fixed
+envelope regardless of broker:
+
+    key binary, value binary, topic string, partition int, offset long,
+    timestamp timestamp, timestampType int
+
+so the decode step — envelope ``value`` bytes -> typed EVENTS_SCHEMA
+columns — is a pure column transformation that can be written and
+tested WITHOUT a broker: any DataFrame with those columns (static or
+streaming) decodes identically. That is what this module provides; with
+it, pointing the pipeline at a real cluster is exactly
+
+    raw = (spark.readStream.format("kafka")
+           .option("kafka.bootstrap.servers", ...)
+           .option("subscribe", "events").load())
+    stream_events_hourly(spark, decode_events_envelope(raw))
+
+— configuration plus one tested function, no library edits.
+
+JSON is decoded with ``from_json`` (JVM-side Jackson, whole-stage
+codegen friendly — never a Python UDF). Malformed payloads produce a
+NULL struct, kept by default so the caller can route them to a
+dead-letter sink; ``drop_malformed=True`` filters them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Typed view of the poller's event payload: matches EVENTS_SCHEMA
+# (streaming/pipeline.py) minus nothing — props stays a raw JSON string
+# exactly as the events table stores it.
+EVENT_PAYLOAD_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+# to_json's default timestampFormat is millisecond-precision; event
+# timestamps carry microseconds, so both directions pin a microsecond
+# format or the round trip silently truncates 3 digits.
+_TS_OPTS = {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"}
+
+
+def decode_events_envelope(
+    raw: DataFrame, drop_malformed: bool = False
+) -> DataFrame:
+    """Decode a Kafka-envelope DataFrame (``value`` binary holding the
+    poller's JSON event payload) into EVENTS_SCHEMA columns.
+
+    Works identically on streaming and static frames — the envelope is
+    plain columns, so tests decode a hand-built static frame and the
+    pipeline decodes the live source. The broker ``timestamp``
+    (log-append time) is surfaced as ``kafka_ts`` for ingest-lag
+    audits; event time remains the payload's own ``ts``.
+
+    Scale: one map-side projection — no shuffle, no Python. At 100 TB/
+    day of feed the decode rides inside the same codegen stage as the
+    downstream watermark filter.
+    """
+    # the broker stamps `timestamp` on append; a pre-broker frame (the
+    # encode side's output, replay fixtures) simply has none yet
+    kafka_ts = (
+        F.col("timestamp")
+        if "timestamp" in raw.columns
+        else F.lit(None).cast("timestamp")
+    )
+    parsed = raw.select(
+        F.from_json(
+            F.col("value").cast("string"), EVENT_PAYLOAD_SCHEMA, _TS_OPTS
+        ).alias("e"),
+        F.col("value").alias("__raw"),
+        kafka_ts.alias("kafka_ts"),
+    )
+    if drop_malformed:
+        # PERMISSIVE from_json maps a malformed payload to an all-NULL
+        # row, not a NULL struct, so validity needs its own probe:
+        # try_parse_json is NULL exactly for non-JSON bytes (JVM-side,
+        # same codegen stage)
+        parsed = parsed.filter(
+            F.try_parse_json(F.col("__raw").cast("string")).isNotNull()
+        )
+    return parsed.select("e.*", "kafka_ts")
+
+
+def encode_events_envelope(events: DataFrame, topic: str) -> DataFrame:
+    """Inverse transform for the write side (and for tests): pack typed
+    event rows into the Kafka sink contract (``key``/``value`` binary +
+    ``topic``). Keyed by user_id so a keyed topic preserves per-user
+    order — the property the stateful twins (funnel/attribution)
+    document as their cross-batch assumption."""
+    payload = F.to_json(
+        F.struct(
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        ),
+        _TS_OPTS,
+    )
+    return events.select(
+        F.col("user_id").cast("string").cast("binary").alias("key"),
+        payload.cast("binary").alias("value"),
+        F.lit(topic).alias("topic"),
+    )

@@ -228,3 +228,52 @@ ORACLES = {
           ON a.route_id = k.route_id AND a.hour_ts = k.hour_ts
     """,
 }
+
+
+def scd2_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension history over the alerts feed: per
+    (route_id, alert_type) key, each alert version carries its validity
+    interval [valid_from, valid_to) and an is_current flag — the
+    lake-side slowly-changing-dimension build whose ``is_current``
+    slice IS the reference's ``DISTINCT ON ... ORDER BY created_at
+    DESC`` latest-row view (kpi_views.sql:136; alerts_latest_per_type
+    here), but keeping the full history a point-in-time join can
+    replay. valid_to is the NEXT version's valid_from (half-open
+    intervals chain with no gaps); ties on observed_at are ordered by
+    alert_id so version numbering is engine-deterministic.
+
+    Scale: ONE shuffle on the dimension key feeds both window
+    functions (row_number and lead share the same partitioning/order);
+    at 100 TB of feed the history build is exactly this one exchange —
+    the same shape the incremental foreachBatch upsert
+    (plans/sinks.py::upsert_parquet) maintains per batch."""
+    base = _alerts_base(spark, sf_dir).filter(F.col("route_id").isNotNull())
+    w = Window.partitionBy("route_id", "alert_type").orderBy(
+        "observed_at", "alert_id"
+    )
+    valid_to = F.lead("observed_at").over(w)
+    return base.select(
+        "route_id",
+        "alert_type",
+        "alert_id",
+        F.row_number().over(w).alias("version_seq"),
+        F.col("observed_at").alias("valid_from"),
+        valid_to.alias("valid_to"),
+        valid_to.isNull().cast("int").alias("is_current"),
+    )
+
+
+QUERIES["scd2_alerts"] = scd2_alerts
+
+ORACLES["scd2_alerts"] = f"""
+    SELECT route_id, alert_type, alert_id,
+           (row_number() OVER w)::INT AS version_seq,
+           observed_at AS valid_from,
+           lead(observed_at) OVER w AS valid_to,
+           (CASE WHEN lead(observed_at) OVER w IS NULL
+                 THEN 1 ELSE 0 END)::INT AS is_current
+    FROM ({_SQL_ALERTS_BASE}) a
+    WHERE route_id IS NOT NULL
+    WINDOW w AS (PARTITION BY route_id, alert_type
+                 ORDER BY observed_at, alert_id)
+"""

@@ -740,3 +740,105 @@ ORACLES["inverted_index_sample"] = f"""
     ORDER BY n_docs DESC, n_occurrences DESC, tok
     LIMIT {INVIDX_TOP}
 """
+
+
+def neardup_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the verified near-duplicate graph: nodes,
+    edges, wedges (open 2-paths), triangles, and the global clustering
+    coefficient 3·triangles / wedges. High clustering means near-dups
+    come in mutually-similar CLUSTERS (template families — drop all but
+    one representative); low clustering with many wedges means chain
+    similarity (a drifts to b drifts to c), where transitive-closure
+    dedup over-merges and the keep rule should be pairwise. The one
+    scalar that says which regime a corpus is in before the keep
+    strategy is fixed.
+
+    Triangle counting is the canonical distributed-graph benchmark; on
+    the ORDERED pair list (a<b from the LSH join) the standard
+    two-join formulation enumerates each triangle exactly once
+    (a<b<c). All joins run on the OUTPUT-sized verified pair list —
+    never the corpus; wedge counts widen to DECIMAL(38,0)/HUGEINT
+    before the deg·(deg−1) multiply (a 1e6-degree hub squares past
+    BIGINT at ~3e12 nodes' worth of sum — cheap insurance).
+
+    Cites: reference has no graph surface; public recipe is the
+    Cohen / Suri-Vassilvitskii MapReduce triangle enumeration."""
+    from ..caching import persisted
+    from .corpus import _near_dup_neighbors
+    from .dedup import dedup_minhash_lsh
+
+    pairs = persisted(
+        dedup_minhash_lsh(spark, sf_dir).select("a_id", "b_id")
+    )
+    nb = _near_dup_neighbors(spark, sf_dir)
+
+    ab = pairs.select(F.col("a_id").alias("a"), F.col("b_id").alias("b"))
+    bc = pairs.select(F.col("a_id").alias("b"), F.col("b_id").alias("c"))
+    ac = pairs.select(F.col("a_id").alias("a"), F.col("b_id").alias("c"))
+    tri = ab.join(bc, "b").join(ac, ["a", "c"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+
+    edges = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
+    nodes = nb.agg(F.countDistinct("doc_id").alias("n_nodes"))
+    deg = nb.groupBy("doc_id").agg(F.count(F.lit(1)).alias("degree"))
+    wedges = deg.agg(
+        (
+            F.sum(
+                F.col("degree").cast("decimal(38,0)")
+                * (F.col("degree") - 1)
+            )
+            / 2
+        )
+        .cast("decimal(38,0)")
+        .alias("n_wedges")
+    )
+
+    out = (
+        nodes.crossJoin(F.broadcast(edges))
+        .crossJoin(F.broadcast(wedges))
+        .crossJoin(F.broadcast(tri))
+    )
+    cc = F.when(
+        F.col("n_wedges") > 0,
+        pround(
+            F.lit(3) * F.col("n_triangles") / F.col("n_wedges").cast("double"),
+            6,
+        ),
+    )
+    return out.select(
+        "n_nodes", "n_edges", "n_wedges", "n_triangles",
+        cc.alias("global_clustering"),
+    )
+
+
+QUERIES["neardup_triangle_count"] = neardup_triangle_count
+
+ORACLES["neardup_triangle_count"] = f"""
+    WITH pairs AS ({_SQL_PAIRS}),
+    nb AS (
+      SELECT a_id AS doc_id FROM pairs
+      UNION ALL SELECT b_id AS doc_id FROM pairs
+    ),
+    deg AS (SELECT doc_id, count(*) AS degree FROM nb GROUP BY doc_id),
+    nodes AS (SELECT count(DISTINCT doc_id) AS n_nodes FROM nb),
+    edges AS (SELECT count(*) AS n_edges FROM pairs),
+    wedges AS (
+      SELECT (sum(degree::HUGEINT * (degree - 1)) // 2)::HUGEINT
+               AS n_wedges
+      FROM deg
+    ),
+    tri AS (
+      SELECT count(*) AS n_triangles
+      FROM pairs ab
+      JOIN pairs bc ON bc.a_id = ab.b_id
+      JOIN pairs ac ON ac.a_id = ab.a_id AND ac.b_id = bc.b_id
+    )
+    SELECT n_nodes, n_edges, n_wedges, n_triangles,
+           CASE WHEN n_wedges > 0 THEN
+             {sql_pround(
+                 '3 * n_triangles::DOUBLE / n_wedges::DOUBLE', 6
+             )}
+           END AS global_clustering
+    FROM nodes, edges, wedges, tri
+"""

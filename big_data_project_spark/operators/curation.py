@@ -723,3 +723,106 @@ def _dup_quality_bias_oracle() -> str:
 
 
 ORACLES["dup_quality_bias"] = _dup_quality_bias_oracle()
+
+
+# cascade stages in first-match order; keep closes the funnel
+_STAGE_IDX = {
+    "too_short": 1,
+    "blocked_source": 2,
+    "lang_filtered": 3,
+    "too_repetitive": 4,
+    "keep": 5,
+}
+
+
+def filter_retention_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention funnel of the C4-style filter cascade
+    (``doc_filter_cascade``): per stage, documents dropped there, the
+    corpus remaining AFTER the stage, and the cumulative retention
+    fraction — the one-page summary a pipeline owner reads to see WHICH
+    rule is eating the corpus (a stage that drops 40% gets its
+    threshold re-examined before anyone trusts the survivors).
+
+    Stages appear in the cascade's first-match order; the final 'keep'
+    row restates the surviving corpus (n_docs = n_remaining by
+    construction). Only observed stages appear — a rule that fired
+    zero times at this SF has no row on either engine.
+
+    Scale: the cascade itself is zero-shuffle map-side; this adds ONE
+    stages-sized aggregate and a <=5-row window — corpus-linear
+    total."""
+    c = doc_filter_cascade(spark, sf_dir)
+    idx = F.coalesce(
+        *[
+            F.when(F.col("reason") == r, F.lit(i))
+            for r, i in _STAGE_IDX.items()
+        ]
+    )
+    counts = c.groupBy(idx.alias("stage_idx"), "reason").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w_all = Window.partitionBy()
+    w_run = Window.orderBy("stage_idx").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    dropped = F.when(F.col("reason") != "keep", F.col("n_docs")).otherwise(
+        F.lit(0)
+    )
+    return (
+        counts.select(
+            "stage_idx",
+            F.col("reason").alias("stage"),
+            "n_docs",
+            (
+                F.sum("n_docs").over(w_all) - F.sum(dropped).over(w_run)
+            ).alias("n_remaining"),
+            F.sum("n_docs").over(w_all).alias("n_total"),
+        )
+        .select(
+            "stage_idx",
+            "stage",
+            "n_docs",
+            "n_remaining",
+            pround(
+                F.col("n_remaining") / F.col("n_total").cast("double"), 6
+            ).alias("retention"),
+        )
+        .orderBy("stage_idx")
+    )
+
+
+QUERIES["filter_retention_funnel"] = filter_retention_funnel
+
+ORACLES["filter_retention_funnel"] = f"""
+    WITH cascade AS (
+      SELECT {_SQL_REASON} AS reason
+      FROM (SELECT doc_id, source, lang, n_chars,
+                   string_split({_SQL_NORM}, ' ') AS toks
+            FROM documents) d
+    ),
+    counts AS (
+      SELECT CASE reason
+               WHEN 'too_short' THEN 1
+               WHEN 'blocked_source' THEN 2
+               WHEN 'lang_filtered' THEN 3
+               WHEN 'too_repetitive' THEN 4
+               ELSE 5 END AS stage_idx,
+             reason AS stage,
+             count(*) AS n_docs
+      FROM cascade GROUP BY 1, 2
+    ),
+    runs AS (
+      SELECT stage_idx, stage, n_docs,
+             (sum(n_docs) OVER ())::BIGINT
+               - (sum(CASE WHEN stage != 'keep' THEN n_docs ELSE 0 END)
+                  OVER (ORDER BY stage_idx
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 )::BIGINT AS n_remaining,
+             (sum(n_docs) OVER ())::BIGINT AS n_total
+      FROM counts
+    )
+    SELECT stage_idx, stage, n_docs, n_remaining,
+           {sql_pround('n_remaining::DOUBLE / n_total::DOUBLE', 6)}
+             AS retention
+    FROM runs ORDER BY stage_idx
+"""

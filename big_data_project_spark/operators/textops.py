@@ -377,3 +377,73 @@ ORACLES = {
         GROUP BY source, lang
     """,
 }
+
+
+from ..functions.portable import pround, sql_pround  # noqa: E402
+
+
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fertility audit per language: BPE-ish regex tokens per
+    whitespace word (fertility) and characters per BPE token — the
+    numbers a tokenizer owner reads per language before fixing a vocab
+    budget (high fertility = the tokenizer fragments that language,
+    inflating sequence length and training cost for the same text).
+
+    Uses the SAME two tokenizations as ``token_count`` so the two keys
+    audit one contract. Ratios divide exact integer corpus sums (not
+    averages of per-doc ratios — short docs would dominate) and round
+    once; a language with zero whitespace tokens reports NULL fertility
+    rather than a division artifact.
+
+    Scale: map-side token counting (regexp_count — no explode), ONE
+    languages-sized aggregate; no joins."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.select(
+        "lang",
+        "n_chars",
+        F.size(_toks(F.col("text"))).alias("ws"),
+        F.regexp_count(_norm(F.col("text")), F.lit(_BPE_RE)).alias("bpe"),
+    )
+    agg = per.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ws").alias("ws_tokens"),
+        F.sum("bpe").alias("bpe_tokens"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+    ws_nz = F.when(F.col("ws_tokens") > 0, F.col("ws_tokens"))
+    bpe_nz = F.when(F.col("bpe_tokens") > 0, F.col("bpe_tokens"))
+    return agg.select(
+        "lang",
+        "n_docs",
+        "ws_tokens",
+        "bpe_tokens",
+        pround(F.col("bpe_tokens") / ws_nz, 4).alias("fertility"),
+        pround(F.col("sum_chars") / bpe_nz, 4).alias("chars_per_token"),
+    ).orderBy("lang")
+
+
+QUERIES["tokenizer_fertility"] = tokenizer_fertility
+
+ORACLES["tokenizer_fertility"] = f"""
+    WITH per AS (
+      SELECT lang, n_chars,
+             len({_SQL_TOKS}) AS ws,
+             len(regexp_extract_all({_SQL_NORM}, '{_BPE_RE}')) AS bpe
+      FROM documents
+    ),
+    agg AS (
+      SELECT lang, count(*) AS n_docs,
+             (sum(ws))::BIGINT AS ws_tokens,
+             (sum(bpe))::BIGINT AS bpe_tokens,
+             (sum(n_chars))::BIGINT AS sum_chars
+      FROM per GROUP BY lang
+    )
+    SELECT lang, n_docs, ws_tokens, bpe_tokens,
+           {sql_pround(
+               'bpe_tokens::DOUBLE / nullif(ws_tokens, 0)', 4
+           )} AS fertility,
+           {sql_pround(
+               'sum_chars::DOUBLE / nullif(bpe_tokens, 0)', 4
+           )} AS chars_per_token
+    FROM agg ORDER BY lang
+"""

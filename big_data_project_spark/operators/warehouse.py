@@ -38,6 +38,7 @@ from ..catalog import load_table
 from ..functions.portable import (
     davg,
     dsum,
+    dsum_exact,
     pround,
     sql_davg,
     sql_dsum,
@@ -541,4 +542,69 @@ ORACLES["cohort_ltv_triangle"] = f"""
                "::DOUBLE", 2
            )} AS cum_revenue
     FROM cells ORDER BY cohort_month, age_months
+"""
+
+
+def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth: per order year, total order value
+    plus the previous year's total and the YoY percentage change — the
+    first slide of any commerce review, and the relational twin of the
+    trend family's per-route deltas (reference kpi_views.sql reads the
+    same rollup grain for its peak summaries).
+
+    Determinism: yearly totals fold through DECIMAL(28,6) (order-
+    independent), the YoY ratio divides the two UNROUNDED folds and
+    rounds once; the first observed year reports NULLs rather than a
+    fake 0% baseline.
+
+    Scale: ONE corpus-scale aggregate to year grain (no join at all —
+    order value lives on the orders row), then a years-sized self
+    equi-join on year-1. The prev-year lookup is an equi-join, not a
+    range/window over the fact table; at 100 TB of orders the only
+    corpus-scale work is the map-side partial sum."""
+    o = load_table(spark, sf_dir, "orders")
+    yearly = o.groupBy(F.year("o_orderdate").alias("order_year")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum_exact("o_totalprice").alias("rev_raw"),
+    )
+    prev = yearly.select(
+        (F.col("order_year") + 1).alias("order_year"),
+        F.col("rev_raw").alias("prev_raw"),
+    )
+    return (
+        yearly.join(prev, "order_year", "left")
+        .select(
+            "order_year",
+            "n_orders",
+            pround(F.col("rev_raw"), 2).alias("revenue"),
+            pround(F.col("prev_raw"), 2).alias("prev_revenue"),
+            pround(
+                (F.col("rev_raw") - F.col("prev_raw"))
+                / F.col("prev_raw")
+                * 100.0,
+                4,
+            ).alias("yoy_pct"),
+        )
+        .orderBy("order_year")
+    )
+
+
+QUERIES["orders_yoy_growth"] = orders_yoy_growth
+
+ORACLES["orders_yoy_growth"] = f"""
+    WITH yearly AS (
+      SELECT year(o_orderdate) AS order_year,
+             count(*) AS n_orders,
+             (sum((o_totalprice)::DECIMAL(28,6)))::DOUBLE AS rev_raw
+      FROM orders GROUP BY 1
+    )
+    SELECT y.order_year, y.n_orders,
+           {sql_pround('y.rev_raw', 2)} AS revenue,
+           {sql_pround('p.rev_raw', 2)} AS prev_revenue,
+           {sql_pround(
+               '(y.rev_raw - p.rev_raw) / p.rev_raw * 100.0', 4
+           )} AS yoy_pct
+    FROM yearly y
+    LEFT JOIN yearly p ON p.order_year = y.order_year - 1
+    ORDER BY y.order_year
 """

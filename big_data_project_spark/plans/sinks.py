@@ -420,3 +420,102 @@ def compact_parquet(
         "files_after": files_after,
         "bytes": total_bytes,
     }
+
+
+_Z_BITS = 12  # per-dimension grid bits (4096 buckets per dimension)
+
+# bit-spread magic masks: move bit i of a <=16-bit value to bit 2i,
+# leaving zeros for the other dimension to interleave into
+_SPREAD_MASKS = [
+    (8, 0x00FF00FF),
+    (4, 0x0F0F0F0F),
+    (2, 0x33333333),
+    (1, 0x55555555),
+]
+
+
+def _spread_bits(c):
+    """Interleave-ready bit spread (Morton/Z-curve): bit i -> bit 2i,
+    pure shift/mask Column arithmetic — JVM-side, codegen-friendly."""
+    x = c.bitwiseAND(F.lit(0xFFFF))
+    for shift, mask in _SPREAD_MASKS:
+        x = (x.bitwiseOR(F.shiftleft(x, shift))).bitwiseAND(F.lit(mask))
+    return x
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_cols: list[str],
+    n_files: int | None = None,
+    small_row_groups: bool = False,
+) -> None:
+    """Z-ORDER parquet layout: interleave the bits of TWO numeric
+    columns' grid coordinates into one Morton key, range-partition and
+    sort by it. Each file/row group then owns a small RECTANGLE of the
+    (a, b) plane instead of a slab of one column, so min/max footer
+    stats prune scans filtered on EITHER column — the multi-dimension
+    data-skipping layout (Delta/Iceberg ``OPTIMIZE ZORDER BY``) that
+    ``write_sorted`` cannot give: a single-column sort leaves the
+    second column's per-file ranges spanning the whole domain.
+
+    Grid coordinates are min-max scaled to 2^12 buckets per dimension
+    from a ONE-ROW stats aggregate (one extra corpus pass, broadcast
+    join — at 100 TB this is the cheap step next to the write shuffle
+    itself). Min-max scaling assumes roughly uniform keys; for skewed
+    keys swap the bucketizer for range-partition quantile cuts — the
+    interleave and layout below are unchanged. NULLs sort first
+    (z = -1) so they pack into one file instead of smearing.
+
+    Timestamps in ``df`` still write as TIMESTAMP_MICROS (same footer-
+    stats requirement as write_sorted)."""
+    if len(zorder_cols) != 2:
+        raise ValueError("write_zordered interleaves exactly 2 columns")
+    a, b = zorder_cols
+    stats = df.agg(
+        F.min(a).alias("__amin"),
+        F.max(a).alias("__amax"),
+        F.min(b).alias("__bmin"),
+        F.max(b).alias("__bmax"),
+    )
+
+    def bucket(col, lo, hi):
+        span = (F.col(hi) - F.col(lo)).cast("double") + 1.0
+        raw = F.floor(
+            (F.col(col) - F.col(lo)).cast("double")
+            * (1 << _Z_BITS)
+            / span
+        )
+        return F.least(F.lit((1 << _Z_BITS) - 1), raw).cast("long")
+
+    # 12-bit coords interleave within the 16-bit spread masks; b's
+    # spread shifts up one so the dimensions alternate bits
+    z = F.coalesce(
+        _spread_bits(bucket(a, "__amin", "__amax")).bitwiseOR(
+            F.shiftleft(_spread_bits(bucket(b, "__bmin", "__bmax")), 1)
+        ),
+        F.lit(-1),
+    )
+    keyed = (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn("__z", z)
+        .drop("__amin", "__amax", "__bmin", "__bmax")
+    )
+    out = (
+        keyed.repartitionByRange(n_files, "__z")
+        if n_files is not None
+        else keyed.repartitionByRange("__z")
+    )
+    w = (
+        out.sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+    )
+    if small_row_groups:
+        w = w.option("parquet.block.size", 1024)
+    with _conf(
+        df.sparkSession,
+        "spark.sql.parquet.outputTimestampType",
+        "TIMESTAMP_MICROS",
+    ):
+        w.parquet(path)

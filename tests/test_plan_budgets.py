@@ -139,6 +139,15 @@ SHUFFLE_BUDGETS = {
     # exchange IS the operator; the Gram combine is d^2-sized
     "salted_event_type_counts": 3,
     "embedding_gram_matrix": 2,
+    # round-5 ninth batch (measured cold-plan counts)
+    "scd2_alerts": 1,  # row_number + lead share ONE dimension-key exchange
+    "orders_yoy_growth": 3,  # year agg + years-sized self-join sides
+    "tokenizer_fertility": 2,
+    "filter_retention_funnel": 3,  # cascade agg + <=5-row window
+    # includes the whole persisted LSH pipeline (same class as
+    # dedup_incremental); its BNLJs are 1-row scalar-aggregate
+    # cross-joins (nodes/edges/wedges/triangles), not data joins
+    "neardup_triangle_count": 14,
 }
 
 
@@ -197,6 +206,9 @@ NO_NESTED_LOOP = [
     # round-5 third batch: the basket pair expansion must stay a
     # map-side array comprehension, never an order-grain theta-join
     "basket_part_pairs",
+    # round-5 ninth batch: the SCD2 prev/next chaining must stay one
+    # windowed exchange, never an interval self-join
+    "scd2_alerts",
 ]
 
 

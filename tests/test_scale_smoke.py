@@ -411,3 +411,60 @@ def test_interevent_histogram_scales_by_users(spark, scaled_dir):
     for b in base:
         assert scaled[b]["n_gaps"] == SCALE * base[b]["n_gaps"]
         assert scaled[b]["share"] == base[b]["share"]
+
+
+def test_gini_invariant_under_user_replication(spark, scaled_dir):
+    """Replicating every user 8x with identical per-user counts leaves
+    the activity Gini coefficient EXACTLY unchanged (inequality is a
+    shape statistic) while users and events scale by 8 — the strongest
+    cheap check that the rank fold is per-user, not per-row."""
+    from big_data_project_spark.operators.behavior import user_activity_gini
+
+    base = user_activity_gini(spark, SF_DIR).first()
+    scaled = user_activity_gini(spark, scaled_dir).first()
+    assert scaled.n_users == SCALE * base.n_users
+    assert scaled.total_events == SCALE * base.total_events
+    # exact-rank Gini of k-fold replicated counts differs from the base
+    # only by the within-tie rank spread, O(1/n_users)
+    assert abs(scaled.gini - base.gini) < 0.01
+
+
+def test_scd2_versions_scale_per_key(spark, scaled_dir):
+    """8x replicas add alerts at the SAME timestamps with distinct
+    alert ids: per-(route, type) version counts scale exactly 8x, the
+    intervals still chain, and exactly one version per key is
+    current."""
+    from collections import Counter
+
+    from big_data_project_spark.operators.alerts import scd2_alerts
+
+    base = Counter(
+        (r.route_id, r.alert_type)
+        for r in scd2_alerts(spark, SF_DIR).collect()
+    )
+    rows = scd2_alerts(spark, scaled_dir).collect()
+    scaled = Counter((r.route_id, r.alert_type) for r in rows)
+    assert scaled == {k: SCALE * v for k, v in base.items()}
+    cur = Counter(
+        (r.route_id, r.alert_type) for r in rows if r.is_current == 1
+    )
+    assert set(cur) == set(scaled) and all(v == 1 for v in cur.values())
+
+
+def test_triangle_census_scales_with_replica_structure(spark, scaled_docs_dir):
+    """Doc replicas replicate the near-dup graph structure: nodes and
+    edges grow, wedge/triangle identities still hold, and the
+    clustering coefficient stays a valid [0,1] scalar."""
+    from big_data_project_spark.operators.corpus_stats import (
+        neardup_triangle_count,
+    )
+
+    base = neardup_triangle_count(spark, SF_DIR).first()
+    scaled = neardup_triangle_count(spark, scaled_docs_dir).first()
+    assert scaled.n_nodes >= base.n_nodes
+    assert scaled.n_edges >= base.n_edges
+    assert 3 * scaled.n_triangles <= int(scaled.n_wedges) or (
+        int(scaled.n_wedges) == 0
+    )
+    if scaled.global_clustering is not None:
+        assert 0.0 <= scaled.global_clustering <= 1.0

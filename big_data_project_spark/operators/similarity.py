@@ -722,3 +722,199 @@ ORACLES["ann_recall_eval"] = f"""
     FROM per LEFT JOIN hits ON per.query_id = hits.query_id
     ORDER BY per.query_id
 """
+
+
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic pruning (Abbas et al. 2023,
+    arXiv:2303.09540): within each embedding cluster, near-duplicate
+    pairs (cosine >= COSINE_TAU — the same verified pair list as
+    ``dedup_embedding_cosine``) are resolved by KEEPING the member
+    with the LOWER cosine to the cluster centroid — the paper's rule:
+    prototypical near-dups add nothing, the outlier member carries the
+    information. Per vector: its cluster, its centroid cosine, how
+    many near-dup partners it has, and the keep verdict (drop iff some
+    partner is strictly more of an outlier, rounded-6dp comparison
+    with vec_id tie-break so the verdict is engine-deterministic and
+    exactly one member of a mutually-dup group survives).
+
+    Clusters here are the md5-derived hyperplane buckets (fully
+    oracle-checkable); a production run swaps in the IVF centroid
+    assignment from ``ann_ivf_topk`` — every downstream step is
+    unchanged.
+
+    Determinism: per-(bucket, dim) centroid means are decimal folds
+    rounded to 6dp; the per-vector dot/norm against those rounded
+    means re-fold through DECIMAL(28,6) (cross-row join order is not
+    an accumulation order); the vector's own norm is a map-side array
+    fold (fixed order on both engines).
+
+    Scale: one corpus-scale dims shuffle for centroids (output
+    buckets x dims), one for the per-vector centroid dot; the
+    dominance check is an output-sized join over the verified pair
+    list. Nothing quadratic outside bucket occupancy — which
+    ``minhash_band_analysis``'s hyperplane twin would flag first."""
+    from ..functions.portable import dsum_exact
+    from .dedup import _persisted
+
+    v = _vectors(spark, sf_dir)
+    b = _persisted(_buckets(v))
+    vb = _persisted(v.join(b, "vec_id"))
+
+    dims = vb.select(
+        "vec_id", "bucket", F.posexplode("e").alias("dim_idx", "x")
+    )
+    cent = dims.groupBy("bucket", "dim_idx").agg(
+        pround(
+            F.sum(F.col("x").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("m")
+    )
+    cnorm = cent.groupBy("bucket").agg(
+        F.sqrt(dsum_exact(F.col("m") * F.col("m"))).alias("cn")
+    )
+    dots = (
+        dims.join(cent, ["bucket", "dim_idx"])
+        .groupBy("vec_id", "bucket")
+        .agg(dsum_exact(F.col("x") * F.col("m")).alias("dot"))
+    )
+    # clamp: the 1e-6 decimal quantization of the fold terms can push a
+    # self-similar singleton's cosine an epsilon past 1.0
+    scored = (
+        dots.join(cnorm, "bucket")
+        .join(vb.select("vec_id", _norm(F.col("e")).alias("vn")), "vec_id")
+        .select(
+            "vec_id",
+            "bucket",
+            F.greatest(
+                F.lit(-1.0),
+                F.least(
+                    F.lit(1.0),
+                    pround(F.col("dot") / (F.col("vn") * F.col("cn")), 6),
+                ),
+            ).alias("cos_centroid"),
+        )
+    )
+
+    pairs = dedup_embedding_cosine(spark, sf_dir)
+    partners = pairs.select(
+        F.col("a_id").alias("vec_id"), F.col("b_id").alias("partner")
+    ).union(
+        pairs.select(
+            F.col("b_id").alias("vec_id"), F.col("a_id").alias("partner")
+        )
+    )
+    pscore = scored.select(
+        F.col("vec_id").alias("partner"),
+        F.col("cos_centroid").alias("partner_cos"),
+    )
+    dominated = (
+        partners.join(scored, "vec_id")
+        .join(pscore, "partner")
+        .groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_partners"),
+            F.max(
+                (
+                    (F.col("partner_cos") < F.col("cos_centroid"))
+                    | (
+                        (F.col("partner_cos") == F.col("cos_centroid"))
+                        & (F.col("partner") < F.col("vec_id"))
+                    )
+                ).cast("int")
+            ).alias("is_dominated"),
+        )
+    )
+    return (
+        scored.join(dominated, "vec_id", "left")
+        .select(
+            "vec_id",
+            "bucket",
+            "cos_centroid",
+            F.coalesce("n_dup_partners", F.lit(0)).alias("n_dup_partners"),
+            F.when(F.coalesce("is_dominated", F.lit(0)) == 1, 0)
+            .otherwise(1)
+            .alias("keep"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+QUERIES["semdedup_prune"] = semdedup_prune
+
+_SQL_EMB_PAIRS = f"""
+          SELECT a.vec_id AS a_id, c.vec_id AS b_id
+          FROM v a
+          JOIN b ab ON ab.vec_id = a.vec_id
+          JOIN b cb ON cb.bucket = ab.bucket
+          JOIN v c ON c.vec_id = cb.vec_id AND a.vec_id < c.vec_id
+          WHERE round(list_dot_product(a.e, c.e)
+                   / (sqrt(list_dot_product(a.e, a.e))
+                      * sqrt(list_dot_product(c.e, c.e))), 9)
+                >= {COSINE_TAU}
+"""
+
+ORACLES["semdedup_prune"] = f"""
+    WITH v AS ({_SQL_V}),
+    b AS (
+{_SQL_BUCKETS}
+    ),
+    dims AS (
+      SELECT v.vec_id, b.bucket,
+             unnest(range(0, len(v.e))) AS dim_idx,
+             unnest(v.e) AS x
+      FROM v JOIN b ON b.vec_id = v.vec_id
+    ),
+    cent AS (
+      SELECT bucket, dim_idx,
+             {sql_pround(
+                 "(sum((x)::DECIMAL(28,6)))::DOUBLE / count(*)", 6
+             )} AS m
+      FROM dims GROUP BY bucket, dim_idx
+    ),
+    cn AS (
+      SELECT bucket,
+             sqrt((sum((m * m)::DECIMAL(28,6)))::DOUBLE) AS cn
+      FROM cent GROUP BY bucket
+    ),
+    dots AS (
+      SELECT d.vec_id, d.bucket,
+             (sum((d.x * c.m)::DECIMAL(28,6)))::DOUBLE AS dot
+      FROM dims d JOIN cent c
+        ON c.bucket = d.bucket AND c.dim_idx = d.dim_idx
+      GROUP BY d.vec_id, d.bucket
+    ),
+    scored AS (
+      SELECT dots.vec_id, dots.bucket,
+             greatest(-1.0, least(1.0, {sql_pround(
+                 "dot / (sqrt(list_dot_product(v.e, v.e)) * cn.cn)", 6
+             )})) AS cos_centroid
+      FROM dots
+      JOIN cn ON cn.bucket = dots.bucket
+      JOIN v ON v.vec_id = dots.vec_id
+    ),
+    pairs AS ({_SQL_EMB_PAIRS}),
+    partners AS (
+      SELECT a_id AS vec_id, b_id AS partner FROM pairs
+      UNION ALL
+      SELECT b_id AS vec_id, a_id AS partner FROM pairs
+    ),
+    dominated AS (
+      SELECT p.vec_id,
+             count(*) AS n_dup_partners,
+             max(CASE WHEN ps.cos_centroid < s.cos_centroid
+                        OR (ps.cos_centroid = s.cos_centroid
+                            AND p.partner < p.vec_id)
+                      THEN 1 ELSE 0 END) AS is_dominated
+      FROM partners p
+      JOIN scored s ON s.vec_id = p.vec_id
+      JOIN scored ps ON ps.vec_id = p.partner
+      GROUP BY p.vec_id
+    )
+    SELECT s.vec_id, s.bucket, s.cos_centroid,
+           coalesce(d.n_dup_partners, 0) AS n_dup_partners,
+           (CASE WHEN coalesce(d.is_dominated, 0) = 1
+                 THEN 0 ELSE 1 END)::INT AS keep
+    FROM scored s LEFT JOIN dominated d ON d.vec_id = s.vec_id
+    ORDER BY s.vec_id
+"""

@@ -128,7 +128,7 @@ for _mod in _MODULES:
 _PROMOTED = [
     # NOTE (round 5, late batch): scd2_alerts / orders_yoy_growth /
     # tokenizer_fertility / filter_retention_funnel /
-    # neardup_triangle_count are deliberately NOT promoted — the 50-key
+    # neardup_triangle_count / semdedup_prune are deliberately NOT promoted — the 50-key
     # driver window below is already consumed by this round's first-run
     # keys, so they are covered by the sf0.001 pytest parity gate this
     # round and MUST lead the round-6 rotation.

@@ -148,6 +148,11 @@ SHUFFLE_BUDGETS = {
     # dedup_incremental); its BNLJs are 1-row scalar-aggregate
     # cross-joins (nodes/edges/wedges/triangles), not data joins
     "neardup_triangle_count": 14,
+    # cold plan inlines the hyperplane-bucket pipeline for BOTH the
+    # centroid branch and the pair branch (persisted: one execution);
+    # every exchange past the two dims shuffles moves vector-grain or
+    # bucket-grain relations, never corpus^2
+    "semdedup_prune": 34,
 }
 
 

@@ -262,3 +262,53 @@ def test_write_zordered_rejects_wrong_arity(spark, tmp_path):
     ev = load_table(spark, SF_DIR, "events")
     with pytest.raises(ValueError):
         write_zordered(ev, str(tmp_path / "x"), ["user_id"])
+
+
+def test_semdedup_prune_keeps_the_outlier(spark, tmp_path):
+    """Planted near-dup pair: the member FARTHER from its cluster
+    centroid survives (SemDeDup's keep-the-outlier rule); vectors with
+    no near-dup partner all keep."""
+    from big_data_project_spark.operators import similarity
+
+    emb = spark.createDataFrame(
+        [
+            # cluster of three mutually-close vectors: 0 and 1 are
+            # near-dups (cos > 0.95); 2 pulls the centroid toward
+            # itself, so 0 (farther from centroid than 1) must win
+            (0, [1.0, 2.0, 3.0, 4.0], 0),
+            (1, [1.01, 2.0, 3.0, 4.0], 0),
+            (2, [-4.0, 3.0, -2.0, 1.0], 1),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    d = tmp_path / "sf"
+    emb.write.parquet(str(d / "embeddings.parquet"))
+    rows = {
+        r.vec_id: r
+        for r in similarity.semdedup_prune(spark, str(d)).collect()
+    }
+    assert len(rows) == 3
+    assert rows[2].n_dup_partners == 0 and rows[2].keep == 1
+    pair = [rows[0], rows[1]]
+    assert all(r.n_dup_partners == 1 for r in pair)
+    kept = [r for r in pair if r.keep == 1]
+    dropped = [r for r in pair if r.keep == 0]
+    assert len(kept) == 1 and len(dropped) == 1
+    # the keeper is the one with the LOWER centroid cosine (outlier)
+    assert (kept[0].cos_centroid, kept[0].vec_id) <= (
+        dropped[0].cos_centroid,
+        dropped[0].vec_id,
+    )
+
+
+def test_semdedup_sf_corpus_all_keep(spark):
+    """The sf corpora have no >=0.95-cosine pairs, so SemDeDup keeps
+    everything — and every vector still gets a bucket and a centroid
+    cosine in [-1, 1]."""
+    from big_data_project_spark.operators import similarity
+
+    rows = similarity.semdedup_prune(spark, SF_DIR).collect()
+    n_vecs = load_table(spark, SF_DIR, "embeddings").count()
+    assert len(rows) == n_vecs
+    assert all(r.keep == 1 and r.n_dup_partners == 0 for r in rows)
+    assert all(-1.0 <= r.cos_centroid <= 1.0 for r in rows)

@@ -985,3 +985,55 @@ ORACLES = {
         GROUP BY user_id, session_id
     """,
 }
+
+
+def stream_sessions_native(
+    sdf: DataFrame,
+    gap_minutes: int = SESSION_GAP_MINUTES,
+    watermark: str = WATERMARK,
+) -> DataFrame:
+    """JVM-native sessionization via ``F.session_window`` — the
+    built-in merging-session-window aggregation (state store managed
+    by the engine, whole-stage codegen around it, no Python workers).
+    This is the PREFERRED scale path for plain gap sessionization; the
+    applyInPandasWithState twin (``sessionize_stream``) remains for
+    semantics the built-in cannot express (per-event emission,
+    custom carry-over state).
+
+    Boundary semantics vs the batch/lag rule: the built-in merges
+    events whose gap is STRICTLY below the gap (a window spans
+    [ts, ts+gap) and merging needs overlap), while the lag rule starts
+    a new session only when gap > threshold — an event at EXACTLY the
+    gap stays merged in batch but splits here. Microsecond event time
+    makes an exact-gap tie measure-zero in practice; documented
+    because a second-granularity feed would hit it.
+
+    session_end is max(ts) (the last EVENT, like the batch twin), not
+    the window's speculative close (last ts + gap) the engine reports
+    in session_window.end."""
+    return (
+        sdf.withWatermark("ts", watermark)
+        .groupBy(
+            F.session_window("ts", f"{gap_minutes} minutes").alias("w"),
+            "user_id",
+        )
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            "session_start",
+            "session_end",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def stream_sessions_native_from_dir(
+    spark: SparkSession, events_dir: "str | DataFrame"
+) -> DataFrame:
+    return stream_sessions_native(events_source(spark, events_dir))

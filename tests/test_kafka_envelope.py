@@ -11,6 +11,7 @@ checking batch equivalence end-to-end.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from big_data_project_spark.catalog import load_table
@@ -119,3 +120,35 @@ def test_streamed_envelope_hourly_equals_batch(spark, tmp_path):
     got = sorted(map(tuple, streamed.collect()))
     want = sorted(map(tuple, batch.collect()))
     assert got == want
+
+
+def test_native_session_window_equals_batch(spark, tmp_path):
+    """The JVM-native session_window aggregation reproduces the batch
+    lag-rule sessions exactly on the microsecond feed (session count,
+    per-session bounds, event counts, value sums)."""
+    from big_data_project_spark.streaming.pipeline import (
+        sessionize_batch,
+        stream_sessions_native_from_dir,
+    )
+
+    events = load_table(spark, SF_DIR, "events")
+    src = str(tmp_path / "sess_native_src")
+    events.write.parquet(src)
+    streamed = pipeline.run_available_now(
+        stream_sessions_native_from_dir(spark, src),
+        "native_sessions",
+        output_mode="complete",
+    ).collect()
+    batch = sessionize_batch(spark, SF_DIR).collect()
+    assert len(streamed) == len(batch)
+    key = lambda r: (r.user_id, r.session_start)  # noqa: E731
+    got = {key(r): r for r in streamed}
+    want = {key(r): r for r in batch}
+    assert set(got) == set(want)
+    for k, g in got.items():
+        w = want[k]
+        assert g.session_end == w.session_end
+        assert g.n_events == w.n_events
+        assert g.total_value == pytest.approx(
+            w.total_value or 0.0, abs=1e-3
+        ) or (g.total_value is None and w.total_value is None)

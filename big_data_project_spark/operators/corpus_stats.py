@@ -824,7 +824,10 @@ ORACLES["neardup_triangle_count"] = f"""
     nodes AS (SELECT count(DISTINCT doc_id) AS n_nodes FROM nb),
     edges AS (SELECT count(*) AS n_edges FROM pairs),
     wedges AS (
-      SELECT (sum(degree::HUGEINT * (degree - 1)) // 2)::HUGEINT
+      -- DECIMAL(38,0), not HUGEINT: the type-portability gate requires
+      -- the Spark decimal's exact twin (HUGEINT hashes alike but is
+      -- not a Spark-representable type)
+      SELECT (sum(degree::HUGEINT * (degree - 1)) // 2)::DECIMAL(38,0)
                AS n_wedges
       FROM deg
     ),

@@ -764,13 +764,17 @@ def neardup_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cites: reference has no graph surface; public recipe is the
     Cohen / Suri-Vassilvitskii MapReduce triangle enumeration."""
     from ..caching import persisted
-    from .corpus import _near_dup_neighbors
     from .dedup import dedup_minhash_lsh
 
     pairs = persisted(
         dedup_minhash_lsh(spark, sf_dir).select("a_id", "b_id")
     )
-    nb = _near_dup_neighbors(spark, sf_dir)
+    # symmetric endpoint view derived from the SAME persisted pair
+    # list (corpus._near_dup_neighbors would persist a second,
+    # near-identical copy of the LSH output for the session lifetime)
+    nb = pairs.select(F.col("a_id").alias("doc_id")).union(
+        pairs.select(F.col("b_id").alias("doc_id"))
+    )
 
     ab = pairs.select(F.col("a_id").alias("a"), F.col("b_id").alias("b"))
     bc = pairs.select(F.col("a_id").alias("b"), F.col("b_id").alias("c"))

@@ -480,13 +480,27 @@ def write_zordered(
     )
 
     def bucket(col, lo, hi):
-        span = (F.col(hi) - F.col(lo)).cast("double") + 1.0
-        raw = F.floor(
-            (F.col(col) - F.col(lo)).cast("double")
-            * (1 << _Z_BITS)
-            / span
-        )
-        return F.least(F.lit((1 << _Z_BITS) - 1), raw).cast("long")
+        # span is the raw (max - min): a "+1" pad is only correct for
+        # integer keys and collapses the grid to a handful of buckets
+        # on fractional domains narrower than 1. col == max maps to
+        # 2^bits and is clamped back; a constant column (span 0) maps
+        # everything to bucket 0. NULL keys must stay NULL here —
+        # F.least SKIPS nulls, so an un-guarded clamp would silently
+        # assign NULLs the TOP grid coordinate instead of letting the
+        # z-key coalesce route them to the nulls-first file.
+        span = (F.col(hi) - F.col(lo)).cast("double")
+        raw = F.when(
+            span > 0,
+            F.floor(
+                (F.col(col) - F.col(lo)).cast("double")
+                * (1 << _Z_BITS)
+                / span
+            ),
+        ).otherwise(F.lit(0))
+        return F.when(
+            F.col(col).isNotNull(),
+            F.least(F.lit((1 << _Z_BITS) - 1), raw),
+        ).cast("long")
 
     # 12-bit coords interleave within the 16-bit spread masks; b's
     # spread shifts up one so the dimensions alternate bits

@@ -82,10 +82,15 @@ def decode_events_envelope(
     if drop_malformed:
         # PERMISSIVE from_json maps a malformed payload to an all-NULL
         # row, not a NULL struct, so validity needs its own probe:
-        # try_parse_json is NULL exactly for non-JSON bytes (JVM-side,
-        # same codegen stage)
+        # re-parsing as a MAP is NULL exactly when the payload is not a
+        # JSON OBJECT — catching non-JSON bytes AND well-formed
+        # non-objects ('42', '"hi"', '[1,2,3]') that a JSON-validity
+        # check alone would let through as all-NULL event rows.
+        # JVM-side, same codegen stage.
         parsed = parsed.filter(
-            F.try_parse_json(F.col("__raw").cast("string")).isNotNull()
+            F.from_json(
+                F.col("__raw").cast("string"), "map<string,string>"
+            ).isNotNull()
         )
     return parsed.select("e.*", "kafka_ts")
 

@@ -58,7 +58,9 @@ def test_envelope_key_preserves_user_partitioning(spark):
     """The encode side keys records by user_id (as a utf8 binary), the
     property a keyed topic needs for the stateful twins' per-user
     ordering assumption."""
-    events = load_table(spark, SF_DIR, "events").limit(50)
+    # orderBy before limit: a bare limit() is not deterministic across
+    # the two collect actions below
+    events = load_table(spark, SF_DIR, "events").orderBy("event_id").limit(50)
     rows = encode_events_envelope(events, "t").select(
         F.col("key").cast("string").alias("k")
     ).collect()
@@ -67,21 +69,26 @@ def test_envelope_key_preserves_user_partitioning(spark):
 
 
 def test_malformed_payloads_route_or_drop(spark):
-    """Non-JSON payloads decode to NULL-struct rows (kept for a
-    dead-letter sink) and disappear under drop_malformed."""
+    """Payloads that are not JSON OBJECTS — byte garbage AND
+    well-formed non-objects (bare number/string/array) — decode to
+    all-NULL rows (kept for a dead-letter sink) and ALL disappear
+    under drop_malformed."""
     raw = spark.createDataFrame(
         [
             ('{"event_id": 1, "ts": "2026-01-01 00:00:00", "user_id": 2,'
              ' "event_type": "view", "value": 1.5, "props": "{}"}',),
             ("this is not json",),
+            ("42",),
+            ('"hello"',),
+            ("[1, 2, 3]",),
         ],
         "v string",
     ).select(F.col("v").cast("binary").alias("value"))
     kept = decode_events_envelope(raw).collect()
-    assert len(kept) == 2
+    assert len(kept) == 5
     assert sorted(
         (r.event_id is None) for r in kept
-    ) == [False, True]
+    ) == [False, True, True, True, True]
     dropped = decode_events_envelope(raw, drop_malformed=True).collect()
     assert len(dropped) == 1 and dropped[0].event_type == "view"
 

@@ -312,3 +312,52 @@ def test_semdedup_sf_corpus_all_keep(spark):
     assert len(rows) == n_vecs
     assert all(r.keep == 1 and r.n_dup_partners == 0 for r in rows)
     assert all(-1.0 <= r.cos_centroid <= 1.0 for r in rows)
+
+
+def test_write_zordered_nulls_and_fractional_domain(spark, tmp_path):
+    """NULL keys route to the nulls-first (z = -1) file instead of
+    inheriting the TOP grid coordinate, and a sub-1.0 fractional
+    domain still spreads across the full grid (the +1 span pad would
+    collapse it to a handful of buckets)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from big_data_project_spark.plans.sinks import write_zordered
+
+    df = spark.range(4000).select(
+        F.col("id").alias("k"),
+        # fractional domain [0, 0.4): narrower than 1.0
+        (F.col("id") % 400 / 1000.0).alias("x"),
+        F.when(F.col("id") % 100 == 0, None)
+        .otherwise(F.col("id") % 97)
+        .cast("double")
+        .alias("y"),
+    )
+    path = str(tmp_path / "zfrac")
+    write_zordered(df, path, ["x", "y"], n_files=8)
+    back = spark.read.parquet(path)
+    assert back.count() == 4000
+    assert back.filter(F.col("y").isNull()).count() == 40
+
+    # NULL-y rows pack into the z=-1 (first) range partition only
+    files = sorted(glob.glob(f"{path}/part-*.parquet"))
+    files_with_nulls = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        yidx = next(
+            i for i in range(len(md.schema))
+            if md.schema.column(i).name == "y"
+        )
+        nulls = sum(
+            md.row_group(g).column(yidx).statistics.null_count
+            for g in range(md.num_row_groups)
+        )
+        if nulls:
+            files_with_nulls += 1
+    assert files_with_nulls == 1
+
+    # fractional x still prunes: a mid-domain point probe must not be
+    # covered by every file's [min,max] on x
+    frac = _file_cover_fraction(path, "x", 0.2)
+    assert frac <= 0.8

@@ -82,6 +82,11 @@ R5_HEADLINE = [
     "basket_part_pairs",
     "open_orders_monthly",
     "dup_quality_bias",
+    # round-5 ninth batch (appended per frozen-order protocol): the
+    # one-exchange SCD2 history window and the SemDeDup centroid
+    # pipeline (two dims shuffles + output-sized dominance join)
+    "scd2_alerts",
+    "semdedup_prune",
 ]
 HEADLINE = R2_HEADLINE + R3_HEADLINE + R4_HEADLINE + R5_HEADLINE
 _R2_KEYS = frozenset(R2_HEADLINE)

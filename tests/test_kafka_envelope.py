@@ -159,3 +159,63 @@ def test_native_session_window_equals_batch(spark, tmp_path):
         assert g.total_value == pytest.approx(
             w.total_value or 0.0, abs=1e-3
         ) or (g.total_value is None and w.total_value is None)
+
+
+def test_native_session_checkpoint_recovery(spark, tmp_path):
+    """Two availableNow runs over a growing source with a SHARED
+    checkpoint: the engine-managed session state must survive the
+    restart, MERGE the second run's in-gap event into the recovered
+    open session, and emit it as ONE session row once a later event
+    pushes the watermark past its close."""
+    from big_data_project_spark.streaming.pipeline import (
+        stream_sessions_native_from_dir,
+    )
+
+    src = str(tmp_path / "ns_src")
+    ckpt = str(tmp_path / "ns_ckpt")
+    out = str(tmp_path / "ns_out")
+    schema = (
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string"
+    )
+
+    def push(rows):
+        spark.createDataFrame(rows, schema).withColumn(
+            "ts", F.to_timestamp("ts")
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        q = (
+            stream_sessions_native_from_dir(spark, src)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    push([
+        (1, "2026-01-01 10:00:00", 7, "view", 1.0, "{}"),
+        (2, "2026-01-01 10:05:00", 7, "click", 2.0, "{}"),
+    ])
+    run_once()
+    # in-gap event must MERGE into the recovered session; the far
+    # user-8 event advances the watermark (2h) past the merged
+    # session's close so it finally emits
+    push([
+        (3, "2026-01-01 10:20:00", 7, "purchase", 3.0, "{}"),
+        (4, "2026-01-02 10:00:00", 8, "view", 0.0, "{}"),
+    ])
+    run_once()
+
+    rows = [
+        r for r in spark.read.parquet(out).collect() if r.user_id == 7
+    ]
+    assert len(rows) == 1
+    s = rows[0]
+    assert s.n_events == 3
+    assert s.session_start.isoformat() == "2026-01-01T10:00:00"
+    assert s.session_end.isoformat() == "2026-01-01T10:20:00"
+    assert s.total_value == 6.0

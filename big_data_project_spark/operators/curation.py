@@ -752,11 +752,15 @@ def filter_retention_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     stages-sized aggregate and a <=5-row window — corpus-linear
     total."""
     c = doc_filter_cascade(spark, sf_dir)
+    # fallback mirrors the oracle's CASE ... ELSE 5: a cascade reason
+    # added later folds into the terminal stage on BOTH engines instead
+    # of silently diverging (Spark NULL stage_idx vs oracle stage 5)
     idx = F.coalesce(
         *[
             F.when(F.col("reason") == r, F.lit(i))
             for r, i in _STAGE_IDX.items()
-        ]
+        ],
+        F.lit(_STAGE_IDX["keep"]),
     )
     counts = c.groupBy(idx.alias("stage_idx"), "reason").agg(
         F.count(F.lit(1)).alias("n_docs")

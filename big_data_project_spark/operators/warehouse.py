@@ -558,21 +558,21 @@ def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     fake 0% baseline.
 
     Scale: ONE corpus-scale aggregate to year grain (no join at all —
-    order value lives on the orders row), then a years-sized self
-    equi-join on year-1. The prev-year lookup is an equi-join, not a
-    range/window over the fact table; at 100 TB of orders the only
-    corpus-scale work is the map-side partial sum."""
+    order value lives on the orders row), then a years-sized
+    range-window lookup of year-1 OVER THE AGGREGATED FRAME — not a
+    self-join of the unpersisted aggregate, which would execute the
+    corpus scan twice. rangeBetween(-1, -1) reads exactly the year-1
+    row when it exists and NULL across gap years (lag() would wrongly
+    bridge a missing year); at 100 TB of orders the only corpus-scale
+    work is the map-side partial sum, and it runs once."""
     o = load_table(spark, sf_dir, "orders")
     yearly = o.groupBy(F.year("o_orderdate").alias("order_year")).agg(
         F.count(F.lit(1)).alias("n_orders"),
         dsum_exact("o_totalprice").alias("rev_raw"),
     )
-    prev = yearly.select(
-        (F.col("order_year") + 1).alias("order_year"),
-        F.col("rev_raw").alias("prev_raw"),
-    )
+    w_prev = Window.orderBy("order_year").rangeBetween(-1, -1)
     return (
-        yearly.join(prev, "order_year", "left")
+        yearly.withColumn("prev_raw", F.max("rev_raw").over(w_prev))
         .select(
             "order_year",
             "n_orders",

@@ -117,72 +117,25 @@ for _mod in _MODULES:
             raise ValueError(f"oracle without query: {_name}")
         ORACLES[_name] = _sql
 
-# Key-level promotion: the driver's correctness walk covers ~50 keys
+# Key-level promotion: the driver's correctness walk covers 50 keys
 # per round in registration order, so this list IS the evidence
-# rotation (round-4 verdict item 2). Round 5: first the never-evidenced
-# round-5 keys (first-round keys MUST get a driver row), then the
-# 32-key cohort whose newest driver row is still CORRECTNESS_r01
-# (suggestions/validation/geo/tpch/tpch_ext — code untouched since
-# round 1, but rotation means re-running, not git archaeology); the
-# r02-evidenced families trail in module order.
+# rotation. Round 6 (round-5 verdict items 1-2): FIRST the new
+# round-6 keys (first-round keys MUST get a driver row), THEN the six
+# round-5 late-batch keys that have never had a driver row, THEN the
+# 31-key cohort whose newest driver row is still CORRECTNESS_r01
+# (suggestions/validation/geo/tpch/tpch_ext — untouched since round 1;
+# rotation means re-running, not git archaeology). After round 6 the
+# union should be 100% driver-evidenced. Everything green in r02-r05
+# keeps its union evidence and trails in module order.
 _PROMOTED = [
-    # NOTE (round 5, late batch): scd2_alerts / orders_yoy_growth /
-    # tokenizer_fertility / filter_retention_funnel /
-    # neardup_triangle_count / semdedup_prune are deliberately NOT promoted — the 50-key
-    # driver window below is already consumed by this round's first-run
-    # keys, so they are covered by the sf0.001 pytest parity gate this
-    # round and MUST lead the round-6 rotation.
-    # --- NEW in round 5 (appended as they land) ---
-    "baseline_leaderboard",
-    "q21_waiting_suppliers",
-    "delay_autocorrelation",
-    "weather_delay_corr",
-    "power_user_curve",
-    "user_churn",
-    "session_duration_histogram",
-    "session_concurrency_hourly",
-    "ann_recall_eval",
-    "orders_fk_audit",
-    "exact_substring_spans",
-    "vocab_growth_curve",
-    "multimodal_audio_windows",
-    "span_provenance",
-    "event_type_lift",
-    "rfm_segments",
-    "order_priority_sla",
-    "multimodal_payload_dedup",
-    "delay_winsorized_mean",
-    "event_pagerank",
-    "doc_top_terms",
-    "delay_drift_psi",
-    "purchase_survival_km",
-    "table_profile_lineitem",
-    "customer_ltv_deciles",
-    "order_fulfillment_lag",
-    "orders_monthly_share",
-    "customer_tenure_histogram",
-    "route_delay_mad_outliers",
-    "attribution_last_touch",
-    "event_value_decay",
-    "inverted_index_sample",
-    "part_revenue_abc",
-    "basket_part_pairs",
-    "customer_order_gaps",
-    "supplier_concentration_hhi",
-    "sales_grouping_sets",
-    "dedup_normalized",
-    "seasonality_strength",
-    "user_activity_gini",
-    "open_orders_monthly",
-    "dup_quality_bias",
-    "attribution_linear",
-    "cohort_ltv_triangle",
-    "revenue_stl_decompose",
-    "lineitem_constraint_audit",
-    "doc_shingle_containment",
-    "delay_anomaly_runs",
-    "salted_event_type_counts",
-    "embedding_gram_matrix",
+    # --- NEW in round 6 (appended as they land) ---
+    # --- round-5 late batch: never driver-evidenced; MUST lead ---
+    "scd2_alerts",
+    "orders_yoy_growth",
+    "tokenizer_fertility",
+    "filter_retention_funnel",
+    "neardup_triangle_count",
+    "semdedup_prune",
     # --- r01-stale cohort: newest driver evidence is CORRECTNESS_r01 ---
     "peak_hours_summary",
     "suggestions",
@@ -216,6 +169,34 @@ _PROMOTED = [
     "q19_disjunctive_revenue",
     "single_supplier_orders",
     "idle_rich_customers",
+    # --- r02-stale cohort: fills whatever remains of the 50-key
+    # window after the never-evidenced + r01 cohorts; overflow simply
+    # rolls to the round-7 rotation ---
+    "passenger_flow_sim",
+    "props_feed_normalize",
+    "proto_delay_hourly",
+    "token_count",
+    "quality_score",
+    "doc_fingerprint",
+    "doc_stats",
+    "doc_chunking",
+    "pii_scrub",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "minhash_accuracy",
+    "dedup_simhash",
+    "multimodal_meta",
+    "multimodal_features",
+    "stratified_doc_sample",
+    "dedup_clusters",
+    "dedup_keep_list",
+    "embedding_norms",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "dedup_embedding_cosine",
+    "embedding_label_outliers",
+    "text_embedding_agreement",
 ]
 _missing = [k for k in _PROMOTED if k not in QUERIES]
 if _missing:

@@ -25,9 +25,12 @@ it, pointing the pipeline at a real cluster is exactly
 — configuration plus one tested function, no library edits.
 
 JSON is decoded with ``from_json`` (JVM-side Jackson, whole-stage
-codegen friendly — never a Python UDF). Malformed payloads produce a
-NULL struct, kept by default so the caller can route them to a
-dead-letter sink; ``drop_malformed=True`` filters them.
+codegen friendly — never a Python UDF). Malformed payloads decode to
+all-NULL rows, kept by default WITH the original bytes in a
+``corrupt_payload`` column so the caller can route them to a
+dead-letter sink with something to archive; ``drop_malformed=True``
+filters them (and omits the column — the clean path keeps the clean
+schema).
 """
 
 from __future__ import annotations
@@ -79,20 +82,28 @@ def decode_events_envelope(
         F.col("value").alias("__raw"),
         kafka_ts.alias("kafka_ts"),
     )
+    # PERMISSIVE from_json maps a malformed payload to an all-NULL
+    # row, not a NULL struct, so validity needs its own probe:
+    # re-parsing as a MAP is NULL exactly when the payload is not a
+    # JSON OBJECT — catching non-JSON bytes AND well-formed
+    # non-objects ('42', '"hi"', '[1,2,3]') that a JSON-validity
+    # check alone would let through as all-NULL event rows.
+    # JVM-side, same codegen stage.
+    is_object = F.from_json(
+        F.col("__raw").cast("string"), "map<string,string>"
+    ).isNotNull()
     if drop_malformed:
-        # PERMISSIVE from_json maps a malformed payload to an all-NULL
-        # row, not a NULL struct, so validity needs its own probe:
-        # re-parsing as a MAP is NULL exactly when the payload is not a
-        # JSON OBJECT — catching non-JSON bytes AND well-formed
-        # non-objects ('42', '"hi"', '[1,2,3]') that a JSON-validity
-        # check alone would let through as all-NULL event rows.
-        # JVM-side, same codegen stage.
-        parsed = parsed.filter(
-            F.from_json(
-                F.col("__raw").cast("string"), "map<string,string>"
-            ).isNotNull()
-        )
-    return parsed.select("e.*", "kafka_ts")
+        return parsed.filter(is_object).select("e.*", "kafka_ts")
+    # kept-malformed path: the all-NULL row alone is undiagnosable, so
+    # surface the original bytes (NULL on well-formed rows) — the
+    # dead-letter sink archives `corrupt_payload IS NOT NULL`.
+    return parsed.select(
+        "e.*",
+        "kafka_ts",
+        F.when(is_object, F.lit(None).cast("binary"))
+        .otherwise(F.col("__raw"))
+        .alias("corrupt_payload"),
+    )
 
 
 def encode_events_envelope(events: DataFrame, topic: str) -> DataFrame:

@@ -882,7 +882,13 @@ _ATTRIB_OUT = StructType(
 
 # last non-purchase touch per user — O(1) state, sharded on user_id
 # like the funnel/transition twins (no event-time cursor: nothing
-# reads one, and unread fields only inflate the state store)
+# reads one, and unread fields only inflate the state store).
+# COMPATIBILITY NOTE: round 5 shrank this from 3 fields to 1; the
+# state-store schema is part of a checkpoint's contract, so any
+# stream_attribution checkpoint written by the 3-field version fails
+# Spark's state-schema compatibility check on restart — restart those
+# streams with a NEW checkpoint location (the source replays; the
+# attribution pre-aggregates are idempotent to downstream re-summing).
 _ATTRIB_STATE = StructType([StructField("last_touch", StringType())])
 
 
@@ -1010,7 +1016,15 @@ def stream_sessions_native(
 
     session_end is max(ts) (the last EVENT, like the batch twin), not
     the window's speculative close (last ts + gap) the engine reports
-    in session_window.end."""
+    in session_window.end.
+
+    total_value folds through DECIMAL(28,6) like every streaming twin
+    (stream_events_hourly's davg convention): session state merges in
+    arbitrary order across batches, so a plain double sum + round(4)
+    would not be guaranteed to match the batch rule at 4dp for large
+    sessions — the decimal fold is order-independent by construction."""
+    from ..functions.portable import dsum
+
     return (
         sdf.withWatermark("ts", watermark)
         .groupBy(
@@ -1021,7 +1035,7 @@ def stream_sessions_native(
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            dsum("value", 4).alias("total_value"),
         )
         .select(
             "user_id",

@@ -89,8 +89,22 @@ def test_malformed_payloads_route_or_drop(spark):
     assert sorted(
         (r.event_id is None) for r in kept
     ) == [False, True, True, True, True]
+    # dead-letter routing: malformed rows keep their ORIGINAL bytes in
+    # corrupt_payload; well-formed rows carry NULL there
+    for r in kept:
+        if r.event_id is None:
+            assert r.corrupt_payload is not None
+            assert len(bytes(r.corrupt_payload)) > 0
+        else:
+            assert r.corrupt_payload is None
+    assert {
+        bytes(r.corrupt_payload).decode()
+        for r in kept
+        if r.corrupt_payload is not None
+    } == {"this is not json", "42", '"hello"', "[1, 2, 3]"}
     dropped = decode_events_envelope(raw, drop_malformed=True).collect()
     assert len(dropped) == 1 and dropped[0].event_type == "view"
+    assert "corrupt_payload" not in dropped[0].asDict()
 
 
 def test_streamed_envelope_hourly_equals_batch(spark, tmp_path):

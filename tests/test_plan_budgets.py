@@ -141,18 +141,22 @@ SHUFFLE_BUDGETS = {
     "embedding_gram_matrix": 2,
     # round-5 ninth batch (measured cold-plan counts)
     "scd2_alerts": 1,  # row_number + lead share ONE dimension-key exchange
-    "orders_yoy_growth": 3,  # year agg + years-sized self-join sides
+    # year agg + years-sized range window (round 6: the self-join of
+    # the unpersisted aggregate is gone — the corpus scans once)
+    "orders_yoy_growth": 2,
     "tokenizer_fertility": 2,
     "filter_retention_funnel": 3,  # cascade agg + <=5-row window
     # includes the whole persisted LSH pipeline (same class as
     # dedup_incremental); its BNLJs are 1-row scalar-aggregate
     # cross-joins (nodes/edges/wedges/triangles), not data joins
     "neardup_triangle_count": 14,
-    # cold plan inlines the hyperplane-bucket pipeline for BOTH the
-    # centroid branch and the pair branch (persisted: one execution);
-    # every exchange past the two dims shuffles moves vector-grain or
-    # bucket-grain relations, never corpus^2
-    "semdedup_prune": 34,
+    # round 6 (was 34): the centroid tier now broadcasts bucket-sized
+    # centroid ARRAYS back over the corpus instead of re-joining the
+    # exploded dims (one corpus x d shuffle, not two), and the pair
+    # tier shares the SAME persisted bucketed corpus — the cold plan
+    # still inlines that lineage per branch, but every exchange moves
+    # vector-grain or bucket-grain relations, never corpus^2
+    "semdedup_prune": 19,
 }
 
 

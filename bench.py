@@ -88,8 +88,48 @@ R5_HEADLINE = [
     "scd2_alerts",
     "semdedup_prune",
 ]
-HEADLINE = R2_HEADLINE + R3_HEADLINE + R4_HEADLINE + R5_HEADLINE
+R6_HEADLINE = [
+    # round-6: the schema-faithful GTFS-RT FeedMessage decode (two
+    # chained Arrow mapInPandas stages, zero shuffles — the Python
+    # crossing cost is the thing measured)
+    "proto_feed_entities",
+]
+HEADLINE = R2_HEADLINE + R3_HEADLINE + R4_HEADLINE + R5_HEADLINE + R6_HEADLINE
 _R2_KEYS = frozenset(R2_HEADLINE)
+
+# A steady-state timing more than this factor above the previous
+# round's is stamped into the headline JSON (round-5 verdict item 7:
+# seven r4->r5 key regressions were ambient-load artifacts that the
+# 25% `contended` threshold missed — per-key deltas self-report).
+REGRESSION_RATIO = 1.25
+
+
+def _prior_round_queries(sf: float | None) -> tuple[str | None, dict[str, float]]:
+    """Steady per-query timings from the newest BENCH_r{N}.json the
+    driver left in the repo root (its `parsed` field is the prior
+    round's headline JSON). Only comparable history counts: a prior
+    artifact at a DIFFERENT scale factor (e.g. a local sf0.001 smoke
+    vs the driver's sf0.1) is skipped. Missing/unparsed artifacts
+    degrade to 'no prior' — the bench never fails on absent history."""
+    import glob
+    import re
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    best, best_n = None, -1
+    for p in glob.glob(os.path.join(root, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m and int(m.group(1)) > best_n:
+            best, best_n = p, int(m.group(1))
+    if best is None:
+        return None, {}
+    try:
+        with open(best) as fh:
+            parsed = json.load(fh).get("parsed") or {}
+        if sf is not None and parsed.get("sf") != sf:
+            return None, {}
+        return os.path.basename(best), dict(parsed.get("queries") or {})
+    except (OSError, ValueError):
+        return None, {}
 
 # Ambient-load threshold for the `contended` flag: BENCH_r03 was taken
 # under ~10x co-tenant load and its absolute numbers were unusable as
@@ -276,8 +316,23 @@ def main() -> None:
         #   - final stdout line: the COMPACT headline JSON only
         #     (metric/value/total_r2_keys_sec/queries/total_cold_sec/
         #     contended/sf) — well under the capture window.
+        # Round-over-round self-report: ratio of this round's steady min
+        # to the prior round's, per shared key. Full ratio map goes to
+        # the detail file; only >REGRESSION_RATIO moves reach the
+        # headline line (with the prior artifact named), so a reader
+        # sees regressions without diffing artifacts by hand.
+        prior_name, prior_q = _prior_round_queries(sf)
+        ratios = {
+            k: round(v / prior_q[k], 2)
+            for k, v in timings.items()
+            if prior_q.get(k)
+        }
+        regressed = {k: r for k, r in ratios.items() if r > REGRESSION_RATIO}
+
         detail = {
             "queries_cold": cold,
+            "prior_round": prior_name,
+            "vs_prior_ratio": ratios,
             # Host-contention evidence (round-3 verdict item 1): ambient
             # load was sampled before Spark started; per-query
             # [before, after] 1-min load averages let a reader attribute
@@ -317,6 +372,17 @@ def main() -> None:
                     # absolute numbers should not be compared across rounds
                     # (min-of-N still converges from above).
                     "contended": contended,
+                    # fraction of the CPU quota the ambient 1-min load
+                    # was eating when the bench started — readers judge
+                    # sub-threshold contention without BENCH_DETAIL
+                    "ambient_load_frac": round(
+                        ambient["load_1m"] / ambient["cpus"], 3
+                    ),
+                    # steady keys >1.25x slower than the prior round's
+                    # artifact (empty = no regressions); full per-key
+                    # ratios in BENCH_DETAIL.json
+                    "prior_round": prior_name,
+                    "regressed_vs_prior": regressed,
                     "sf": sf,
                 }
             )

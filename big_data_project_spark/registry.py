@@ -129,6 +129,7 @@ for _mod in _MODULES:
 # keeps its union evidence and trails in module order.
 _PROMOTED = [
     # --- NEW in round 6 (appended as they land) ---
+    "proto_feed_entities",
     # --- round-5 late batch: never driver-evidenced; MUST lead ---
     "scd2_alerts",
     "orders_yoy_growth",

@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.portable import davg, sql_davg
+from ..functions.portable import davg, sql_davg, sql_pround
 
 # --- wire-format primitives (protobuf encoding spec) -------------------
 
@@ -208,7 +208,282 @@ def proto_delay_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"proto_delay_hourly": proto_delay_hourly}
+# --- schema-faithful FeedMessage graph (round-5 verdict item 6) --------
+#
+# The reference parses the REAL GTFS-RT message graph
+# (gtfs_realtime_pb2.FeedMessage, poller.py:69) and walks three entity
+# shapes: entity.vehicle (process_vehicle_positions, poller.py:75-115),
+# entity.trip_update (process_trip_updates, poller.py:117-157) and
+# entity.alert (process_alerts, poller.py:159-188). The subset above
+# (encode_trip_update_entity) covers only the flat trip-update fields;
+# this section implements the nested FeedMessage per the PUBLIC GTFS-RT
+# spec (gtfs-realtime.proto field numbers):
+#
+#   FeedMessage{header=1, entity=2}
+#   FeedHeader{gtfs_realtime_version=1, timestamp=3}
+#   FeedEntity{id=1, trip_update=3, vehicle=4, alert=5}
+#   TripUpdate{trip=1, stop_time_update=2, delay=5}
+#   TripDescriptor{trip_id=1, route_id=5}
+#   StopTimeUpdate{stop_sequence=1, arrival=2, departure=3, stop_id=4}
+#   StopTimeEvent{delay=1}
+#   VehiclePosition{trip=1, position=2, timestamp=5, vehicle=8}
+#   Position{latitude=1 float, longitude=2 float, bearing=3 float,
+#            speed=5 float}
+#   VehicleDescriptor{id=1}
+#   Alert{cause=6, effect=7, header_text=10}
+#   TranslatedString{translation=1}; Translation{text=1, language=2}
+#
+# Encoding derives every entity DETERMINISTICALLY from an events row
+# (kind = event_id % 3), so the decode pipeline stays inside the
+# oracle-hash contract: the DuckDB oracle recomputes the same typed
+# rows straight from the events table, and any wire-format bug in the
+# nested round trip breaks the hash. Optional-field presence is
+# exercised the way the poller tests HasField: bearing only on even
+# event_ids, speed/arrival-departure delays only when value is
+# present, route_id/header_text omitted when event_type is NULL.
+#
+# float32 portability: Position floats are packed with
+# struct.pack('<f', x) — IEEE round-to-nearest-even, the SAME
+# quantization DuckDB applies in CAST(x AS REAL) — so the re-widened
+# doubles are bit-identical across engines before the 6dp display
+# rounding.
+
+import struct
+
+
+def _enc_f32(field: int, v: float) -> bytes:
+    return _enc_tag(field, _I32) + struct.pack("<f", v)
+
+
+def _f32(raw: bytes) -> float:
+    return struct.unpack("<f", raw)[0]
+
+
+def _encode_entity_from_event(
+    eid: int, uid: int, etype: str | None, value: float | None, epoch_s: int
+) -> bytes:
+    """One FeedEntity, shape chosen by event_id % 3 (0=vehicle,
+    1=trip_update, 2=alert) — every field the reference poller reads."""
+    kind = eid % 3
+    ent = _enc_len(1, f"e{eid}".encode())
+    trip = _enc_len(1, f"t{uid}".encode())
+    if etype is not None:
+        trip += _enc_len(5, etype.encode())
+    if kind == 0:  # VehiclePosition
+        pos = _enc_f32(1, 44.0 + (eid % 1000) * 0.001) + _enc_f32(
+            2, 26.0 + (uid % 1000) * 0.001
+        )
+        if eid % 2 == 0:
+            pos += _enc_f32(3, float(eid % 360))
+        if value is not None:
+            pos += _enc_f32(5, value)
+        vp = (
+            _enc_len(1, trip)
+            + _enc_len(2, pos)
+            + _enc_int(5, epoch_s)
+            + _enc_len(8, _enc_len(1, f"v{uid}".encode()))
+        )
+        return ent + _enc_len(4, vp)
+    if kind == 1:  # TripUpdate with nested StopTimeUpdates
+        d = int(math.floor(value)) if value is not None else 0
+        tu = _enc_len(1, trip)
+        for k in range(uid % 3):
+            stu = _enc_int(1, k + 1) + _enc_len(4, f"s{uid + k}".encode())
+            stu += _enc_len(2, _enc_int(1, d + k))  # arrival
+            if k % 2 == 1:
+                stu += _enc_len(3, _enc_int(1, d - k))  # departure
+            tu += _enc_len(2, stu)
+        tu += _enc_int(5, d)
+        return ent + _enc_len(3, tu)
+    # Alert
+    alert = _enc_int(6, 1 + eid % 12) + _enc_int(7, 1 + uid % 11)
+    if etype is not None:
+        tr = _enc_len(1, etype.encode()) + _enc_len(2, b"en")
+        alert += _enc_len(10, _enc_len(1, tr))
+    return ent + _enc_len(5, alert)
+
+
+def encode_feed_messages(events: DataFrame) -> DataFrame:
+    """events rows -> one FeedMessage payload PER ARROW BATCH (a real
+    multi-entity message with a FeedHeader, like one poll response).
+    Entity content is row-deterministic, so decoded output is
+    independent of how rows land in batches."""
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if b.empty:
+                continue
+            body = _enc_len(1, _enc_len(1, b"2.0") + _enc_int(3, 0))
+            for eid, uid, etype, val, ts in zip(
+                b["event_id"], b["user_id"], b["event_type"], b["value"],
+                b["ts"],
+            ):
+                body += _enc_len(
+                    2,
+                    _encode_entity_from_event(
+                        int(eid),
+                        int(uid),
+                        None if etype is None or pd.isna(etype)
+                        else str(etype),
+                        None if val is None or pd.isna(val) else float(val),
+                        int(pd.Timestamp(ts).value // 1_000_000_000),
+                    ),
+                )
+            yield pd.DataFrame({"payload": [body]})
+
+    return events.select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    ).mapInPandas(enc, "payload binary")
+
+
+_ENTITY_SCHEMA = (
+    "entity_kind string, entity_id string, trip_id string,"
+    " route_id string, vehicle_id string, latitude double,"
+    " longitude double, bearing double, speed double,"
+    " vehicle_ts timestamp, delay_seconds long, n_stop_updates long,"
+    " sum_arrival_delay long, sum_departure_delay long, cause int,"
+    " effect int, description string"
+)
+
+_ENTITY_COLS = [f.split()[0] for f in _ENTITY_SCHEMA.split(",")]
+
+
+def _decode_entity(buf: bytes) -> dict:
+    """Parse one FeedEntity into a flat row — the same walk the
+    reference poller does over the pb2 object graph, including the
+    per-stop arrival/departure HasField branches."""
+    row: dict = {c: None for c in _ENTITY_COLS}
+    for field, _w, v in _dec_fields(buf):
+        if field == 1:
+            row["entity_id"] = v.decode()
+        elif field == 4:  # VehiclePosition
+            row["entity_kind"] = "vehicle"
+            for f2, _w2, v2 in _dec_fields(v):
+                if f2 == 1:
+                    _decode_trip(v2, row)
+                elif f2 == 2:
+                    for f3, _w3, v3 in _dec_fields(v2):
+                        if f3 == 1:
+                            row["latitude"] = _f32(v3)
+                        elif f3 == 2:
+                            row["longitude"] = _f32(v3)
+                        elif f3 == 3:
+                            row["bearing"] = _f32(v3)
+                        elif f3 == 5:
+                            row["speed"] = _f32(v3)
+                elif f2 == 5:
+                    row["vehicle_ts"] = pd.Timestamp(v2, unit="s")
+                elif f2 == 8:
+                    for f3, _w3, v3 in _dec_fields(v2):
+                        if f3 == 1:
+                            row["vehicle_id"] = v3.decode()
+        elif field == 3:  # TripUpdate
+            row["entity_kind"] = "trip_update"
+            n = arr = dep = 0
+            for f2, _w2, v2 in _dec_fields(v):
+                if f2 == 1:
+                    _decode_trip(v2, row)
+                elif f2 == 2:
+                    n += 1
+                    for f3, _w3, v3 in _dec_fields(v2):
+                        if f3 == 2:
+                            for f4, _w4, v4 in _dec_fields(v3):
+                                if f4 == 1:
+                                    arr += v4
+                        elif f3 == 3:
+                            for f4, _w4, v4 in _dec_fields(v3):
+                                if f4 == 1:
+                                    dep += v4
+                elif f2 == 5:
+                    row["delay_seconds"] = v2
+            row["n_stop_updates"] = n
+            row["sum_arrival_delay"] = arr
+            row["sum_departure_delay"] = dep
+        elif field == 5:  # Alert
+            row["entity_kind"] = "alert"
+            for f2, _w2, v2 in _dec_fields(v):
+                if f2 == 6:
+                    row["cause"] = v2
+                elif f2 == 7:
+                    row["effect"] = v2
+                elif f2 == 10:
+                    for f3, _w3, v3 in _dec_fields(v2):
+                        if f3 == 1:
+                            for f4, _w4, v4 in _dec_fields(v3):
+                                if f4 == 1:
+                                    row["description"] = v4.decode()
+    return row
+
+
+def _decode_trip(buf: bytes, row: dict) -> None:
+    for f, _w, v in _dec_fields(buf):
+        if f == 1:
+            row["trip_id"] = v.decode()
+        elif f == 5:
+            row["route_id"] = v.decode()
+
+
+def decode_feed_messages(feed: DataFrame) -> DataFrame:
+    """(payload binary) FeedMessages -> one typed row per FeedEntity."""
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows: list[dict] = []
+            for payload in b["payload"]:
+                for field, _w, v in _dec_fields(bytes(payload)):
+                    if field == 2:  # FeedEntity (header=1 skipped)
+                        rows.append(_decode_entity(v))
+            out = pd.DataFrame(rows, columns=_ENTITY_COLS)
+            for c in (
+                "delay_seconds", "n_stop_updates", "sum_arrival_delay",
+                "sum_departure_delay", "cause", "effect",
+            ):
+                out[c] = pd.array(out[c], dtype="Int64")
+            out["vehicle_ts"] = pd.to_datetime(out["vehicle_ts"])
+            yield out
+
+    return feed.mapInPandas(dec, _ENTITY_SCHEMA)
+
+
+def proto_feed_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed per-entity table decoded FROM THE BINARY FeedMessage graph
+    — the Spark twin of the reference poller's three process_* walks
+    (poller.py:75-188), one query over all three entity shapes. Floats
+    are displayed at 6dp after the float32 wire quantization both
+    engines share.
+
+    Scale: encode and decode are Arrow-batched mapInPandas stages (one
+    Python crossing each), the rest is map-side projection — no
+    shuffle at all until the driver's comparison sort."""
+    from ..functions.portable import pround
+
+    ev = load_table(spark, sf_dir, "events")
+    decoded = decode_feed_messages(encode_feed_messages(ev))
+    return decoded.select(
+        "entity_kind",
+        "entity_id",
+        "trip_id",
+        "route_id",
+        "vehicle_id",
+        pround("latitude", 6).alias("latitude"),
+        pround("longitude", 6).alias("longitude"),
+        pround("bearing", 6).alias("bearing"),
+        pround("speed", 6).alias("speed"),
+        "vehicle_ts",
+        "delay_seconds",
+        "n_stop_updates",
+        "sum_arrival_delay",
+        "sum_departure_delay",
+        "cause",
+        "effect",
+        "description",
+    )
+
+
+QUERIES = {
+    "proto_delay_hourly": proto_delay_hourly,
+    "proto_feed_entities": proto_feed_entities,
+}
 
 ORACLES = {
     "proto_delay_hourly": f"""
@@ -219,5 +494,53 @@ ORACLES = {
         FROM events
         WHERE event_type IS NOT NULL
         GROUP BY event_type, date_trunc('hour', ts)
+    """,
+    # recomputes the per-entity rows straight from events using the
+    # same deterministic mapping the encoder applies (kind =
+    # event_id % 3); REAL casts reproduce the float32 wire
+    # quantization bit-for-bit before the shared 6dp rounding
+    "proto_feed_entities": f"""
+        SELECT
+          CASE event_id % 3 WHEN 0 THEN 'vehicle'
+               WHEN 1 THEN 'trip_update' ELSE 'alert' END AS entity_kind,
+          'e' || CAST(event_id AS VARCHAR) AS entity_id,
+          CASE WHEN event_id % 3 IN (0, 1)
+               THEN 't' || CAST(user_id AS VARCHAR) END AS trip_id,
+          CASE WHEN event_id % 3 IN (0, 1) THEN event_type END AS route_id,
+          CASE WHEN event_id % 3 = 0
+               THEN 'v' || CAST(user_id AS VARCHAR) END AS vehicle_id,
+          CASE WHEN event_id % 3 = 0 THEN {sql_pround(
+              "((44.0 + (event_id % 1000) * 0.001)::REAL)::DOUBLE", 6
+          )} END AS latitude,
+          CASE WHEN event_id % 3 = 0 THEN {sql_pround(
+              "((26.0 + (user_id % 1000) * 0.001)::REAL)::DOUBLE", 6
+          )} END AS longitude,
+          CASE WHEN event_id % 3 = 0 AND event_id % 2 = 0 THEN {sql_pround(
+              "((event_id % 360)::REAL)::DOUBLE", 6
+          )} END AS bearing,
+          CASE WHEN event_id % 3 = 0 AND value IS NOT NULL THEN {sql_pround(
+              "(value::REAL)::DOUBLE", 6
+          )} END AS speed,
+          CASE WHEN event_id % 3 = 0
+               THEN date_trunc('second', ts) END AS vehicle_ts,
+          CASE WHEN event_id % 3 = 1
+               THEN coalesce(floor(value)::BIGINT, 0) END AS delay_seconds,
+          CASE WHEN event_id % 3 = 1
+               THEN user_id % 3 END AS n_stop_updates,
+          CASE WHEN event_id % 3 = 1
+               THEN (user_id % 3) * coalesce(floor(value)::BIGINT, 0)
+                    + (CASE WHEN user_id % 3 = 2 THEN 1 ELSE 0 END)
+               END AS sum_arrival_delay,
+          CASE WHEN event_id % 3 = 1
+               THEN (CASE WHEN user_id % 3 = 2
+                          THEN coalesce(floor(value)::BIGINT, 0) - 1
+                          ELSE 0 END)
+               END AS sum_departure_delay,
+          CASE WHEN event_id % 3 = 2
+               THEN (1 + event_id % 12)::INT END AS cause,
+          CASE WHEN event_id % 3 = 2
+               THEN (1 + user_id % 11)::INT END AS effect,
+          CASE WHEN event_id % 3 = 2 THEN event_type END AS description
+        FROM events
     """,
 }

@@ -150,6 +150,10 @@ SHUFFLE_BUDGETS = {
     # dedup_incremental); its BNLJs are 1-row scalar-aggregate
     # cross-joins (nodes/edges/wedges/triangles), not data joins
     "neardup_triangle_count": 14,
+    # round-6 additions
+    # encode->decode are chained mapInPandas stages; the whole typed
+    # entity table is map-side — any exchange here is a regression
+    "proto_feed_entities": 0,
     # round 6 (was 34): the centroid tier now broadcasts bucket-sized
     # centroid ARRAYS back over the corpus instead of re-joining the
     # exploded dims (one corpus x d shuffle, not two), and the pair

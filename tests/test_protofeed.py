@@ -59,6 +59,76 @@ def test_truncated_payload_raises():
         decode_trip_update_entity(body[:-2] + b"\x80")
 
 
+def test_feed_message_entity_roundtrip_all_kinds():
+    """The nested FeedMessage graph round-trips every field the
+    reference poller reads, per entity shape, including the HasField
+    branches (bearing only on even ids, speed only when value exists,
+    departure only on odd stop indices, header_text only when the
+    event_type exists)."""
+    from big_data_project_spark.sources.protofeed import (
+        _decode_entity,
+        _encode_entity_from_event,
+    )
+
+    # kind 0: vehicle, even id -> bearing present, value -> speed
+    v = _decode_entity(_encode_entity_from_event(6, 123, "r7", 3.5, 1_700_000_000))
+    assert v["entity_kind"] == "vehicle"
+    assert v["entity_id"] == "e6" and v["vehicle_id"] == "v123"
+    assert v["trip_id"] == "t123" and v["route_id"] == "r7"
+    assert v["latitude"] == pytest.approx(44.006, abs=1e-5)
+    assert v["longitude"] == pytest.approx(26.123, abs=1e-5)
+    assert v["bearing"] == 6.0 and v["speed"] == 3.5
+    assert v["vehicle_ts"] == pd.Timestamp(1_700_000_000, unit="s")
+
+    # kind 0, odd-ish: id 12 even but NULL value / NULL route
+    v2 = _decode_entity(_encode_entity_from_event(3 * 5, 4, None, None, 0))
+    assert v2["speed"] is None and v2["route_id"] is None
+    assert v2["bearing"] is None or v2["entity_id"] == "e15"  # 15 odd: no bearing
+    assert _decode_entity(
+        _encode_entity_from_event(15, 4, None, None, 0)
+    )["bearing"] is None
+
+    # kind 1: trip update, uid%3==2 -> two stop updates
+    t = _decode_entity(_encode_entity_from_event(7, 5, "r1", 9.9, 0))
+    assert t["entity_kind"] == "trip_update"
+    assert t["delay_seconds"] == 9 and t["n_stop_updates"] == 2
+    assert t["sum_arrival_delay"] == 9 + (9 + 1)  # k=0,1
+    assert t["sum_departure_delay"] == 9 - 1  # only k=1
+    t0 = _decode_entity(_encode_entity_from_event(7, 3, "r1", 9.9, 0))
+    assert t0["n_stop_updates"] == 0
+    assert t0["sum_arrival_delay"] == 0 and t0["sum_departure_delay"] == 0
+
+    # kind 2: alert
+    a = _decode_entity(_encode_entity_from_event(14, 8, "storm", None, 0))
+    assert a["entity_kind"] == "alert"
+    assert a["cause"] == 1 + 14 % 12 and a["effect"] == 1 + 8 % 11
+    assert a["description"] == "storm"
+    a2 = _decode_entity(_encode_entity_from_event(14, 8, None, None, 0))
+    assert a2["description"] is None
+
+
+def test_feed_message_output_independent_of_batching(spark):
+    """Entities are row-deterministic, so the decoded table must be
+    identical whether the events arrive as 1 FeedMessage or many."""
+    from big_data_project_spark.catalog import load_table
+    from big_data_project_spark.sources.protofeed import (
+        decode_feed_messages,
+        encode_feed_messages,
+    )
+
+    ev = load_table(spark, SF_DIR, "events").limit(120)
+    one = decode_feed_messages(encode_feed_messages(ev.coalesce(1)))
+    many = decode_feed_messages(encode_feed_messages(ev.repartition(7)))
+    key = lambda r: r.entity_id  # noqa: E731
+    got_one = sorted(map(tuple, one.collect()), key=lambda t: t[1])
+    got_many = sorted(map(tuple, many.collect()), key=lambda t: t[1])
+    assert got_one == got_many
+    assert len(got_one) == 120
+    # all three entity shapes present
+    kinds = {t[0] for t in got_one}
+    assert kinds == {"vehicle", "trip_update", "alert"}
+
+
 def test_spark_encode_decode_identity(spark):
     from big_data_project_spark.catalog import load_table
     from pyspark.sql import functions as F

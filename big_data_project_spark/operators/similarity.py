@@ -27,7 +27,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.portable import pround, sql_pround
+from ..functions.portable import pround, sql_davg, sql_pround
 
 N_QUERIES = 10  # vec_id < 10 are the query vectors
 TOP_K = 5
@@ -318,6 +318,166 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(
                 F.transform(
                     F.slice(F.array_sort(dists), 1, IVF_NPROBE),
+                    lambda s: s["cell"],
+                )
+            ).alias("cell"),
+        )
+    )
+    pairs = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("match_id"),
+            (
+                _dot(F.col("qe"), F.col("e"))
+                / (_norm(F.col("qe")) * _norm(F.col("e")))
+            ).alias("cos"),
+        )
+    )
+    return _topk(pairs)
+
+
+# --- distributed Lloyd k-means (round-5 verdict item 8) -----------------
+#
+# ann_ivf_topk fits its centroids driver-side on a bounded sample —
+# honest O(1) but rows-only (numpy Lloyd is not SQL-expressible). The
+# functions below are the DISTRIBUTED fit: Lloyd's algorithm unrolled
+# as declarative DataFrame ops (the event_pagerank pattern), with every
+# arithmetic step engine-portable, so the whole iterative pipeline —
+# init, IVF_KM_ITERS assign/recompute rounds, final assignment — sits
+# inside the DuckDB oracle hash gate. This is how the fit stage runs
+# when even the fit sample must be corpus-scale.
+#
+# Per-iteration cost at 100 TB: assignment is ZERO-shuffle — the
+# cells-sized centroid list rides in as a one-row broadcast array and
+# the argmin is a map-side F.array_min over (dist², cell) structs
+# (rounded to 9dp with cell tie-break, so the winner is deterministic
+# on both engines regardless of list order); the mean recompute is ONE
+# corpus×d dims shuffle. That is the textbook distributed-Lloyd
+# profile: iterations × one shuffle.
+
+IVF_KM_ITERS = 2  # unrolled refinement rounds (init -> 2x assign+mean)
+
+
+def _km_d2(e: Column, ce: Column) -> Column:
+    """Rounded squared euclidean distance via the fold-portable
+    decomposition ||e||² - 2<e,ce> + ||ce||² (same contract as the ANN
+    cosines: sequential array folds are bit-identical cross-engine)."""
+    return F.round(
+        _dot(e, e) - 2 * _dot(e, ce) + _dot(ce, ce), 9
+    )
+
+
+def _km_assign(v: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, e, cell, d2): nearest centroid per vector, map-side.
+    `cent` (cell, ce) collapses to ONE row holding every centroid, is
+    broadcast, and the argmin runs inside the projection — no shuffle
+    touches the corpus."""
+    cs = cent.agg(F.collect_list(F.struct("cell", "ce")).alias("cs"))
+    best = F.array_min(
+        F.transform(
+            F.col("cs"),
+            lambda c: F.struct(
+                _km_d2(F.col("e"), c["ce"]).alias("d2"),
+                c["cell"].alias("cell"),
+            ),
+        )
+    )
+    return v.crossJoin(F.broadcast(cs)).select(
+        "vec_id", "e", best["cell"].alias("cell"), best["d2"].alias("d2")
+    )
+
+
+def _km_means(assigned: DataFrame) -> DataFrame:
+    """(cell, ce): per-cell per-dim decimal-exact mean rounded to 6dp
+    (order-independent), assembled into dim-sorted centroid arrays —
+    the ONE corpus×d shuffle of a Lloyd iteration. A cell that lost
+    every member simply has no row (mirrored naturally in SQL)."""
+    dims = assigned.select("cell", F.posexplode("e").alias("dim_idx", "x"))
+    md = dims.groupBy("cell", "dim_idx").agg(
+        pround(
+            F.sum(F.col("x").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("m")
+    )
+    return md.groupBy("cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim_idx", "m"))),
+            lambda s: s["m"],
+        ).alias("ce")
+    )
+
+
+def _km_fit(v: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(final centroids, final assignment) after IVF_KM_ITERS unrolled
+    Lloyd rounds from the deterministic init (the first IVF_CELLS
+    vectors by vec_id ARE the seed centroids — no RNG to mirror)."""
+    from .dedup import _persisted
+
+    cent = v.filter(F.col("vec_id") < IVF_CELLS).select(
+        F.col("vec_id").cast("int").alias("cell"), F.col("e").alias("ce")
+    )
+    for _ in range(IVF_KM_ITERS):
+        cent = _persisted(_km_means(_km_assign(v, cent)))
+    return cent, _km_assign(v, cent)
+
+
+def ivf_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell summary of the DISTRIBUTED k-means fit: member count,
+    decimal-mean within-cell squared distance, centroid norm — the
+    balance/compactness report an IVF index build emits before
+    serving, and the oracle check that the whole iterative fit
+    (init + every assign/recompute round) agrees across engines."""
+    from ..functions.portable import davg
+
+    v = _vectors(spark, sf_dir)
+    cent, assigned = _km_fit(v)
+    stats = assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        davg("d2", 6).alias("avg_dist2"),
+    )
+    return (
+        stats.join(
+            cent.select(
+                "cell", F.round(_norm(F.col("ce")), 6).alias("centroid_norm")
+            ),
+            "cell",
+        )
+        .orderBy("cell")
+    )
+
+
+def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over the DISTRIBUTED k-means cells: each query probes
+    its IVF_NPROBE nearest centroids (map-side ranked slice of the
+    same broadcast centroid array) and exact cosine ranks the members
+    of those cells — ann_ivf_topk's exact shape, but with the fit
+    stage inside the oracle contract instead of a driver-side numpy
+    loop. Probe cost per query stays corpus/IVF_CELLS × IVF_NPROBE."""
+    from .dedup import _persisted
+
+    v = _vectors(spark, sf_dir)
+    cent, assigned = _km_fit(v)
+    assigned = _persisted(assigned.select("vec_id", "e", "cell"))
+    cs = cent.agg(F.collect_list(F.struct("cell", "ce")).alias("cs"))
+    ranked = F.transform(
+        F.col("cs"),
+        lambda c: F.struct(
+            _km_d2(F.col("e"), c["ce"]).alias("d2"),
+            c["cell"].alias("cell"),
+        ),
+    )
+    probes = (
+        v.filter(F.col("vec_id") < N_QUERIES)
+        .crossJoin(F.broadcast(cs))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("e").alias("qe"),
+            F.explode(
+                F.transform(
+                    F.slice(F.array_sort(ranked), 1, IVF_NPROBE),
                     lambda s: s["cell"],
                 )
             ).alias("cell"),
@@ -923,4 +1083,101 @@ ORACLES["semdedup_prune"] = f"""
                  THEN 0 ELSE 1 END)::INT AS keep
     FROM scored s LEFT JOIN dominated d ON d.vec_id = s.vec_id
     ORDER BY s.vec_id
+"""
+
+
+# --- distributed k-means oracles: the SAME unrolled Lloyd rounds as
+# _km_fit, CTE per step (c0 init, a{i} assign, m{i}/c{i} recompute,
+# afinal), so every iteration is inside the hash gate ------------------
+
+
+def _sql_km_assign(name: str, cent_cte: str) -> str:
+    return f"""{name} AS (
+      SELECT vec_id, e, cell, d2 FROM (
+        SELECT *, row_number() OVER (
+                 PARTITION BY vec_id ORDER BY d2, cell) AS rn
+        FROM (
+          SELECT v.vec_id, v.e, c.cell,
+                 round(list_dot_product(v.e, v.e)
+                       - 2 * list_dot_product(v.e, c.ce)
+                       + list_dot_product(c.ce, c.ce), 9) AS d2
+          FROM v, {cent_cte} c
+        ) d
+      ) r WHERE rn = 1
+    )"""
+
+
+def _sql_km_ctes() -> tuple[str, str]:
+    """(CTE chain, final-centroid CTE name) for IVF_KM_ITERS rounds."""
+    mean = sql_pround("(sum((x)::DECIMAL(28,6)))::DOUBLE / count(*)", 6)
+    parts = [
+        f"c0 AS (SELECT vec_id::INT AS cell, e AS ce FROM v"
+        f" WHERE vec_id < {IVF_CELLS})"
+    ]
+    prev = "c0"
+    for i in range(1, IVF_KM_ITERS + 1):
+        parts.append(_sql_km_assign(f"a{i}", prev))
+        parts.append(
+            f"""m{i} AS (
+      SELECT cell, dim_idx, {mean} AS m
+      FROM (SELECT cell, unnest(range(0, len(e))) AS dim_idx,
+                   unnest(e) AS x
+            FROM a{i}) d
+      GROUP BY cell, dim_idx
+    )"""
+        )
+        parts.append(
+            f"c{i} AS (SELECT cell, list(m ORDER BY dim_idx) AS ce"
+            f" FROM m{i} GROUP BY cell)"
+        )
+        prev = f"c{i}"
+    parts.append(_sql_km_assign("afinal", prev))
+    return ",\n    ".join(parts), prev
+
+
+_KM_CTES, _KM_FINAL_CENT = _sql_km_ctes()
+
+QUERIES["ivf_kmeans_cells"] = ivf_kmeans_cells
+QUERIES["ann_ivf_kmeans_topk"] = ann_ivf_kmeans_topk
+
+ORACLES["ivf_kmeans_cells"] = f"""
+    WITH v AS ({_SQL_V}),
+    {_KM_CTES}
+    SELECT s.cell, s.n_members, s.avg_dist2,
+           round(sqrt(list_dot_product(c.ce, c.ce)), 6) AS centroid_norm
+    FROM (
+      SELECT cell, count(*)::BIGINT AS n_members,
+             {sql_davg("d2", 6)} AS avg_dist2
+      FROM afinal GROUP BY cell
+    ) s
+    JOIN {_KM_FINAL_CENT} c ON c.cell = s.cell
+    ORDER BY s.cell
+"""
+
+ORACLES["ann_ivf_kmeans_topk"] = f"""
+    WITH v AS ({_SQL_V}),
+    {_KM_CTES},
+    probes AS (
+      SELECT query_id, qe, cell FROM (
+        SELECT *, row_number() OVER (
+                 PARTITION BY query_id ORDER BY d2, cell) AS rn
+        FROM (
+          SELECT q.vec_id AS query_id, q.e AS qe, c.cell,
+                 round(list_dot_product(q.e, q.e)
+                       - 2 * list_dot_product(q.e, c.ce)
+                       + list_dot_product(c.ce, c.ce), 9) AS d2
+          FROM v q, {_KM_FINAL_CENT} c
+          WHERE q.vec_id < {N_QUERIES}
+        ) d
+      ) r WHERE rn <= {IVF_NPROBE}
+    ),
+    pairs AS (
+      SELECT p.query_id, a.vec_id AS match_id,
+             list_dot_product(p.qe, a.e)
+               / (sqrt(list_dot_product(p.qe, p.qe))
+                  * sqrt(list_dot_product(a.e, a.e))) AS cos
+      FROM probes p
+      JOIN afinal a ON a.cell = p.cell AND a.vec_id <> p.query_id
+    )
+    {_SQL_TOPK}
 """

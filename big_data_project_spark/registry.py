@@ -130,6 +130,8 @@ for _mod in _MODULES:
 _PROMOTED = [
     # --- NEW in round 6 (appended as they land) ---
     "proto_feed_entities",
+    "ivf_kmeans_cells",
+    "ann_ivf_kmeans_topk",
     # --- round-5 late batch: never driver-evidenced; MUST lead ---
     "scd2_alerts",
     "orders_yoy_growth",

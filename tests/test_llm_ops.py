@@ -156,6 +156,48 @@ def test_ivf_recall_vs_exact(spark):
     assert recall >= 0.5, f"IVF recall too low: {recall:.2f}"
 
 
+def test_kmeans_ivf_recall_and_partition(spark):
+    """The distributed-Lloyd IVF: the final assignment must be a
+    PARTITION of the corpus (every vector in exactly one cell), and
+    3/16-probe retrieval must recover most of the exact top-k — same
+    bar as the driver-side-fit ann_ivf_topk."""
+    from big_data_project_spark.catalog import load_table
+
+    cells = similarity.ivf_kmeans_cells(spark, SF_DIR).collect()
+    n_vec = load_table(spark, SF_DIR, "embeddings").count()
+    assert sum(r["n_members"] for r in cells) == n_vec
+    assert all(r["avg_dist2"] >= 0 for r in cells)
+    assert all(r["centroid_norm"] > 0 for r in cells)
+
+    exact = {
+        (r["query_id"], r["match_id"])
+        for r in similarity.ann_cosine_topk(spark, SF_DIR).collect()
+    }
+    km = {
+        (r["query_id"], r["match_id"])
+        for r in similarity.ann_ivf_kmeans_topk(spark, SF_DIR).collect()
+    }
+    recall = len(exact & km) / len(exact)
+    assert recall >= 0.5, f"k-means IVF recall too low: {recall:.2f}"
+
+
+def test_kmeans_iterations_reduce_distortion(spark):
+    """Lloyd's guarantee: mean within-cell squared distance must not
+    increase from the init assignment to the refined one (checked via
+    a 0-iteration vs IVF_KM_ITERS run of the same pipeline)."""
+    from pyspark.sql import functions as F
+
+    v = similarity._vectors(spark, SF_DIR)
+    init = v.filter(F.col("vec_id") < similarity.IVF_CELLS).select(
+        F.col("vec_id").cast("int").alias("cell"), F.col("e").alias("ce")
+    )
+    a0 = similarity._km_assign(v, init)
+    d0 = a0.agg(F.avg("d2")).collect()[0][0]
+    _, afinal = similarity._km_fit(v)
+    d1 = afinal.agg(F.avg("d2")).collect()[0][0]
+    assert d1 <= d0 + 1e-9, f"distortion rose: {d0} -> {d1}"
+
+
 def test_sketch_error_bounds(spark):
     """HLL cardinality within 3x its configured rsd; approx quantiles
     within 10% of exact."""

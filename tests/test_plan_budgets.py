@@ -154,6 +154,12 @@ SHUFFLE_BUDGETS = {
     # encode->decode are chained mapInPandas stages; the whole typed
     # entity table is map-side — any exchange here is a regression
     "proto_feed_entities": 0,
+    # distributed Lloyd: assignment is a map-side broadcast argmin
+    # (zero corpus shuffles); each of the 2 unrolled iterations pays
+    # one corpus x d dims aggregate + cells-sized collects, and the
+    # cold plan inlines the persisted centroid lineage per consumer
+    "ivf_kmeans_cells": 15,
+    "ann_ivf_kmeans_topk": 16,
     # round 6 (was 34): the centroid tier now broadcasts bucket-sized
     # centroid ARRAYS back over the corpus instead of re-joining the
     # exploded dims (one corpus x d shuffle, not two), and the pair

@@ -368,6 +368,38 @@ def open_orders_monthly() -> pd.DataFrame:
     )
 
 
+def proto_feed_entities() -> pd.DataFrame:
+    """Round-6 key: per-entity encode + parse loop, single process —
+    the reference poller's exact idiom (ONE pb2 FeedMessage walked
+    entity-by-entity in Python, poller.py:75-188). Reuses the repo's
+    wire-format functions so both engines pay identical per-row Python
+    cost; the Spark column is the same work Arrow-batched and run in
+    parallel across partitions."""
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    from big_data_project_spark.sources.protofeed import (
+        _decode_entity,
+        _encode_entity_from_event,
+    )
+
+    ev = _read("events")
+    out = []
+    for eid, uid, etype, val, ts in zip(
+        ev["event_id"], ev["user_id"], ev["event_type"], ev["value"],
+        ev["ts"],
+    ):
+        buf = _encode_entity_from_event(
+            int(eid),
+            int(uid),
+            None if pd.isna(etype) else str(etype),
+            None if pd.isna(val) else float(val),
+            int(pd.Timestamp(ts).value // 1_000_000_000),
+        )
+        out.append(_decode_entity(buf))
+    return pd.DataFrame(out)
+
+
 def main() -> None:
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
@@ -395,6 +427,7 @@ def main() -> None:
     timed("part_revenue_abc", part_revenue_abc)
     timed("basket_part_pairs", basket_part_pairs)
     timed("open_orders_monthly", open_orders_monthly)
+    timed("proto_feed_entities", proto_feed_entities)
 
     print(json.dumps({"sf_dir": SF_DIR, "queries": timings, "rows": rows}))
 

@@ -830,3 +830,131 @@ ORACLES["filter_retention_funnel"] = f"""
              AS retention
     FROM runs ORDER BY stage_idx
 """
+
+
+# --- DSIR-style importance weighting (Xie et al. 2023) ------------------
+
+DSIR_BUCKETS = 256  # hashed unigram feature space
+DSIR_TARGET_SOURCE = "src0"  # in-domain proxy: one source plays the target
+
+
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection with Importance Resampling (Xie et al. 2023,
+    arXiv:2302.03169), the hashed-n-gram variant: score every document
+    by how much more likely its tokens are under the TARGET domain's
+    unigram distribution than under the raw corpus's. Features are
+    md5-hashed unigram buckets (DSIR_BUCKETS), the target is the
+    DSIR_TARGET_SOURCE slice, both distributions get add-one
+    smoothing, and the per-doc log weight is the decimal-exact fold of
+    the per-token bucket log-ratios. ``selected`` marks docs whose
+    tokens skew target-ward (log_weight > 0) — the resampling pool.
+
+    Production note: DSIR takes a top-k (or Gumbel-perturbed sample)
+    over the weights; at corpus scale that threshold comes from an
+    approximate quantile of log_weight, NOT a global sort — the flag
+    here is the sort-free contract both engines can hash-check.
+
+    Determinism: bucket log-ratios are ln folds of exact integer
+    counts rounded to 6dp BEFORE the per-token fold (ln agrees
+    cross-engine at 6dp — the lm_bigram_logprob contract), and the
+    per-doc sum folds through DECIMAL(28,6).
+
+    Scale: the exploded token stream is persisted and feeds (a) ONE
+    bucket-count aggregate (output = DSIR_BUCKETS rows, counting both
+    distributions in one pass via a conditional sum) and (b) the
+    per-doc score join — a BROADCAST of the 256-row ratio table, so
+    scoring is map-side + one doc-grain aggregate. Two linear passes
+    total, nothing vocabulary- or corpus-squared."""
+    from .dedup import _persisted
+
+    docs = load_table_spread(spark, sf_dir, "documents", "doc_id")
+    toks = _persisted(
+        docs.select(
+            "doc_id",
+            "source",
+            F.explode(F.split(_norm(F.col("text")), " ")).alias("tok"),
+        ).select(
+            "doc_id",
+            "source",
+            (_hash60(F.col("tok")) % DSIR_BUCKETS).alias("b"),
+        )
+    )
+    bc = toks.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cnt_all"),
+        F.sum(
+            F.when(F.col("source") == DSIR_TARGET_SOURCE, 1).otherwise(0)
+        ).alias("cnt_t"),
+    )
+    tot = bc.agg(
+        F.sum("cnt_all").alias("n_all"), F.sum("cnt_t").alias("n_t")
+    )
+    lr = bc.crossJoin(F.broadcast(tot)).select(
+        "b",
+        pround(
+            F.log(
+                (F.col("cnt_t") + 1)
+                / (F.col("n_t") + DSIR_BUCKETS).cast("double")
+            )
+            - F.log(
+                (F.col("cnt_all") + 1)
+                / (F.col("n_all") + DSIR_BUCKETS).cast("double")
+            ),
+            6,
+        ).alias("lr"),
+    )
+    scored = (
+        toks.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            pround(
+                F.sum(F.col("lr").cast("decimal(28,6)")).cast("double"), 4
+            ).alias("log_weight"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "log_weight",
+        (F.col("log_weight") > 0).cast("int").alias("selected"),
+    ).orderBy("doc_id")
+
+
+QUERIES["dsir_importance_weights"] = dsir_importance_weights
+
+ORACLES["dsir_importance_weights"] = f"""
+    WITH toks AS (
+      SELECT doc_id, source, {_sql_hash60("tok")} % {DSIR_BUCKETS} AS b
+      FROM (
+        SELECT doc_id, source,
+               unnest(string_split({_SQL_NORM}, ' ')) AS tok
+        FROM documents
+      ) t
+    ),
+    bc AS (
+      SELECT b, count(*) AS cnt_all,
+             sum(CASE WHEN source = '{DSIR_TARGET_SOURCE}'
+                      THEN 1 ELSE 0 END) AS cnt_t
+      FROM toks GROUP BY b
+    ),
+    tot AS (
+      SELECT sum(cnt_all) AS n_all, sum(cnt_t) AS n_t FROM bc
+    ),
+    lr AS (
+      SELECT b, {sql_pround(
+          f"ln((cnt_t + 1)::DOUBLE / (n_t + {DSIR_BUCKETS}))"
+          f" - ln((cnt_all + 1)::DOUBLE / (n_all + {DSIR_BUCKETS}))", 6
+      )} AS lr
+      FROM bc, tot
+    ),
+    scored AS (
+      SELECT doc_id, count(*) AS n_tokens,
+             {sql_pround("(sum((lr)::DECIMAL(28,6)))::DOUBLE", 4)}
+               AS log_weight
+      FROM toks JOIN lr USING (b)
+      GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, log_weight,
+           (CASE WHEN log_weight > 0 THEN 1 ELSE 0 END)::INT AS selected
+    FROM scored ORDER BY doc_id
+"""

@@ -1181,3 +1181,56 @@ ORACLES["ann_ivf_kmeans_topk"] = f"""
     )
     {_SQL_TOPK}
 """
+
+
+# --- cluster-balanced sampling over the k-means cells -------------------
+
+CLUSTER_SAMPLE_CAP = 40  # max vectors kept per cell
+
+
+def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-balanced corpus sample: at most CLUSTER_SAMPLE_CAP
+    members per k-means cell, chosen by a deterministic md5 shuffle
+    (vec_id tie-break) — the cluster-aware selection step that follows
+    SemDeDup-style pruning in embedding-curation recipes: dense
+    regions are capped, sparse regions survive whole, so the kept set
+    covers the embedding space instead of mirroring its density.
+
+    Scale: the rank runs per cell (IVF_CELLS window partitions), so at
+    corpus scale each cell pays a sort of its own members; a
+    production run with billions of members per cell swaps the exact
+    rank for a per-cell hash threshold (keep iff md5 < cap/cell_size
+    quantile) — same keep contract, no sort. The exact rank here keeps
+    the operator oracle-checkable end to end."""
+    v = _vectors(spark, sf_dir)
+    _cent, assigned = _km_fit(v)
+    w = Window.partitionBy("cell").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    )
+    return (
+        assigned.select("vec_id", "cell")
+        .withColumn("cell_size", F.count(F.lit(1)).over(Window.partitionBy("cell")))
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= CLUSTER_SAMPLE_CAP)
+        .select("vec_id", "cell", "cell_size", "sample_rank")
+        .orderBy("cell", "sample_rank")
+    )
+
+
+QUERIES["cluster_balanced_sample"] = cluster_balanced_sample
+
+ORACLES["cluster_balanced_sample"] = f"""
+    WITH v AS ({_SQL_V}),
+    {_KM_CTES}
+    SELECT vec_id, cell, cell_size, sample_rank
+    FROM (
+      SELECT vec_id, cell,
+             count(*) OVER (PARTITION BY cell) AS cell_size,
+             row_number() OVER (
+               PARTITION BY cell
+               ORDER BY md5(vec_id::VARCHAR), vec_id) AS sample_rank
+      FROM afinal
+    ) r
+    WHERE sample_rank <= {CLUSTER_SAMPLE_CAP}
+    ORDER BY cell, sample_rank
+"""

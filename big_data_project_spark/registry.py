@@ -132,6 +132,8 @@ _PROMOTED = [
     "proto_feed_entities",
     "ivf_kmeans_cells",
     "ann_ivf_kmeans_topk",
+    "cluster_balanced_sample",
+    "dsir_importance_weights",
     # --- round-5 late batch: never driver-evidenced; MUST lead ---
     "scd2_alerts",
     "orders_yoy_growth",

@@ -198,6 +198,71 @@ def test_kmeans_iterations_reduce_distortion(spark):
     assert d1 <= d0 + 1e-9, f"distortion rose: {d0} -> {d1}"
 
 
+def test_cluster_balanced_sample_caps_cells(spark):
+    """The kept set respects the per-cell cap, never exceeds the cell
+    population, and is deterministic across runs."""
+    got = similarity.cluster_balanced_sample(spark, SF_DIR).collect()
+    per_cell: dict = {}
+    for r in got:
+        per_cell.setdefault(r.cell, []).append(r)
+        assert 1 <= r.sample_rank <= similarity.CLUSTER_SAMPLE_CAP
+        assert r.sample_rank <= r.cell_size
+    for cell, rows in per_cell.items():
+        assert len(rows) == min(
+            similarity.CLUSTER_SAMPLE_CAP, rows[0].cell_size
+        )
+        assert sorted(r.sample_rank for r in rows) == list(
+            range(1, len(rows) + 1)
+        )
+    again = similarity.cluster_balanced_sample(spark, SF_DIR).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+def test_dsir_weights_favor_target_tokens(spark):
+    """Sanity on the importance direction: a planted corpus where the
+    target source speaks a disjoint vocabulary must score target-domain
+    docs strictly above off-domain docs."""
+    import pandas as pd
+
+    from big_data_project_spark.operators.curation import (
+        DSIR_TARGET_SOURCE,
+        dsir_importance_weights,
+    )
+
+    d = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3],
+                "text": [
+                    "alpha beta alpha beta gamma",
+                    "alpha beta gamma alpha beta",
+                    "delta epsilon zeta delta epsilon",
+                    "zeta epsilon delta zeta zeta",
+                ],
+                "lang": ["en"] * 4,
+                "source": [DSIR_TARGET_SOURCE, "srcX", "srcX", "srcX"],
+                "n_chars": [27, 27, 31, 28],
+            }
+        )
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        d.write.parquet(f"{tmp}/documents.parquet")
+        rows = {
+            r.doc_id: r for r in dsir_importance_weights(spark, tmp).collect()
+        }
+    # doc 1 shares the target's vocabulary; docs 2-3 don't (with
+    # B=256 >> 20 tokens every weight is smoothing-dominated and
+    # negative — the ORDERING is the invariant, and the flag must be
+    # exactly the log_weight sign)
+    assert rows[0].log_weight > rows[2].log_weight
+    assert rows[1].log_weight > rows[2].log_weight
+    assert rows[1].log_weight > rows[3].log_weight
+    for r in rows.values():
+        assert r.selected == int(r.log_weight > 0)
+
+
 def test_sketch_error_bounds(spark):
     """HLL cardinality within 3x its configured rsd; approx quantiles
     within 10% of exact."""

@@ -160,6 +160,11 @@ SHUFFLE_BUDGETS = {
     # cold plan inlines the persisted centroid lineage per consumer
     "ivf_kmeans_cells": 15,
     "ann_ivf_kmeans_topk": 16,
+    # kmeans lineage + the per-cell rank window
+    "cluster_balanced_sample": 16,
+    # persisted token stream -> one bucket aggregate (256 rows out) +
+    # broadcast-ratio scoring join + doc-grain aggregate
+    "dsir_importance_weights": 6,
     # round 6 (was 34): the centroid tier now broadcasts bucket-sized
     # centroid ARRAYS back over the corpus instead of re-joining the
     # exploded dims (one corpus x d shuffle, not two), and the pair

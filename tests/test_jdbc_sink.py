@@ -145,6 +145,71 @@ def test_streaming_foreach_batch_serves_rollup(spark, url, tmp_path):
     }
 
 
+def test_reference_topology_end_to_end(spark, url, tmp_path):
+    """The reference's full realtime topology in one loop:
+    poller -> Kafka topic -> ingestion service -> Postgres
+    becomes
+    envelope-shaped stream -> decode_events_envelope ->
+    stream_events_hourly -> foreach_batch_jdbc_upsert -> Derby.
+    The served table must equal the batch rollup computed directly
+    from the raw events."""
+    from pyspark.sql import functions as F
+
+    from big_data_project_spark.catalog import load_table
+    from big_data_project_spark.functions.portable import davg
+    from big_data_project_spark.sources.kafka import (
+        decode_events_envelope,
+        encode_events_envelope,
+    )
+    from big_data_project_spark.streaming import pipeline
+
+    from tests.conftest import SF_DIR
+
+    events = load_table(spark, SF_DIR, "events")
+    src = str(tmp_path / "topic")
+    encode_events_envelope(events, "events").withColumn(
+        "timestamp", F.lit("2026-01-01 00:00:00").cast("timestamp")
+    ).write.parquet(src)
+
+    raw = spark.readStream.schema(
+        "key binary, value binary, topic string, timestamp timestamp"
+    ).parquet(src)
+    agg = pipeline.stream_events_hourly(
+        spark,
+        decode_events_envelope(raw).drop("kafka_ts", "corrupt_payload"),
+    )
+    q = (
+        agg.writeStream.foreachBatch(
+            foreach_batch_jdbc_upsert(url, "hourly", ["route_id", "hour_ts"])
+        )
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    served = sorted(
+        map(tuple, read_jdbc_table(spark, url, "hourly").collect())
+    )
+    batch = sorted(
+        map(
+            tuple,
+            events.groupBy(
+                F.date_trunc("hour", "ts").alias("hour_ts"),
+                F.col("event_type").alias("route_id"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("vehicle_events"),
+                davg("value", 4).alias("avg_delay_seconds"),
+            )
+            .select(agg.columns)
+            .collect(),
+        )
+    )
+    assert served == batch
+
+
 def test_bad_inputs_fail_loudly(spark, url):
     df = _rows(spark, [("r1", 0, 1.0)])
     with pytest.raises(ValueError, match="key columns"):

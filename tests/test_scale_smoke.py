@@ -468,3 +468,85 @@ def test_triangle_census_scales_with_replica_structure(spark, scaled_docs_dir):
     )
     if scaled.global_clustering is not None:
         assert 0.0 <= scaled.global_clustering <= 1.0
+
+
+@pytest.fixture(scope="module")
+def scaled_emb_dir(spark, tmp_path_factory):
+    """embeddings x SCALE with vec_id + rep*N (N past the max id):
+    vec_id < IVF_CELLS still selects the ORIGINAL seed vectors, and
+    every replica carries an identical embedding — so the k-means init,
+    every Lloyd round's centroids, and each vector's assignment are
+    exactly the base run's, while cell populations scale by SCALE."""
+    d = tmp_path_factory.mktemp("scaled_emb")
+    emb = load_table(spark, SF_DIR, "embeddings")
+    n = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    reps = emb.crossJoin(
+        F.broadcast(
+            emb.sparkSession.range(SCALE).select(F.col("id").alias("rep"))
+        )
+    )
+    reps.select(
+        (F.col("vec_id") + F.col("rep") * n).alias("vec_id"),
+        "embedding",
+        "label",
+    ).write.parquet(str(d / "embeddings.parquet"))
+    return str(d)
+
+
+def test_kmeans_fit_scale_equivariant(spark, scaled_emb_dir):
+    """The whole distributed Lloyd fit must be replica-blind: identical
+    centroids per iteration mean per-cell counts scale by exactly SCALE
+    while avg within-cell distance and centroid norms are invariant —
+    the property that breaks if any stage samples, collects, or depends
+    on partitioning."""
+    from big_data_project_spark.operators import similarity
+
+    base = {
+        r["cell"]: r
+        for r in similarity.ivf_kmeans_cells(spark, SF_DIR).collect()
+    }
+    scaled = {
+        r["cell"]: r
+        for r in similarity.ivf_kmeans_cells(spark, scaled_emb_dir).collect()
+    }
+    assert set(base) == set(scaled)
+    for c in base:
+        assert scaled[c]["n_members"] == SCALE * base[c]["n_members"]
+        assert scaled[c]["avg_dist2"] == pytest.approx(
+            base[c]["avg_dist2"], abs=1e-6
+        )
+        assert scaled[c]["centroid_norm"] == base[c]["centroid_norm"]
+
+
+def test_dsir_weights_scale_replica_consistent(spark, scaled_docs_dir):
+    """Replica-blindness, not value-invariance: add-one smoothing
+    legitimately re-levels the log-ratios when both distributions grow
+    k-fold (the +1 mass shrinks relative to real counts), but within
+    ONE run every replica of the same content must score IDENTICALLY
+    (the property that breaks if any stage samples, collects, or
+    depends on partitioning), token counts must match the base run,
+    and the base run's weight ORDERING must survive the rescale."""
+    from big_data_project_spark.operators.curation import (
+        dsir_importance_weights,
+    )
+
+    base = {
+        r["doc_id"]: r
+        for r in dsir_importance_weights(spark, SF_DIR).collect()
+    }
+    scaled = dsir_importance_weights(spark, scaled_docs_dir).collect()
+    assert len(scaled) == SCALE * len(base)
+    by_content: dict = {}
+    for r in scaled:
+        by_content.setdefault(r["doc_id"] // SCALE, []).append(r)
+    for orig_id, reps in by_content.items():
+        assert len(reps) == SCALE
+        assert len({r["log_weight"] for r in reps}) == 1
+        assert all(r["n_tokens"] == base[orig_id]["n_tokens"] for r in reps)
+    # ordering preserved: most/least target-like base contents keep
+    # their relative order after the smoothing re-level
+    lo = min(base.values(), key=lambda r: r["log_weight"])
+    hi = max(base.values(), key=lambda r: r["log_weight"])
+    if hi["log_weight"] > lo["log_weight"]:
+        s = {k: v[0]["log_weight"] for k, v in by_content.items()}
+        assert s[hi["doc_id"]] > s[lo["doc_id"]]

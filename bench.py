@@ -93,6 +93,11 @@ R6_HEADLINE = [
     # chained Arrow mapInPandas stages, zero shuffles — the Python
     # crossing cost is the thing measured)
     "proto_feed_entities",
+    # round-6 second batch (appended per frozen-order protocol): the
+    # distributed Lloyd fit (2 unrolled iterations) and the
+    # broadcast-ratio DSIR scorer
+    "ivf_kmeans_cells",
+    "dsir_importance_weights",
 ]
 HEADLINE = R2_HEADLINE + R3_HEADLINE + R4_HEADLINE + R5_HEADLINE + R6_HEADLINE
 _R2_KEYS = frozenset(R2_HEADLINE)

@@ -400,6 +400,97 @@ def proto_feed_entities() -> pd.DataFrame:
     return pd.DataFrame(out)
 
 
+def ivf_kmeans_cells() -> pd.DataFrame:
+    """Round-6 key: single-process numpy Lloyd (the reference's ML jobs
+    are driver-side sklearn/numpy loops, ml-job.py idiom) with the
+    SAME deterministic init/rounding as the distributed fit."""
+    import numpy as np
+
+    emb = _read("embeddings").sort_values("vec_id")
+    X = np.array(emb["embedding"].tolist(), dtype=np.float64)
+    cent = X[:16].copy()
+    for _ in range(2):
+        d2 = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        lab = np.round(d2, 9).argmin(axis=1)
+        cent = np.array(
+            [
+                np.round(X[lab == c].mean(axis=0), 6)
+                if (lab == c).any() else cent[c]
+                for c in range(16)
+            ]
+        )
+    d2 = np.round(((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2), 9)
+    lab = d2.argmin(axis=1)
+    rows = []
+    for c in range(16):
+        m = lab == c
+        if not m.any():
+            continue
+        rows.append(
+            {
+                "cell": c,
+                "n_members": int(m.sum()),
+                "avg_dist2": round(float(d2[m, c].mean()), 6),
+                "centroid_norm": round(
+                    float(np.sqrt((cent[c] ** 2).sum())), 6
+                ),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def dsir_importance_weights() -> pd.DataFrame:
+    """Round-6 key: hashed-unigram DSIR as a single-process
+    Counter/hashlib loop — the reference's row-at-a-time idiom."""
+    import math as _math
+
+    docs = _read("documents")
+    bucket_cache: dict[str, int] = {}
+
+    def b_of(tok: str) -> int:
+        b = bucket_cache.get(tok)
+        if b is None:
+            b = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % 256
+            bucket_cache[tok] = b
+        return b
+
+    import re as _re
+
+    cnt_all = [0] * 256
+    cnt_t = [0] * 256
+    doc_buckets = []
+    for text, source in zip(docs["text"], docs["source"]):
+        toks = _re.sub(r"\s+", " ", text.strip().lower()).split(" ")
+        bs = [b_of(t) for t in toks]
+        doc_buckets.append(bs)
+        tgt = source == "src0"
+        for b in bs:
+            cnt_all[b] += 1
+            if tgt:
+                cnt_t[b] += 1
+    n_all, n_t = sum(cnt_all), sum(cnt_t)
+    lr = [
+        round(
+            _math.log((cnt_t[b] + 1) / (n_t + 256))
+            - _math.log((cnt_all[b] + 1) / (n_all + 256)),
+            6,
+        )
+        for b in range(256)
+    ]
+    out = []
+    for doc_id, bs in zip(docs["doc_id"], doc_buckets):
+        w = round(sum(lr[b] for b in bs), 4)
+        out.append(
+            {
+                "doc_id": doc_id,
+                "n_tokens": len(bs),
+                "log_weight": w,
+                "selected": int(w > 0),
+            }
+        )
+    return pd.DataFrame(out)
+
+
 def main() -> None:
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
@@ -428,6 +519,8 @@ def main() -> None:
     timed("basket_part_pairs", basket_part_pairs)
     timed("open_orders_monthly", open_orders_monthly)
     timed("proto_feed_entities", proto_feed_entities)
+    timed("ivf_kmeans_cells", ivf_kmeans_cells)
+    timed("dsir_importance_weights", dsir_importance_weights)
 
     print(json.dumps({"sf_dir": SF_DIR, "queries": timings, "rows": rows}))
 

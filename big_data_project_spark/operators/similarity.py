@@ -410,6 +410,20 @@ def _km_means(assigned: DataFrame) -> DataFrame:
     )
 
 
+def _km_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_vectors through the small-input parallelism guard: the Lloyd
+    pipeline is map-side off the raw scan, so a single-split local
+    parquet would serialize every assignment pass on one core. At real
+    scale the guard is a no-op and the pipeline keeps its shuffle-free
+    assignment."""
+    from ..catalog import load_table_spread
+
+    emb = load_table_spread(spark, sf_dir, "embeddings", "vec_id")
+    return emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+
+
 def _km_fit(v: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(final centroids, final assignment) after IVF_KM_ITERS unrolled
     Lloyd rounds from the deterministic init (the first IVF_CELLS
@@ -432,7 +446,7 @@ def ivf_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     (init + every assign/recompute round) agrees across engines."""
     from ..functions.portable import davg
 
-    v = _vectors(spark, sf_dir)
+    v = _km_vectors(spark, sf_dir)
     cent, assigned = _km_fit(v)
     stats = assigned.groupBy("cell").agg(
         F.count(F.lit(1)).alias("n_members"),
@@ -458,7 +472,7 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     loop. Probe cost per query stays corpus/IVF_CELLS × IVF_NPROBE."""
     from .dedup import _persisted
 
-    v = _vectors(spark, sf_dir)
+    v = _km_vectors(spark, sf_dir)
     cent, assigned = _km_fit(v)
     assigned = _persisted(assigned.select("vec_id", "e", "cell"))
     cs = cent.agg(F.collect_list(F.struct("cell", "ce")).alias("cs"))
@@ -1202,7 +1216,7 @@ def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank for a per-cell hash threshold (keep iff md5 < cap/cell_size
     quantile) — same keep contract, no sort. The exact rank here keeps
     the operator oracle-checkable end to end."""
-    v = _vectors(spark, sf_dir)
+    v = _km_vectors(spark, sf_dir)
     _cent, assigned = _km_fit(v)
     w = Window.partitionBy("cell").orderBy(
         F.md5(F.col("vec_id").cast("string")), "vec_id"

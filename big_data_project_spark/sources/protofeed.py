@@ -453,11 +453,15 @@ def proto_feed_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines share.
 
     Scale: encode and decode are Arrow-batched mapInPandas stages (one
-    Python crossing each), the rest is map-side projection — no
-    shuffle at all until the driver's comparison sort."""
+    Python crossing each), the rest is map-side projection. The input
+    loads through load_table_spread so the per-entity Python work runs
+    on every core even when the local parquet is a single split (at
+    real scale the spread guard is a no-op and the pipeline is
+    shuffle-free end to end)."""
+    from ..catalog import load_table_spread
     from ..functions.portable import pround
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table_spread(spark, sf_dir, "events", "event_id")
     decoded = decode_feed_messages(encode_feed_messages(ev))
     return decoded.select(
         "entity_kind",

@@ -151,9 +151,11 @@ SHUFFLE_BUDGETS = {
     # cross-joins (nodes/edges/wedges/triangles), not data joins
     "neardup_triangle_count": 14,
     # round-6 additions
-    # encode->decode are chained mapInPandas stages; the whole typed
-    # entity table is map-side — any exchange here is a regression
-    "proto_feed_entities": 0,
+    # encode->decode are chained mapInPandas stages; the ONE exchange
+    # is load_table_spread's small-input parallelism guard (a no-op at
+    # real scale), without which the whole per-entity Python pipeline
+    # serializes on one core (5.0 s -> 1.4 s steady at sf0.1)
+    "proto_feed_entities": 1,
     # distributed Lloyd: assignment is a map-side broadcast argmin
     # (zero corpus shuffles); each of the 2 unrolled iterations pays
     # one corpus x d dims aggregate + cells-sized collects, and the

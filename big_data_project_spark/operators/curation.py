@@ -958,3 +958,86 @@ ORACLES["dsir_importance_weights"] = f"""
            (CASE WHEN log_weight > 0 THEN 1 ELSE 0 END)::INT AS selected
     FROM scored ORDER BY doc_id
 """
+
+
+# --- CCNet-style perplexity tiers (Wenzek et al. 2020) ------------------
+
+PPL_TIERS = 3  # head / middle / tail
+
+
+def ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's quality tiers (Wenzek et al. 2020, arXiv:1911.00359):
+    within each language, rank documents by LM perplexity and cut into
+    equal head/middle/tail thirds — head is the clean slice most
+    pretraining recipes keep, tail the boilerplate/gibberish candidate
+    pool. The LM is the corpus's own bigram model
+    (``lm_bigram_logprob``), so the whole pipeline stays inside the
+    oracle contract. Per (lang, tier): doc count and the tier's
+    perplexity range + decimal mean.
+
+    Determinism: ppl_proxy is already rounded to 4dp by the LM key;
+    ntile over (ppl, doc_id) is fully ordered, so tier assignment is
+    identical cross-engine including ties.
+
+    Scale note: the exact ntile ranks each language's docs in one
+    window partition; CCNet itself thresholds against PRECOMPUTED
+    per-lang quantiles (one pass + broadcast cutoffs), which is the
+    swap at corpus scale — same tiers, no per-lang global sort. The
+    exact rank here keeps the contract hash-checkable."""
+    from .corpus import lm_bigram_logprob
+
+    scored = lm_bigram_logprob(spark, sf_dir).select("doc_id", "ppl_proxy")
+    langs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy("ppl_proxy", "doc_id")
+    tiered = (
+        scored.join(langs, "doc_id")
+        .withColumn("tier_idx", F.ntile(PPL_TIERS).over(w))
+        .withColumn(
+            "tier",
+            F.when(F.col("tier_idx") == 1, "head")
+            .when(F.col("tier_idx") == 2, "middle")
+            .otherwise("tail"),
+        )
+    )
+    return (
+        tiered.groupBy("lang", "tier_idx", "tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("ppl_proxy").alias("min_ppl"),
+            F.max("ppl_proxy").alias("max_ppl"),
+            davg("ppl_proxy", 4).alias("avg_ppl"),
+        )
+        .orderBy("lang", "tier_idx")
+    )
+
+
+QUERIES["ccnet_ppl_buckets"] = ccnet_ppl_buckets
+
+ORACLES["ccnet_ppl_buckets"] = f"""
+    WITH lm AS ({{LM}}),
+    tiered AS (
+      SELECT d.lang, lm.ppl_proxy,
+             ntile({PPL_TIERS}) OVER (
+               PARTITION BY d.lang
+               ORDER BY lm.ppl_proxy, lm.doc_id) AS tier_idx
+      FROM lm JOIN documents d ON d.doc_id = lm.doc_id
+    )
+    SELECT lang, tier_idx,
+           CASE tier_idx WHEN 1 THEN 'head'
+                WHEN 2 THEN 'middle' ELSE 'tail' END AS tier,
+           count(*) AS n_docs,
+           min(ppl_proxy) AS min_ppl,
+           max(ppl_proxy) AS max_ppl,
+           {sql_davg("ppl_proxy", 4)} AS avg_ppl
+    FROM tiered
+    GROUP BY lang, tier_idx
+    ORDER BY lang, tier_idx
+"""
+
+# the LM CTE is corpus.py's oracle verbatim — spliced (not f-embedded)
+# to keep module import order a non-issue
+from .corpus import ORACLES as _CORPUS_ORACLES  # noqa: E402
+
+ORACLES["ccnet_ppl_buckets"] = ORACLES["ccnet_ppl_buckets"].replace(
+    "{LM}", _CORPUS_ORACLES["lm_bigram_logprob"]
+)

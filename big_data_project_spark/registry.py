@@ -134,6 +134,7 @@ _PROMOTED = [
     "ann_ivf_kmeans_topk",
     "cluster_balanced_sample",
     "dsir_importance_weights",
+    "ccnet_ppl_buckets",
     # --- round-5 late batch: never driver-evidenced; MUST lead ---
     "scd2_alerts",
     "orders_yoy_growth",

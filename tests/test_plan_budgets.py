@@ -167,6 +167,10 @@ SHUFFLE_BUDGETS = {
     # persisted token stream -> one bucket aggregate (256 rows out) +
     # broadcast-ratio scoring join + doc-grain aggregate
     "dsir_importance_weights": 6,
+    # whole persisted bigram-LM pipeline + the per-lang ntile window +
+    # tier aggregate (the window is the documented CCNet-quantile swap
+    # point at corpus scale)
+    "ccnet_ppl_buckets": 9,
     # round 6 (was 34): the centroid tier now broadcasts bucket-sized
     # centroid ARRAYS back over the corpus instead of re-joining the
     # exploded dims (one corpus x d shuffle, not two), and the pair

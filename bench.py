@@ -110,31 +110,35 @@ REGRESSION_RATIO = 1.25
 
 
 def _prior_round_queries(sf: float | None) -> tuple[str | None, dict[str, float]]:
-    """Steady per-query timings from the newest BENCH_r{N}.json the
-    driver left in the repo root (its `parsed` field is the prior
-    round's headline JSON). Only comparable history counts: a prior
-    artifact at a DIFFERENT scale factor (e.g. a local sf0.001 smoke
-    vs the driver's sf0.1) is skipped. Missing/unparsed artifacts
-    degrade to 'no prior' — the bench never fails on absent history."""
+    """Steady per-query timings from the NEWEST COMPARABLE
+    BENCH_r{N}.json the driver left in the repo root (its `parsed`
+    field is that round's headline JSON). Comparable = parsed AND at
+    the same scale factor; an unparsed newest artifact (r04's
+    truncation) or an sf-mismatched one falls back to the next-newest
+    instead of silently disabling the regression self-report.
+    Exhausted history degrades to 'no prior' — the bench never fails
+    on absent history."""
     import glob
     import re
 
     root = os.path.dirname(os.path.abspath(__file__))
-    best, best_n = None, -1
+    numbered: list[tuple[int, str]] = []
     for p in glob.glob(os.path.join(root, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", p)
-        if m and int(m.group(1)) > best_n:
-            best, best_n = p, int(m.group(1))
-    if best is None:
-        return None, {}
-    try:
-        with open(best) as fh:
-            parsed = json.load(fh).get("parsed") or {}
+        if m:
+            numbered.append((int(m.group(1)), p))
+    for _n, path in sorted(numbered, reverse=True):
+        try:
+            with open(path) as fh:
+                parsed = json.load(fh).get("parsed") or {}
+        except (OSError, ValueError):
+            continue
+        if not parsed.get("queries"):
+            continue
         if sf is not None and parsed.get("sf") != sf:
-            return None, {}
-        return os.path.basename(best), dict(parsed.get("queries") or {})
-    except (OSError, ValueError):
-        return None, {}
+            continue
+        return os.path.basename(path), dict(parsed["queries"])
+    return None, {}
 
 # Ambient-load threshold for the `contended` flag: BENCH_r03 was taken
 # under ~10x co-tenant load and its absolute numbers were unusable as

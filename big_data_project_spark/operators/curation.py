@@ -766,7 +766,11 @@ def filter_retention_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs")
     )
     w_all = Window.partitionBy()
-    w_run = Window.orderBy("stage_idx").rowsBetween(
+    # stage tie-break: the ELSE-5 fallback can put an unknown reason on
+    # the same stage_idx as 'keep', and a ROWS running sum over tied
+    # keys is peer-order-dependent — the (stage_idx, stage) total order
+    # keeps n_remaining deterministic on BOTH engines in that case
+    w_run = Window.orderBy("stage_idx", "reason").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     dropped = F.when(F.col("reason") != "keep", F.col("n_docs")).otherwise(
@@ -819,7 +823,7 @@ ORACLES["filter_retention_funnel"] = f"""
       SELECT stage_idx, stage, n_docs,
              (sum(n_docs) OVER ())::BIGINT
                - (sum(CASE WHEN stage != 'keep' THEN n_docs ELSE 0 END)
-                  OVER (ORDER BY stage_idx
+                  OVER (ORDER BY stage_idx, stage
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                  )::BIGINT AS n_remaining,
              (sum(n_docs) OVER ())::BIGINT AS n_total

@@ -51,6 +51,35 @@ def _q(ident: str) -> str:
     return '"' + ident.replace('"', '""') + '"'
 
 
+# SQLSTATEs meaning "table already exists": Derby X0Y32, Postgres
+# 42P07 (duplicate_table), SQL Server/MySQL-compatible 42S01. Matching
+# the STATE (not the message) is locale-proof — Postgres localizes its
+# error text under lc_messages, so 'already exists' never appears in
+# e.g. a French-locale server's message.
+_DUP_TABLE_SQLSTATES = {"X0Y32", "42P07", "42S01"}
+
+
+def _sql_states(exc: Exception) -> set[str]:
+    """Collect SQLSTATEs along the wrapped java.sql.SQLException cause
+    chain of a py4j error (empty for non-JVM exceptions)."""
+    states: set[str] = set()
+    jexc = getattr(exc, "java_exception", None)
+    seen = 0
+    while jexc is not None and seen < 16:  # cycle guard
+        try:
+            state = jexc.getSQLState()
+            if state:
+                states.add(str(state))
+        except Exception:  # noqa: BLE001 — not an SQLException layer
+            pass
+        try:
+            jexc = jexc.getCause()
+        except Exception:  # noqa: BLE001
+            break
+        seen += 1
+    return states
+
+
 def _jdbc_exec(
     spark: SparkSession, url: str, statements: list[str]
 ) -> list[str]:
@@ -178,10 +207,14 @@ def jdbc_upsert(
             ],
         )
     except Exception as exc:  # noqa: BLE001 — py4j wraps SQLException
-        # Derby X0Y32 / Postgres 42P07: already exists — the steady
-        # state; anything else is a real DDL failure
-        msg = str(exc)
-        if "already exists" not in msg and "X0Y32" not in msg:
+        # "table already exists" is the steady state; anything else is
+        # a real DDL failure. Decide by SQLSTATE (locale-proof), with
+        # the English-message substring only as a fallback for drivers
+        # that do not surface a state through the py4j cause chain.
+        states = _sql_states(exc)
+        if not (states & _DUP_TABLE_SQLSTATES) and (
+            states or "already exists" not in str(exc)
+        ):
             raise
     _jdbc_exec(
         spark,

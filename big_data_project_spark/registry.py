@@ -122,7 +122,7 @@ for _mod in _MODULES:
 # rotation. Round 6 (round-5 verdict items 1-2): FIRST the new
 # round-6 keys (first-round keys MUST get a driver row), THEN the six
 # round-5 late-batch keys that have never had a driver row, THEN the
-# 31-key cohort whose newest driver row is still CORRECTNESS_r01
+# 32-key cohort whose newest driver row is still CORRECTNESS_r01
 # (suggestions/validation/geo/tpch/tpch_ext — untouched since round 1;
 # rotation means re-running, not git archaeology). After round 6 the
 # union should be 100% driver-evidenced. Everything green in r02-r05

@@ -96,12 +96,15 @@ def decode_events_envelope(
         return parsed.filter(is_object).select("e.*", "kafka_ts")
     # kept-malformed path: the all-NULL row alone is undiagnosable, so
     # surface the original bytes (NULL on well-formed rows) — the
-    # dead-letter sink archives `corrupt_payload IS NOT NULL`.
+    # dead-letter sink archives `corrupt_payload IS NOT NULL`. A Kafka
+    # TOMBSTONE (value IS NULL, compacted-topic deletion marker) has no
+    # bytes to archive but must still hit that filter, so it carries
+    # empty bytes rather than NULL.
     return parsed.select(
         "e.*",
         "kafka_ts",
         F.when(is_object, F.lit(None).cast("binary"))
-        .otherwise(F.col("__raw"))
+        .otherwise(F.coalesce(F.col("__raw"), F.lit(b"")))
         .alias("corrupt_payload"),
     )
 

@@ -313,23 +313,29 @@ def encode_feed_messages(events: DataFrame) -> DataFrame:
         for b in batches:
             if b.empty:
                 continue
-            body = _enc_len(1, _enc_len(1, b"2.0") + _enc_int(3, 0))
+            # accumulate parts and join once: `body += part` over bytes
+            # is O(n^2) in batch size (each += copies the whole buffer)
+            parts = [_enc_len(1, _enc_len(1, b"2.0") + _enc_int(3, 0))]
             for eid, uid, etype, val, ts in zip(
                 b["event_id"], b["user_id"], b["event_type"], b["value"],
                 b["ts"],
             ):
-                body += _enc_len(
-                    2,
-                    _encode_entity_from_event(
-                        int(eid),
-                        int(uid),
-                        None if etype is None or pd.isna(etype)
-                        else str(etype),
-                        None if val is None or pd.isna(val) else float(val),
-                        int(pd.Timestamp(ts).value // 1_000_000_000),
-                    ),
+                parts.append(
+                    _enc_len(
+                        2,
+                        _encode_entity_from_event(
+                            int(eid),
+                            int(uid),
+                            None if etype is None or pd.isna(etype)
+                            else str(etype),
+                            None
+                            if val is None or pd.isna(val)
+                            else float(val),
+                            int(pd.Timestamp(ts).value // 1_000_000_000),
+                        ),
+                    )
                 )
-            yield pd.DataFrame({"payload": [body]})
+            yield pd.DataFrame({"payload": [b"".join(parts)]})
 
     return events.select(
         "event_id", "user_id", "event_type", "value", "ts"

@@ -519,7 +519,17 @@ def sessionize_stream_timeout(
 
 def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin: lag -> gap flag -> cumulative session id -> aggregate.
-    One shuffle on user_id; both windows reuse the same partitioning."""
+    One shuffle on user_id; both windows reuse the same partitioning.
+
+    total_value uses the SAME decimal fold as stream_sessions_native
+    (and its oracle mirrors it): the native stream's session state
+    merges in arbitrary order, so only an order-independent
+    accumulation lets batch, stream, and oracle agree exactly at 4dp —
+    one of the three using plain round(sum()) would diverge on values
+    finer than the decimal's 1e-6 quantum or at negative .00005
+    rounding boundaries."""
+    from ..functions.portable import dsum
+
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # microsecond gap math: unix_timestamp() truncates to whole seconds
@@ -550,7 +560,7 @@ def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 4).alias("total_value"),
+        dsum("value", 4).alias("total_value"),
     )
 
 
@@ -986,7 +996,7 @@ ORACLES = {
                min(ts) AS session_start,
                max(ts) AS session_end,
                count(*) AS n_events,
-               round(sum(value), 4) AS total_value
+               floor((sum((value)::DECIMAL(28,6)))::DOUBLE * 10000.0 + 0.5) / 10000.0 AS total_value
         FROM sessions
         GROUP BY user_id, session_id
     """,

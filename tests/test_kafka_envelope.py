@@ -69,10 +69,10 @@ def test_envelope_key_preserves_user_partitioning(spark):
 
 
 def test_malformed_payloads_route_or_drop(spark):
-    """Payloads that are not JSON OBJECTS — byte garbage AND
-    well-formed non-objects (bare number/string/array) — decode to
-    all-NULL rows (kept for a dead-letter sink) and ALL disappear
-    under drop_malformed."""
+    """Payloads that are not JSON OBJECTS — byte garbage, well-formed
+    non-objects (bare number/string/array), AND a Kafka tombstone
+    (NULL value) — decode to all-NULL rows (kept for a dead-letter
+    sink) and ALL disappear under drop_malformed."""
     raw = spark.createDataFrame(
         [
             ('{"event_id": 1, "ts": "2026-01-01 00:00:00", "user_id": 2,'
@@ -81,27 +81,27 @@ def test_malformed_payloads_route_or_drop(spark):
             ("42",),
             ('"hello"',),
             ("[1, 2, 3]",),
+            (None,),  # compacted-topic tombstone
         ],
         "v string",
     ).select(F.col("v").cast("binary").alias("value"))
     kept = decode_events_envelope(raw).collect()
-    assert len(kept) == 5
+    assert len(kept) == 6
     assert sorted(
         (r.event_id is None) for r in kept
-    ) == [False, True, True, True, True]
-    # dead-letter routing: malformed rows keep their ORIGINAL bytes in
-    # corrupt_payload; well-formed rows carry NULL there
+    ) == [False, True, True, True, True, True]
+    # dead-letter routing: EVERY non-object row (tombstone included)
+    # has a non-NULL corrupt_payload; well-formed rows carry NULL
     for r in kept:
         if r.event_id is None:
             assert r.corrupt_payload is not None
-            assert len(bytes(r.corrupt_payload)) > 0
         else:
             assert r.corrupt_payload is None
     assert {
         bytes(r.corrupt_payload).decode()
         for r in kept
         if r.corrupt_payload is not None
-    } == {"this is not json", "42", '"hello"', "[1, 2, 3]"}
+    } == {"this is not json", "42", '"hello"', "[1, 2, 3]", ""}
     dropped = decode_events_envelope(raw, drop_malformed=True).collect()
     assert len(dropped) == 1 and dropped[0].event_type == "view"
     assert "corrupt_payload" not in dropped[0].asDict()

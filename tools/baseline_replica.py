@@ -408,29 +408,34 @@ def ivf_kmeans_cells() -> pd.DataFrame:
 
     emb = _read("embeddings").sort_values("vec_id")
     X = np.array(emb["embedding"].tolist(), dtype=np.float64)
-    cent = X[:16].copy()
+    # centroids as cell -> vector: a cell that loses every member is
+    # DROPPED for the next round (the distributed _km_means emits no
+    # row for it), never carried forward stale
+    cent = {c: X[c].copy() for c in range(16)}
     for _ in range(2):
-        d2 = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-        lab = np.round(d2, 9).argmin(axis=1)
-        cent = np.array(
-            [
-                np.round(X[lab == c].mean(axis=0), 6)
-                if (lab == c).any() else cent[c]
-                for c in range(16)
-            ]
-        )
-    d2 = np.round(((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2), 9)
+        cells = sorted(cent)
+        C = np.stack([cent[c] for c in cells])
+        d2 = np.round(((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2), 9)
+        lab = d2.argmin(axis=1)  # ties -> lowest surviving cell
+        cent = {
+            c: np.round(X[lab == i].mean(axis=0), 6)
+            for i, c in enumerate(cells)
+            if (lab == i).any()
+        }
+    cells = sorted(cent)
+    C = np.stack([cent[c] for c in cells])
+    d2 = np.round(((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2), 9)
     lab = d2.argmin(axis=1)
     rows = []
-    for c in range(16):
-        m = lab == c
+    for i, c in enumerate(cells):
+        m = lab == i
         if not m.any():
             continue
         rows.append(
             {
                 "cell": c,
                 "n_members": int(m.sum()),
-                "avg_dist2": round(float(d2[m, c].mean()), 6),
+                "avg_dist2": round(float(d2[m, i].mean()), 6),
                 "centroid_norm": round(
                     float(np.sqrt((cent[c] ** 2).sum())), 6
                 ),

@@ -98,6 +98,11 @@ R6_HEADLINE = [
     # broadcast-ratio DSIR scorer
     "ivf_kmeans_cells",
     "dsir_importance_weights",
+    # round-6 third batch (appended per frozen-order protocol): BM25
+    # ranked retrieval (vocabulary-filtered tf shuffle) and the
+    # margin-based bitext miner (two stacked k-NN window passes)
+    "bm25_retrieval_topk",
+    "bitext_margin_mining",
 ]
 HEADLINE = R2_HEADLINE + R3_HEADLINE + R4_HEADLINE + R5_HEADLINE + R6_HEADLINE
 _R2_KEYS = frozenset(R2_HEADLINE)

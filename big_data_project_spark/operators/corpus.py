@@ -692,3 +692,153 @@ ORACLES["doc_top_terms"] = f"""
     WHERE rank <= {DOC_TERMS_K}
     ORDER BY doc_id, rank
 """
+
+
+# Okapi BM25 ranked retrieval: the classic probabilistic relevance
+# function (Robertson & Zaragoza 2009; the +1-inside-the-log idf
+# variant Lucene ships, so idf is never negative). Fixed query set
+# over the corpus vocabulary — retrieval against a 100 TB corpus is
+# the "find me training docs about X" primitive that tfidf_top_terms
+# (per-source profile) and inverted_index_sample (posting lists) stop
+# short of.
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 10
+BM25_QUERY_TERMS = (
+    (0, "spark"), (0, "query"), (0, "join"),
+    (1, "customer"), (1, "table"), (1, "scan"),
+    (2, "stream"), (2, "window"), (2, "batch"),
+)
+
+
+def bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k documents per query by Okapi BM25 (k1=1.2, b=0.75).
+
+    Plan shape for 100 TB: doc length rides along the SAME projection
+    that explodes tokens (a map-side size(), no second corpus scan and
+    no corpus-corpus join); the explode output is filtered to the
+    query vocabulary immediately, so the tf aggregate shuffles only
+    the matching slice, never the full token stream; df and the
+    corpus stats (N, avgdl) are vocabulary-/one-row-sized broadcasts.
+
+    Portability: tf/df/dl/N are exact integers, both engines evaluate
+    the identically-shaped double expression, each per-term score is
+    9dp-quantized and decimal-summed (order-independent), and the rank
+    orders by that exact sum with doc_id tie-break."""
+    docs = load_table_spread(spark, sf_dir, "documents", "doc_id")
+    vocab = sorted({t for _, t in BM25_QUERY_TERMS})
+    toks = F.filter(
+        F.split(_norm(F.col("text")), " "), lambda t: t != ""
+    )
+    exploded = docs.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        F.explode(toks).alias("tok"),
+    ).filter(F.col("tok").isin(*vocab))
+    tf = exploded.groupBy("doc_id", "dl", "tok").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    stats = docs.select(F.size(toks).alias("dl")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dl").alias("sum_dl"),
+    )
+    q = spark.createDataFrame(
+        list(BM25_QUERY_TERMS), "query_id int, tok string"
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n").cast("double") - F.col("df") + 0.5)
+        / (F.col("df") + 0.5)
+    )
+    tfc = (F.col("tf") * (BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + BM25_K1 * (1.0 - BM25_B + BM25_B * (F.col("dl") / avgdl))
+    )
+    scored = (
+        tf.join(F.broadcast(dfq), "tok")
+        .join(F.broadcast(q), "tok")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            pround(idf * tfc, 9).alias("ts"),
+        )
+    )
+    agg = scored.groupBy("query_id", "doc_id").agg(
+        F.sum(F.col("ts").cast("decimal(28,9)")).cast("double").alias(
+            "score_x"
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_x").desc(), F.col("doc_id").asc()
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_TOP_K)
+        .select(
+            "query_id",
+            "rank",
+            "doc_id",
+            pround("score_x", 6).alias("score"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+QUERIES["bm25_retrieval_topk"] = bm25_retrieval_topk
+
+_SQL_BM25_Q = "VALUES " + ", ".join(
+    f"({qid}, '{t}')" for qid, t in BM25_QUERY_TERMS
+)
+_SQL_BM25_TS = (
+    "ln(1.0 + (n::DOUBLE - df + 0.5) / (df + 0.5))"
+    f" * ((tf * ({BM25_K1} + 1.0))"
+    f" / (tf + {BM25_K1} * (1.0 - {BM25_B}"
+    f" + {BM25_B} * (dl / (sum_dl::DOUBLE / n)))))"
+)
+
+ORACLES["bm25_retrieval_topk"] = f"""
+    WITH dld AS (
+      SELECT doc_id,
+             len(list_filter(string_split({_SQL_NORM}, ' '),
+                             x -> x <> '')) AS dl,
+             text
+      FROM documents
+    ),
+    stats AS (SELECT count(*) AS n, sum(dl)::BIGINT AS sum_dl FROM dld),
+    toks AS (
+      SELECT doc_id, dl, unnest(string_split({_SQL_NORM}, ' ')) AS tok
+      FROM dld
+    ),
+    q(query_id, tok) AS ({_SQL_BM25_Q}),
+    tf AS (
+      SELECT doc_id, dl, tok, count(*) AS tf
+      FROM toks WHERE tok IN (SELECT tok FROM q)
+      GROUP BY doc_id, dl, tok
+    ),
+    dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    scored AS (
+      SELECT q.query_id, t.doc_id,
+             {sql_pround(_SQL_BM25_TS, 9)} AS ts
+      FROM tf t JOIN dfq USING (tok) JOIN q ON q.tok = t.tok
+      CROSS JOIN stats
+    ),
+    agg AS (
+      SELECT query_id, doc_id,
+             (sum((ts)::DECIMAL(28,9)))::DOUBLE AS score_x
+      FROM scored GROUP BY query_id, doc_id
+    )
+    SELECT query_id, rank, doc_id, {sql_pround("score_x", 6)} AS score
+    FROM (
+      SELECT query_id, doc_id, score_x,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY score_x DESC, doc_id ASC
+             ) AS rank
+      FROM agg
+    ) r
+    WHERE rank <= {BM25_TOP_K}
+    ORDER BY query_id, rank
+"""

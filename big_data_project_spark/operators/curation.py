@@ -1045,3 +1045,99 @@ from .corpus import ORACLES as _CORPUS_ORACLES  # noqa: E402
 ORACLES["ccnet_ppl_buckets"] = ORACLES["ccnet_ppl_buckets"].replace(
     "{LM}", _CORPUS_ORACLES["lm_bigram_logprob"]
 )
+
+
+# Temperature-sampled multilingual mixing (XLM / mT5 alpha-sampling,
+# Conneau & Lample 2019 arXiv:1901.07291 §3.1): sampling share
+# p_i ∝ n_i^MIX_TEMPERATURE flattens the language distribution so
+# low-resource languages are upsampled without drowning high-resource
+# ones. TOKEN_BUDGET is the training-run size the plan fills.
+TOKEN_BUDGET = 10_000_000
+MIX_TEMPERATURE = 0.5  # alpha; 0.5 == sqrt flattening
+
+
+def token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language training-mix plan under a fixed token budget:
+    available whitespace tokens, the raw corpus share, the
+    temperature-flattened sampling share (p_i ∝ tokens_i^0.5), the
+    tokens a TOKEN_BUDGET-token run draws from each language, and the
+    implied epochs over the available data (epochs > raw implies the
+    language is repeated/upsampled — the low-resource tail).
+
+    Cross-engine determinism: token counts are exact integer sums;
+    sqrt is IEEE-correctly-rounded so both engines see the same
+    double, which is quantized to 6dp and decimal-summed so the
+    languages-sized weight total is order-independent; each published
+    ratio divides identical doubles and is pround'd.
+
+    Scale: ONE corpus-scale aggregate (map-side token counting into a
+    languages-sized relation, PERSISTED so the one-row totals branch
+    never re-scans the corpus); the totals are a one-row broadcast."""
+    from .dedup import _persisted
+    from .textops import _toks
+
+    docs = load_table_spread(spark, sf_dir, "documents", "doc_id")
+    per = _persisted(
+        docs.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(_toks(F.col("text")))).alias("n_tokens"),
+        )
+    )
+    pw = per.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        pround(F.sqrt(F.col("n_tokens").cast("double")), 6).alias("w"),
+    )
+    tot = pw.agg(
+        F.sum("n_tokens").alias("tot_tokens"),
+        F.sum(F.col("w").cast("decimal(28,6)")).cast("double").alias(
+            "tot_w"
+        ),
+    )
+    samp = F.col("w") / F.col("tot_w")
+    budget = F.lit(float(TOKEN_BUDGET))
+    return (
+        pw.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            pround(
+                F.col("n_tokens").cast("double") / F.col("tot_tokens"), 6
+            ).alias("raw_share"),
+            pround(samp, 6).alias("sampled_share"),
+            F.floor(budget * samp).cast("long").alias("planned_tokens"),
+            pround(budget * samp / F.col("n_tokens"), 6).alias("epochs"),
+        )
+        .orderBy("lang")
+    )
+
+
+QUERIES["token_budget_mix"] = token_budget_mix
+
+ORACLES["token_budget_mix"] = f"""
+    WITH per AS (
+      SELECT lang, count(*) AS n_docs,
+             sum(len(string_split({_SQL_NORM}, ' ')))::BIGINT AS n_tokens
+      FROM documents GROUP BY lang
+    ),
+    pw AS (
+      SELECT *, {sql_pround("sqrt(n_tokens::DOUBLE)", 6)} AS w FROM per
+    ),
+    tot AS (
+      SELECT sum(n_tokens)::BIGINT AS tot_tokens,
+             (sum((w)::DECIMAL(28,6)))::DOUBLE AS tot_w
+      FROM pw
+    )
+    SELECT lang, n_docs, n_tokens,
+           {sql_pround("n_tokens::DOUBLE / tot_tokens", 6)} AS raw_share,
+           {sql_pround("w / tot_w", 6)} AS sampled_share,
+           floor({float(TOKEN_BUDGET)} * (w / tot_w))::BIGINT
+             AS planned_tokens,
+           {sql_pround(
+               f"{float(TOKEN_BUDGET)} * (w / tot_w) / n_tokens", 6
+           )} AS epochs
+    FROM pw CROSS JOIN tot
+    ORDER BY lang
+"""

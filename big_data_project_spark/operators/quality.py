@@ -24,7 +24,7 @@ corpus-scale keys, no windows over corpus-scale relations.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..caching import persisted
@@ -269,3 +269,75 @@ ORACLES = {
         ORDER BY source
     """,
 }
+
+
+# Training-shard layout: shards are keyed by doc_id (content edits
+# never migrate a doc between shards, and the assignment is stable as
+# the corpus grows), over the TRAIN side of the content-hash split.
+N_SHARDS = 8
+
+
+def epoch_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard assignment + balance audit: every
+    TRAIN-split doc lands in shard = hash(doc_id) % N_SHARDS, and the
+    report a shard layout needs before an epoch runs — per shard: doc
+    count, summed whitespace tokens, share of train docs, and distinct
+    sources reached (a shard missing sources flags a biased hash).
+    Composes train_test_split's leakage-safe rule: test docs are
+    excluded BEFORE sharding, so no shard can feed eval text into
+    training. The reference has no analog (it trains on one pandas
+    frame, src/ml/train_predict.py); the shape is the standard
+    pre-training shard/shuffle step.
+
+    Scale: map-side split + shard + token-count flags, ONE aggregate
+    into an N_SHARDS-row relation; the doc-share denominator is a
+    window over that 8-row relation. No corpus-scale joins."""
+    docs = load_table_spread(spark, sf_dir, "documents", "doc_id")
+    tagged = docs.filter(_split_col() == "train").select(
+        F.pmod(
+            _hash60(F.col("doc_id").cast("string")), N_SHARDS
+        ).alias("shard"),
+        "source",
+        F.size(_toks(F.col("text"))).alias("n_toks"),
+    )
+    per = tagged.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("n_tokens"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+    w_all = Window.partitionBy()
+    return per.select(
+        "shard",
+        "n_docs",
+        "n_tokens",
+        "n_sources",
+        pround(
+            F.col("n_docs").cast("double") / F.sum("n_docs").over(w_all), 6
+        ).alias("doc_share"),
+    ).orderBy("shard")
+
+
+QUERIES["epoch_shard_plan"] = epoch_shard_plan
+
+ORACLES["epoch_shard_plan"] = f"""
+    WITH train AS (
+      SELECT doc_id, source, text FROM documents
+      WHERE ({_sql_hash60(_SQL_NORM)}) % {SPLIT_MOD} >= {TEST_BUCKETS}
+    ),
+    tagged AS (
+      SELECT ({_sql_hash60("doc_id::VARCHAR")}) % {N_SHARDS} AS shard,
+             source,
+             len(string_split({_SQL_NORM}, ' ')) AS n_toks
+      FROM train
+    ),
+    per AS (
+      SELECT shard, count(*) AS n_docs, sum(n_toks)::BIGINT AS n_tokens,
+             count(DISTINCT source) AS n_sources
+      FROM tagged GROUP BY shard
+    )
+    SELECT shard, n_docs, n_tokens, n_sources,
+           {sql_pround("n_docs::DOUBLE / (sum(n_docs) OVER ())", 6)}
+             AS doc_share
+    FROM per
+    ORDER BY shard
+"""

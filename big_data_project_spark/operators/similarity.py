@@ -1248,3 +1248,178 @@ ORACLES["cluster_balanced_sample"] = f"""
     WHERE sample_rank <= {CLUSTER_SAMPLE_CAP}
     ORDER BY cell, sample_rank
 """
+
+
+# Margin-based bitext mining (Artetxe & Schwenk 2019, arXiv:1811.01136
+# — the LASER / CCMatrix mining rule): a candidate pair scores by its
+# cosine RELATIVE to each side's average k-NN cosine, which cancels the
+# hubness that makes raw-cosine mining pick the same "central" vectors
+# for every query. Sides are simulated as even (queries) vs odd
+# (candidates) vec_ids — the two-language split of a real bitext run.
+BITEXT_Q = 16       # even vec_ids < 2*BITEXT_Q are the query side
+BITEXT_K = 4        # k-NN depth for the margin normalizer
+# accept margin: the best match must beat its neighborhood by 35% —
+# tuned so the flag discriminates on the synthetic corpus (observed
+# best-margins span ~1.18..1.60 across SFs)
+BITEXT_TAU = 1.35
+
+
+def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best candidate per query by MARGIN score (ratio variant):
+    margin(x,y) = cos(x,y) / ((avgk(x) + avgk(y)) / 2), with avgk the
+    mean of a side's top-BITEXT_K cosines within the candidate matrix.
+    A pair is `accepted` when it is a MUTUAL best match AND its margin
+    clears BITEXT_TAU — the forward∩backward rule CCMatrix mines with.
+
+    RECALL BASELINE: the matrix is |queries| x |candidates| (guarded
+    like ann_cosine_topk); at 100 TB candidates come from the LSH /
+    IVF bucket paths (ann_lsh_topk, ann_ivf_kmeans_topk) and the same
+    margin math runs on the bucket-bounded pair list.
+
+    Portability: cosines are 9dp-quantized, the k-NN averages are
+    exact DECIMAL folds of those quantized values (order-independent),
+    so margins divide identical doubles on both engines; ranking uses
+    the 9dp margin with match_id tie-break.
+
+    ONE corpus-scale shuffle: the broadcast-query scan emits the pair
+    matrix map-side; the per-candidate window (avgk(y), best-x) and
+    the per-query top-1 reuse tiny/bounded partitions."""
+    from ..catalog import assert_baseline_scale
+
+    assert_baseline_scale(
+        sf_dir, "embeddings", "bitext_margin_mining",
+        "ann_lsh_topk/ann_ivf_kmeans_topk candidate buckets",
+    )
+    v = _vectors(spark, sf_dir)
+    q = v.filter(
+        (F.col("vec_id") < 2 * BITEXT_Q) & (F.col("vec_id") % 2 == 0)
+    ).select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe"))
+    c = v.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("match_id"), F.col("e").alias("ce")
+    )
+    pairs = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "match_id",
+        F.round(
+            _dot(F.col("qe"), F.col("ce"))
+            / (_norm(F.col("qe")) * _norm(F.col("ce"))),
+            9,
+        ).alias("cos9"),
+    )
+    # all query_id-partitioned window work, THEN all match_id work:
+    # same-partitioning windows stack on one Exchange each instead of
+    # ping-ponging q -> c -> q
+    w_q = Window.partitionBy("query_id")
+    w_c = Window.partitionBy("match_id")
+    rk_q = F.row_number().over(
+        w_q.orderBy(F.col("cos9").desc(), F.col("match_id").asc())
+    )
+    dec = F.when(
+        F.col("rk_q") <= BITEXT_K, F.col("cos9")
+    ).cast("decimal(28,9)")
+    qside = pairs.select("*", rk_q.alias("rk_q")).select(
+        "*",
+        (F.sum(dec).over(w_q).cast("double") / float(BITEXT_K)).alias(
+            "avgk_q"
+        ),
+    )
+    rk_c = F.row_number().over(
+        w_c.orderBy(F.col("cos9").desc(), F.col("query_id").asc())
+    )
+    dec_c = F.when(
+        F.col("rk_c") <= BITEXT_K, F.col("cos9")
+    ).cast("decimal(28,9)")
+    enriched = qside.select("*", rk_c.alias("rk_c")).select(
+        "*",
+        (F.sum(dec_c).over(w_c).cast("double") / float(BITEXT_K)).alias(
+            "avgk_c"
+        ),
+        F.max(F.when(F.col("rk_c") == 1, F.col("query_id"))).over(
+            w_c
+        ).alias("best_q_of_c"),
+    )
+    margin = F.col("cos9") / ((F.col("avgk_q") + F.col("avgk_c")) / 2.0)
+    scored = enriched.select(
+        "query_id",
+        "match_id",
+        "cos9",
+        F.round(margin, 9).alias("margin9"),
+        (F.col("best_q_of_c") == F.col("query_id")).alias("mutual"),
+    )
+    w_best = Window.partitionBy("query_id").orderBy(
+        F.col("margin9").desc(), F.col("match_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_best))
+        .filter(F.col("rank") == 1)
+        .select(
+            "query_id",
+            "match_id",
+            F.round("cos9", 6).alias("cosine"),
+            F.round("margin9", 6).alias("margin"),
+            "mutual",
+            (F.col("mutual") & (F.col("margin9") > BITEXT_TAU)).alias(
+                "accepted"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
+QUERIES["bitext_margin_mining"] = bitext_margin_mining
+
+ORACLES["bitext_margin_mining"] = f"""
+    WITH v AS ({_SQL_V}),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+             round(list_dot_product(q.e, c.e)
+                   / (sqrt(list_dot_product(q.e, q.e))
+                      * sqrt(list_dot_product(c.e, c.e))), 9) AS cos9
+      FROM v q JOIN v c
+        ON q.vec_id < {2 * BITEXT_Q} AND q.vec_id % 2 = 0
+       AND c.vec_id % 2 = 1
+    ),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY cos9 DESC, match_id ASC) AS rk_q,
+             row_number() OVER (
+               PARTITION BY match_id
+               ORDER BY cos9 DESC, query_id ASC) AS rk_c
+      FROM pairs
+    ),
+    enriched AS (
+      SELECT *,
+             (sum(CASE WHEN rk_q <= {BITEXT_K}
+                       THEN cos9 END::DECIMAL(28,9))
+                OVER (PARTITION BY query_id))::DOUBLE
+               / {float(BITEXT_K)} AS avgk_q,
+             (sum(CASE WHEN rk_c <= {BITEXT_K}
+                       THEN cos9 END::DECIMAL(28,9))
+                OVER (PARTITION BY match_id))::DOUBLE
+               / {float(BITEXT_K)} AS avgk_c,
+             max(CASE WHEN rk_c = 1 THEN query_id END)
+               OVER (PARTITION BY match_id) AS best_q_of_c
+      FROM ranked
+    ),
+    scored AS (
+      SELECT query_id, match_id, cos9,
+             round(cos9 / ((avgk_q + avgk_c) / 2.0), 9) AS margin9,
+             best_q_of_c = query_id AS mutual
+      FROM enriched
+    )
+    SELECT query_id, match_id,
+           round(cos9, 6) AS cosine,
+           round(margin9, 6) AS margin,
+           mutual,
+           (mutual AND margin9 > {BITEXT_TAU}) AS accepted
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY margin9 DESC, match_id ASC) AS rank
+      FROM scored
+    ) r
+    WHERE rank = 1
+    ORDER BY query_id
+"""

@@ -178,6 +178,15 @@ SHUFFLE_BUDGETS = {
     # still inlines that lineage per branch, but every exchange moves
     # vector-grain or bucket-grain relations, never corpus^2
     "semdedup_prune": 19,
+    # round-6 second batch: shard/mix are one corpus aggregate +
+    # tiny-relation windows; BM25 explodes but filters to the query
+    # vocabulary before its tf shuffle (stats branch is a second
+    # map-side scan, zero extra shuffles); bitext stacks both k-NN
+    # windows on one Exchange per partitioning side
+    "epoch_shard_plan": 4,
+    "token_budget_mix": 4,
+    "bm25_retrieval_topk": 7,
+    "bitext_margin_mining": 4,
 }
 
 

@@ -496,6 +496,104 @@ def dsir_importance_weights() -> pd.DataFrame:
     return pd.DataFrame(out)
 
 
+def bm25_retrieval_topk() -> pd.DataFrame:
+    """Single-core BM25 the reference's pandas/dict way: tokenize every
+    doc into Counters, loop the query terms per doc — the row-at-a-time
+    idiom a psycopg2/pandas stack would use."""
+    import math as _math
+    from collections import Counter
+
+    K1, B, TOP_K = 1.2, 0.75, 10
+    queries = {
+        0: ["spark", "query", "join"],
+        1: ["customer", "table", "scan"],
+        2: ["stream", "window", "batch"],
+    }
+    docs = _read("documents")
+    toks = {
+        int(r.doc_id): [
+            t for t in " ".join(str(r.text).lower().split()).split(" ") if t
+        ]
+        for r in docs.itertuples()
+    }
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    counters = {d: Counter(t) for d, t in toks.items()}
+    rows = []
+    for qid, terms in queries.items():
+        df_t = {
+            t: sum(1 for c in counters.values() if c[t] > 0) for t in terms
+        }
+        scores = []
+        for d, c in counters.items():
+            s = 0.0
+            for t in terms:
+                if c[t] == 0:
+                    continue
+                idf = _math.log(1.0 + (n - df_t[t] + 0.5) / (df_t[t] + 0.5))
+                tfc = (c[t] * (K1 + 1.0)) / (
+                    c[t] + K1 * (1.0 - B + B * (len(toks[d]) / avgdl))
+                )
+                s += idf * tfc
+            if s > 0:
+                scores.append((d, s))
+        scores.sort(key=lambda kv: (-kv[1], kv[0]))
+        for rank, (d, s) in enumerate(scores[:TOP_K], 1):
+            rows.append(
+                {
+                    "query_id": qid,
+                    "rank": rank,
+                    "doc_id": d,
+                    "score": round(s, 6),
+                }
+            )
+    return pd.DataFrame(rows)
+
+
+def bitext_margin_mining() -> pd.DataFrame:
+    """Single-core margin mining as nested numpy loops over the full
+    query x candidate cosine matrix (the notebook idiom)."""
+    import numpy as np
+
+    Q, K, TAU = 16, 4, 1.35
+    emb = _read("embeddings").sort_values("vec_id")
+    ids = emb["vec_id"].to_numpy()
+    X = np.array(emb["embedding"].tolist(), dtype=np.float64)
+    X = X / np.sqrt((X**2).sum(axis=1, keepdims=True))
+    qm = (ids < 2 * Q) & (ids % 2 == 0)
+    cm = ids % 2 == 1
+    qid, cid = ids[qm], ids[cm]
+    cos = np.round(X[qm] @ X[cm].T, 9)
+    avgk_q = {
+        q: float(np.sort(cos[i])[::-1][:K].mean())
+        for i, q in enumerate(qid)
+    }
+    avgk_c = {
+        c: float(np.sort(cos[:, j])[::-1][:K].mean())
+        for j, c in enumerate(cid)
+    }
+    rows = []
+    for i, q in enumerate(qid):
+        best, bm, bc = None, -1e9, 0.0
+        for j, c in enumerate(cid):
+            m = round(float(cos[i, j]) / ((avgk_q[q] + avgk_c[c]) / 2.0), 9)
+            if m > bm or (m == bm and (best is None or c < best)):
+                best, bm, bc = c, m, float(cos[i, j])
+        j = int(np.where(cid == best)[0][0])
+        mutual = qid[int(np.argmax(cos[:, j]))] == q
+        rows.append(
+            {
+                "query_id": int(q),
+                "match_id": int(best),
+                "cosine": round(bc, 6),
+                "margin": round(bm, 6),
+                "mutual": bool(mutual),
+                "accepted": bool(mutual and bm > TAU),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
 def main() -> None:
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
@@ -526,6 +624,8 @@ def main() -> None:
     timed("proto_feed_entities", proto_feed_entities)
     timed("ivf_kmeans_cells", ivf_kmeans_cells)
     timed("dsir_importance_weights", dsir_importance_weights)
+    timed("bm25_retrieval_topk", bm25_retrieval_topk)
+    timed("bitext_margin_mining", bitext_margin_mining)
 
     print(json.dumps({"sf_dir": SF_DIR, "queries": timings, "rows": rows}))
 

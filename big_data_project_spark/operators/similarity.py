@@ -1423,3 +1423,173 @@ ORACLES["bitext_margin_mining"] = f"""
     WHERE rank = 1
     ORDER BY query_id
 """
+
+
+# Hybrid lexical+dense retrieval via pseudo-relevance feedback: BM25
+# seeds a Rocchio centroid (the classic PRF query expansion), the
+# centroid retrieves densely, and reciprocal-rank fusion combines both
+# lists — the standard "hybrid search" stack (BM25 + embedding + RRF)
+# a retrieval-augmented pipeline runs over its training corpus.
+PRF_TOP_K = 10
+
+
+def hybrid_prf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RRF fusion of the BM25 list and a dense list retrieved by the
+    query's Rocchio centroid (dimension-wise mean of the BM25 top-k
+    docs' embeddings — pseudo-relevance feedback: no query embedding
+    model is needed, the lexical seeds ARE the relevance signal).
+
+    Alignment contract: one embedding per document (vec_id == doc_id,
+    same as text_embedding_agreement).
+
+    Determinism: the centroid is a per-dim exact-decimal mean rounded
+    to 6dp (the _km_means contract), cosines are 9dp-quantized before
+    ranking, RRF terms are fixed expression trees, and every ranking
+    tie-breaks on doc_id.
+
+    Scale: the seed list is |queries| x k and is PERSISTED (it feeds
+    both the centroid branch and the lexical fusion side — without the
+    persist the whole BM25 sub-plan inlines twice); the centroid
+    aggregate is seed-sized x d; the dense pass broadcasts the
+    |queries|-row centroid relation over ONE corpus scan (the
+    doc-alignment equi-join is the only corpus-scale shuffle); the
+    fusion join and re-rank are output-sized."""
+    from ..catalog import load_table as _lt
+    from .corpus import bm25_retrieval_topk
+    from .dedup import _persisted
+
+    seed = _persisted(bm25_retrieval_topk(spark, sf_dir))
+    v = _vectors(spark, sf_dir)
+    seeded = seed.join(
+        v, seed["doc_id"] == v["vec_id"]
+    ).select("query_id", "e")
+    dims = seeded.select(
+        "query_id", F.posexplode("e").alias("dim_idx", "x")
+    )
+    md = dims.groupBy("query_id", "dim_idx").agg(
+        pround(
+            F.sum(F.col("x").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("m")
+    )
+    qv = md.groupBy("query_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim_idx", "m"))),
+            lambda s: s["m"],
+        ).alias("qe")
+    )
+    doc_ids = _lt(spark, sf_dir, "documents").select("doc_id")
+    dv = v.join(doc_ids, v["vec_id"] == doc_ids["doc_id"]).select(
+        "doc_id", "e"
+    )
+    pairs = dv.crossJoin(F.broadcast(qv)).select(
+        "query_id",
+        "doc_id",
+        F.round(
+            _dot(F.col("e"), F.col("qe"))
+            / (_norm(F.col("e")) * _norm(F.col("qe"))),
+            9,
+        ).alias("cos9"),
+    )
+    w_d = Window.partitionBy("query_id").orderBy(
+        F.col("cos9").desc(), F.col("doc_id").asc()
+    )
+    dense = (
+        pairs.withColumn("rank_dense", F.row_number().over(w_d))
+        .filter(F.col("rank_dense") <= PRF_TOP_K)
+        .select("query_id", "doc_id", "rank_dense")
+    )
+    lex = seed.select(
+        "query_id", "doc_id", F.col("rank").alias("rank_bm25")
+    )
+    j = lex.join(dense, ["query_id", "doc_id"], "full_outer")
+    score = F.coalesce(
+        F.lit(1.0) / (F.lit(RRF_K) + F.col("rank_bm25")), F.lit(0.0)
+    ) + F.coalesce(
+        F.lit(1.0) / (F.lit(RRF_K) + F.col("rank_dense")), F.lit(0.0)
+    )
+    w_f = Window.partitionBy("query_id").orderBy(
+        F.round(score, 9).desc(), F.col("doc_id").asc()
+    )
+    return (
+        j.withColumn("fused_rank", F.row_number().over(w_f))
+        .filter(F.col("fused_rank") <= PRF_TOP_K)
+        .select(
+            "query_id",
+            "doc_id",
+            "rank_bm25",
+            "rank_dense",
+            F.round(score, 6).alias("rrf_score"),
+            "fused_rank",
+        )
+        .orderBy("query_id", "fused_rank")
+    )
+
+
+QUERIES["hybrid_prf_retrieval"] = hybrid_prf_retrieval
+
+
+def _hybrid_prf_oracle() -> str:
+    from .corpus import ORACLES as _CORPUS_ORACLES
+
+    return f"""
+    WITH bm AS ({_CORPUS_ORACLES["bm25_retrieval_topk"]}),
+    v AS ({_SQL_V}),
+    seeded AS (
+      SELECT bm.query_id, v.e FROM bm JOIN v ON v.vec_id = bm.doc_id
+    ),
+    dims AS (
+      SELECT query_id, unnest(range(len(e))) AS dim_idx, unnest(e) AS x
+      FROM seeded
+    ),
+    md AS (
+      SELECT query_id, dim_idx,
+             {sql_pround("(sum((x)::DECIMAL(28,6)))::DOUBLE / count(*)", 6)}
+               AS m
+      FROM dims GROUP BY query_id, dim_idx
+    ),
+    qv AS (
+      SELECT query_id, list(m ORDER BY dim_idx) AS qe
+      FROM md GROUP BY query_id
+    ),
+    dv AS (
+      SELECT d.doc_id, v.e FROM documents d JOIN v ON v.vec_id = d.doc_id
+    ),
+    pairs AS (
+      SELECT qv.query_id, dv.doc_id,
+             round(list_dot_product(dv.e, qv.qe)
+                   / (sqrt(list_dot_product(dv.e, dv.e))
+                      * sqrt(list_dot_product(qv.qe, qv.qe))), 9) AS cos9
+      FROM dv CROSS JOIN qv
+    ),
+    dense AS (
+      SELECT query_id, doc_id, rank_dense FROM (
+        SELECT query_id, doc_id,
+               row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY cos9 DESC, doc_id ASC) AS rank_dense
+        FROM pairs
+      ) r WHERE rank_dense <= {PRF_TOP_K}
+    ),
+    lex AS (SELECT query_id, doc_id, rank AS rank_bm25 FROM bm),
+    j AS (
+      SELECT query_id, doc_id, rank_bm25, rank_dense,
+             coalesce(1.0 / ({RRF_K} + rank_bm25), 0.0)
+               + coalesce(1.0 / ({RRF_K} + rank_dense), 0.0) AS score
+      FROM lex FULL JOIN dense USING (query_id, doc_id)
+    )
+    SELECT query_id, doc_id, rank_bm25, rank_dense,
+           round(score, 6) AS rrf_score, fused_rank
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY round(score, 9) DESC, doc_id ASC) AS fused_rank
+      FROM j
+    ) f
+    WHERE fused_rank <= {PRF_TOP_K}
+    ORDER BY query_id, fused_rank
+"""
+
+
+ORACLES["hybrid_prf_retrieval"] = _hybrid_prf_oracle()

@@ -119,16 +119,15 @@ for _mod in _MODULES:
 
 # Key-level promotion: the driver's correctness walk covers 50 keys
 # per round in registration order, so this list IS the evidence
-# rotation. Round 6 (round-5 verdict items 1-2): FIRST the ten new
+# rotation. Round 6 (round-5 verdict items 1-2): FIRST the eleven new
 # round-6 keys (first-round keys MUST get a driver row), THEN the six
 # round-5 late-batch keys that have never had a driver row, THEN the
 # 32-key cohort whose newest driver row is still CORRECTNESS_r01
 # (suggestions/validation/geo/tpch/tpch_ext — untouched since round 1;
 # rotation means re-running, not git archaeology); the 50-key window
-# then reaches the first 2 r02-stale keys (passenger_flow_sim,
-# props_feed_normalize). After round 6 the union should be 100%
-# driver-evidenced. Everything green in r02-r05 keeps its union
-# evidence and trails in module order.
+# then reaches exactly one r02-stale key (passenger_flow_sim). After
+# round 6 the union should be 100% driver-evidenced. Everything green
+# in r02-r05 keeps its union evidence and trails in module order.
 _PROMOTED = [
     # --- NEW in round 6 (appended as they land) ---
     "proto_feed_entities",
@@ -141,6 +140,7 @@ _PROMOTED = [
     "token_budget_mix",
     "bm25_retrieval_topk",
     "bitext_margin_mining",
+    "hybrid_prf_retrieval",
     # --- round-5 late batch: never driver-evidenced; MUST lead ---
     "scd2_alerts",
     "orders_yoy_growth",

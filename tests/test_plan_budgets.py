@@ -187,6 +187,9 @@ SHUFFLE_BUDGETS = {
     "token_budget_mix": 4,
     "bm25_retrieval_topk": 7,
     "bitext_margin_mining": 4,
+    # seed list persisted (feeds centroid + lexical sides once); the
+    # cold plan still inlines the BM25 lineage per consumer
+    "hybrid_prf_retrieval": 14,
 }
 
 

@@ -221,3 +221,83 @@ def test_bitext_guard_trips(spark, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_BASELINE_LIMIT_MB", "0")
     with pytest.raises(ValueError, match="bitext_margin_mining"):
         bitext_margin_mining(spark, SF_DIR)
+
+
+# --------------------------------------------------------------- hybrid
+
+
+def test_hybrid_prf_fusion_is_consistent_with_its_inputs(spark):
+    """Every fused row's rrf_score equals the reciprocal-rank sum of
+    its own rank columns, fused ranks are dense 1..k per query, and
+    every fused doc appears in at least one input list."""
+    from big_data_project_spark.operators.similarity import (
+        PRF_TOP_K,
+        RRF_K,
+        hybrid_prf_retrieval,
+    )
+
+    by_q = defaultdict(list)
+    for r in hybrid_prf_retrieval(spark, SF_DIR).collect():
+        by_q[r.query_id].append(r)
+    assert set(by_q) == {qid for qid, _ in BM25_QUERY_TERMS}
+    for rows in by_q.values():
+        rows.sort(key=lambda r: r.fused_rank)
+        assert [r.fused_rank for r in rows] == list(
+            range(1, len(rows) + 1)
+        )
+        assert len(rows) <= PRF_TOP_K
+        for r in rows:
+            assert r.rank_bm25 is not None or r.rank_dense is not None
+            expect = (
+                (1.0 / (RRF_K + r.rank_bm25) if r.rank_bm25 else 0.0)
+                + (1.0 / (RRF_K + r.rank_dense) if r.rank_dense else 0.0)
+            )
+            assert abs(r.rrf_score - expect) < 1e-6
+        for a, b in zip(rows, rows[1:]):
+            assert a.rrf_score >= b.rrf_score
+
+
+def test_hybrid_prf_dense_side_matches_python_rocchio(spark):
+    """Python recompute: mean the BM25 top-k embeddings (6dp per-dim),
+    cosine-rank the corpus docs — the operator's rank_dense column
+    reproduces that list."""
+    from big_data_project_spark.operators.similarity import (
+        PRF_TOP_K,
+        hybrid_prf_retrieval,
+    )
+
+    seeds = defaultdict(list)
+    for r in bm25_retrieval_topk(spark, SF_DIR).collect():
+        seeds[r.query_id].append(r.doc_id)
+    emb = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in load_table(spark, SF_DIR, "embeddings").collect()
+    }
+    doc_ids = sorted(
+        r.doc_id
+        for r in load_table(spark, SF_DIR, "documents")
+        .select("doc_id")
+        .collect()
+    )
+    got = defaultdict(dict)
+    for r in hybrid_prf_retrieval(spark, SF_DIR).collect():
+        if r.rank_dense is not None:
+            got[r.query_id][r.doc_id] = r.rank_dense
+    for qid, docs in seeds.items():
+        vecs = [emb[d] for d in docs]
+        dim = len(vecs[0])
+        cent = [
+            math.floor(
+                sum(v[i] for v in vecs) / len(vecs) * 1e6 + 0.5
+            )
+            / 1e6
+            for i in range(dim)
+        ]
+        ranked = sorted(
+            doc_ids, key=lambda d: (-_cos(emb[d], cent), d)
+        )[:PRF_TOP_K]
+        expect = {d: i + 1 for i, d in enumerate(ranked)}
+        # got[] only holds fused survivors; each must carry the
+        # python-recomputed dense rank
+        for d, rk in got[qid].items():
+            assert expect.get(d) == rk

@@ -550,3 +550,93 @@ def test_dsir_weights_scale_replica_consistent(spark, scaled_docs_dir):
     if hi["log_weight"] > lo["log_weight"]:
         s = {k: v[0]["log_weight"] for k, v in by_content.items()}
         assert s[hi["doc_id"]] > s[lo["doc_id"]]
+
+
+def test_token_budget_mix_scale_properties(spark, scaled_docs_dir):
+    """8x replicated corpus: raw shares AND temperature-sampled shares
+    are exactly invariant (sqrt(8x)/sum sqrt(8y) cancels the factor),
+    available tokens scale by 8, epochs shrink by 8 — the identities
+    that break if any stage samples or collects."""
+    from big_data_project_spark.operators import curation
+
+    base = {
+        r.lang: r for r in curation.token_budget_mix(spark, SF_DIR).collect()
+    }
+    big = {
+        r.lang: r
+        for r in curation.token_budget_mix(spark, scaled_docs_dir).collect()
+    }
+    assert set(base) == set(big)
+    for lang, b in base.items():
+        s = big[lang]
+        assert s.n_tokens == b.n_tokens * SCALE
+        assert abs(s.raw_share - b.raw_share) < 1e-5
+        assert abs(s.sampled_share - b.sampled_share) < 1e-5
+        assert abs(s.epochs - b.epochs / SCALE) < 1e-5 * max(1.0, b.epochs)
+
+
+def test_epoch_shard_plan_scales(spark, scaled_docs_dir):
+    """Replicated docs keep their content-hash split side, so the train
+    total scales by exactly SCALE and the shard layout stays full and
+    roughly balanced."""
+    from big_data_project_spark.operators import quality
+
+    base_total = sum(
+        r.n_docs for r in quality.epoch_shard_plan(spark, SF_DIR).collect()
+    )
+    shards = quality.epoch_shard_plan(spark, scaled_docs_dir).collect()
+    assert sum(r.n_docs for r in shards) == base_total * SCALE
+    assert len(shards) == quality.N_SHARDS
+    assert abs(sum(r.doc_share for r in shards) - 1.0) < 1e-4
+
+
+def test_bm25_ranking_survives_duplication(spark, scaled_docs_dir):
+    """8x identical-text replicas: within a replica group scores are
+    equal (doc_id tie-break orders the group), and the sequence of
+    DISTINCT texts in the scaled top-k preserves the base ranking
+    order — BM25's df/idf shift is uniform across docs so relative
+    order of distinct contents cannot change."""
+    from collections import defaultdict
+
+    from big_data_project_spark.operators import corpus
+
+    base = defaultdict(list)
+    for r in corpus.bm25_retrieval_topk(spark, SF_DIR).collect():
+        base[r.query_id].append(r)
+    big = defaultdict(list)
+    for r in corpus.bm25_retrieval_topk(spark, scaled_docs_dir).collect():
+        big[r.query_id].append(r)
+    assert set(big) == set(base)
+    for qid, rows in big.items():
+        rows.sort(key=lambda r: r.rank)
+        seen_originals = []
+        for r in rows:
+            orig = r.doc_id // SCALE
+            if not seen_originals or seen_originals[-1] != orig:
+                seen_originals.append(orig)
+        base_order = [r.doc_id for r in sorted(base[qid], key=lambda r: r.rank)]
+        assert seen_originals == base_order[: len(seen_originals)]
+        by_orig = defaultdict(list)
+        for r in rows:
+            by_orig[r.doc_id // SCALE].append(r.score)
+        for scores in by_orig.values():
+            assert max(scores) - min(scores) < 1e-9
+
+
+def test_bitext_mining_prefers_original_under_duplication(spark, scaled_emb_dir):
+    """8x replicated candidates (replica ids offset by +n*rep, parity
+    preserved): identical-margin replicas tie and the match_id
+    tie-break must pick the ORIGINAL copy — the determinism that keeps
+    mining output stable when a corpus contains duplicates."""
+    from big_data_project_spark.operators import similarity
+
+    n = (
+        load_table(spark, SF_DIR, "embeddings")
+        .agg(F.max("vec_id"))
+        .collect()[0][0]
+        + 1
+    )
+    rows = similarity.bitext_margin_mining(spark, scaled_emb_dir).collect()
+    assert len(rows) == similarity.BITEXT_Q
+    for r in rows:
+        assert r.match_id < n, "a replica beat its identical original"

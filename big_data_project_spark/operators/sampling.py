@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.portable import pround, sql_pround
 from .dedup import (
     TAU,
     _SQL_JACCARD_PAIRS,
@@ -232,3 +233,95 @@ ORACLES = {
         GROUP BY src
     """,
 }
+
+
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection per near-dup cluster: instead
+    of dedup_clusters' positional min-doc_id representative, keep the
+    member with the HIGHEST quality_score (tie: lowest doc_id) — the
+    RefinedWeb/FineWeb-style rule that near-dup collapsing should
+    retain the best copy, not an arbitrary one. Reported next to the
+    naive representative so the audit shows what the quality rule
+    gains (quality_gain >= 0 by construction; 0 where the min-id doc
+    already was the best copy).
+
+    Exact-dup groups are deliberately NOT re-ranked: identical
+    normalized text has identical quality, so the min-id rule is
+    already optimal there (dedup_exact / dedup_keep_list own that
+    tier).
+
+    Scale: the cluster relation and the per-doc quality relation join
+    on doc_id (one hash join), then ONE window partitioned by
+    cluster_id computes the ranked keeper, the member count, and the
+    naive representative's quality in a single pass; clusters are
+    near-dup components, orders of magnitude smaller than the corpus."""
+    from .textops import quality_score
+
+    cl = dedup_clusters(spark, sf_dir).select("cluster_id", "doc_id")
+    q = quality_score(spark, sf_dir).select("doc_id", "quality")
+    j = cl.join(q, "doc_id").select("cluster_id", "doc_id", "quality")
+    wp = Window.partitionBy("cluster_id")
+    w = wp.orderBy(F.col("quality").desc(), F.col("doc_id").asc())
+    rep = F.min(F.struct("doc_id", "quality")).over(wp)
+    return (
+        j.select(
+            "*",
+            F.row_number().over(w).alias("rk"),
+            F.count(F.lit(1)).over(wp).alias("n_members"),
+            rep.getField("doc_id").alias("rep_doc_id"),
+            rep.getField("quality").alias("rep_quality"),
+        )
+        .filter(F.col("rk") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("keep_doc_id"),
+            "rep_doc_id",
+            "n_members",
+            F.col("quality").alias("best_quality"),
+            "rep_quality",
+            pround(F.col("quality") - F.col("rep_quality"), 6).alias(
+                "quality_gain"
+            ),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+QUERIES["dedup_keep_best_quality"] = dedup_keep_best_quality
+
+
+def _keep_best_quality_oracle() -> str:
+    from .textops import ORACLES as _TEXT_ORACLES
+
+    return f"""
+    WITH cl AS ({ORACLES["dedup_clusters"]}),
+    q AS ({_TEXT_ORACLES["quality_score"]}),
+    j AS (
+      SELECT cl.cluster_id, cl.doc_id, q.quality
+      FROM cl JOIN q USING (doc_id)
+    ),
+    agg AS (
+      SELECT cluster_id, count(*) AS n_members,
+             min(doc_id) AS rep_doc_id
+      FROM j GROUP BY cluster_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY cluster_id
+               ORDER BY quality DESC, doc_id ASC) AS rk
+      FROM j
+    )
+    SELECT r.cluster_id, r.doc_id AS keep_doc_id, a.rep_doc_id,
+           a.n_members, r.quality AS best_quality,
+           rq.quality AS rep_quality,
+           {sql_pround("r.quality - rq.quality", 6)} AS quality_gain
+    FROM ranked r
+    JOIN agg a USING (cluster_id)
+    JOIN j rq ON rq.cluster_id = r.cluster_id
+             AND rq.doc_id = a.rep_doc_id
+    WHERE r.rk = 1
+    ORDER BY r.cluster_id
+"""
+
+
+ORACLES["dedup_keep_best_quality"] = _keep_best_quality_oracle()

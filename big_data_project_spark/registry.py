@@ -119,15 +119,15 @@ for _mod in _MODULES:
 
 # Key-level promotion: the driver's correctness walk covers 50 keys
 # per round in registration order, so this list IS the evidence
-# rotation. Round 6 (round-5 verdict items 1-2): FIRST the eleven new
+# rotation. Round 6 (round-5 verdict items 1-2): FIRST the twelve new
 # round-6 keys (first-round keys MUST get a driver row), THEN the six
 # round-5 late-batch keys that have never had a driver row, THEN the
 # 32-key cohort whose newest driver row is still CORRECTNESS_r01
 # (suggestions/validation/geo/tpch/tpch_ext — untouched since round 1;
-# rotation means re-running, not git archaeology); the 50-key window
-# then reaches exactly one r02-stale key (passenger_flow_sim). After
-# round 6 the union should be 100% driver-evidenced. Everything green
-# in r02-r05 keeps its union evidence and trails in module order.
+# rotation means re-running, not git archaeology); 12+6+32 fills the
+# 50-key window exactly. After round 6 the union should be 100%
+# driver-evidenced. Everything green in r02-r05 keeps its union
+# evidence and trails in module order.
 _PROMOTED = [
     # --- NEW in round 6 (appended as they land) ---
     "proto_feed_entities",
@@ -141,6 +141,7 @@ _PROMOTED = [
     "bm25_retrieval_topk",
     "bitext_margin_mining",
     "hybrid_prf_retrieval",
+    "dedup_keep_best_quality",
     # --- round-5 late batch: never driver-evidenced; MUST lead ---
     "scd2_alerts",
     "orders_yoy_growth",

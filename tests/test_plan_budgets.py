@@ -190,6 +190,8 @@ SHUFFLE_BUDGETS = {
     # seed list persisted (feeds centroid + lexical sides once); the
     # cold plan still inlines the BM25 lineage per consumer
     "hybrid_prf_retrieval": 14,
+    # cluster relation (persisted lineage) join quality + ONE window
+    "dedup_keep_best_quality": 2,
 }
 
 

@@ -301,3 +301,39 @@ def test_hybrid_prf_dense_side_matches_python_rocchio(spark):
         # python-recomputed dense rank
         for d, rk in got[qid].items():
             assert expect.get(d) == rk
+
+
+# ------------------------------------------------------- keep-best-quality
+
+
+def test_keep_best_quality_picks_the_cluster_argmax(spark):
+    """Python recompute over the cluster + quality relations: the keeper
+    is the quality-argmax (tie: lowest doc_id), quality_gain is
+    non-negative, and every near-dup cluster is covered exactly once."""
+    from big_data_project_spark.operators.sampling import (
+        dedup_clusters,
+        dedup_keep_best_quality,
+    )
+    from big_data_project_spark.operators.textops import quality_score
+
+    q = {
+        r.doc_id: r.quality for r in quality_score(spark, SF_DIR).collect()
+    }
+    members = defaultdict(list)
+    for r in dedup_clusters(spark, SF_DIR).collect():
+        members[r.cluster_id].append(r.doc_id)
+    rows = dedup_keep_best_quality(spark, SF_DIR).collect()
+    assert {r.cluster_id for r in rows} == set(members)
+    for r in rows:
+        docs = members[r.cluster_id]
+        assert r.n_members == len(docs)
+        best = min(docs, key=lambda d: (-q[d], d))
+        assert r.keep_doc_id == best
+        assert r.rep_doc_id == min(docs)
+        assert abs(r.best_quality - q[best]) < 1e-9
+        assert abs(r.rep_quality - q[min(docs)]) < 1e-9
+        assert r.quality_gain >= 0
+        assert abs(
+            r.quality_gain
+            - math.floor((r.best_quality - r.rep_quality) * 1e6 + 0.5) / 1e6
+        ) < 1e-9

@@ -1056,6 +1056,23 @@ TOKEN_BUDGET = 10_000_000
 MIX_TEMPERATURE = 0.5  # alpha; 0.5 == sqrt flattening
 
 
+def _mix_weight(c: Column) -> Column:
+    """tokens^alpha as a LIVE function of MIX_TEMPERATURE. alpha=0.5
+    routes through sqrt (IEEE-correctly-rounded, so Spark and DuckDB
+    see bit-identical doubles); any other alpha goes through pow, whose
+    1-ulp cross-engine wiggle is absorbed by the 6dp quantization the
+    caller applies before the decimal weight sum."""
+    if MIX_TEMPERATURE == 0.5:
+        return F.sqrt(c)
+    return F.pow(c, F.lit(MIX_TEMPERATURE))
+
+
+def _sql_mix_weight(expr: str) -> str:
+    if MIX_TEMPERATURE == 0.5:
+        return f"sqrt({expr})"
+    return f"pow({expr}, {MIX_TEMPERATURE})"
+
+
 def token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language training-mix plan under a fixed token budget:
     available whitespace tokens, the raw corpus share, the
@@ -1065,10 +1082,11 @@ def token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     language is repeated/upsampled — the low-resource tail).
 
     Cross-engine determinism: token counts are exact integer sums;
-    sqrt is IEEE-correctly-rounded so both engines see the same
-    double, which is quantized to 6dp and decimal-summed so the
-    languages-sized weight total is order-independent; each published
-    ratio divides identical doubles and is pround'd.
+    the tokens^alpha weight (_mix_weight — sqrt on the alpha=0.5
+    default, pow otherwise) lands on the same double in both engines,
+    is quantized to 6dp and decimal-summed so the languages-sized
+    weight total is order-independent; each published ratio divides
+    identical doubles and is pround'd.
 
     Scale: ONE corpus-scale aggregate (map-side token counting into a
     languages-sized relation, PERSISTED so the one-row totals branch
@@ -1087,7 +1105,7 @@ def token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "n_docs",
         "n_tokens",
-        pround(F.sqrt(F.col("n_tokens").cast("double")), 6).alias("w"),
+        pround(_mix_weight(F.col("n_tokens").cast("double")), 6).alias("w"),
     )
     tot = pw.agg(
         F.sum("n_tokens").alias("tot_tokens"),
@@ -1123,7 +1141,8 @@ ORACLES["token_budget_mix"] = f"""
       FROM documents GROUP BY lang
     ),
     pw AS (
-      SELECT *, {sql_pround("sqrt(n_tokens::DOUBLE)", 6)} AS w FROM per
+      SELECT *, {sql_pround(_sql_mix_weight("n_tokens::DOUBLE"), 6)} AS w
+      FROM per
     ),
     tot AS (
       SELECT sum(n_tokens)::BIGINT AS tot_tokens,

@@ -97,12 +97,17 @@ def test_temperature_sampling_flattens_the_distribution(spark):
 
 
 def test_epochs_equal_planned_over_available(spark):
-    """epochs_i == budget * p_i / tokens_i with p_i ∝ sqrt(tokens_i)
-    (python recompute, tolerance covers the 6dp weight quantization)."""
+    """epochs_i == budget * p_i / tokens_i with p_i ∝ tokens_i^alpha
+    (python recompute through the LIVE temperature constant, tolerance
+    covers the 6dp weight quantization)."""
     rows = token_budget_mix(spark, SF_DIR).collect()
-    total_w = sum(math.sqrt(x.n_tokens) for x in rows)
+    total_w = sum(x.n_tokens ** MIX_TEMPERATURE for x in rows)
     for r in rows:
-        expect = TOKEN_BUDGET * (math.sqrt(r.n_tokens) / total_w) / r.n_tokens
+        expect = (
+            TOKEN_BUDGET
+            * (r.n_tokens ** MIX_TEMPERATURE / total_w)
+            / r.n_tokens
+        )
         assert abs(r.epochs - expect) < 1e-3 * max(1.0, expect)
 
 
@@ -286,9 +291,13 @@ def test_hybrid_prf_dense_side_matches_python_rocchio(spark):
     for qid, docs in seeds.items():
         vecs = [emb[d] for d in docs]
         dim = len(vecs[0])
+        # mirror the operator's fold exactly: each component is cast to
+        # DECIMAL(28,6) (i.e. quantized to 6dp) BEFORE the sum — a
+        # full-precision sum can land the mean on the other side of the
+        # final 6dp boundary and flip a near-tied dense rank
         cent = [
             math.floor(
-                sum(v[i] for v in vecs) / len(vecs) * 1e6 + 0.5
+                sum(round(v[i], 6) for v in vecs) / len(vecs) * 1e6 + 0.5
             )
             / 1e6
             for i in range(dim)

@@ -564,12 +564,16 @@ def bitext_margin_mining() -> pd.DataFrame:
     cm = ids % 2 == 1
     qid, cid = ids[qm], ids[cm]
     cos = np.round(X[qm] @ X[cm].T, 9)
+    # fixed /K (not .mean() over the slice) to match the engine's
+    # division by BITEXT_K even when fewer than K rows exist; this
+    # replica is TIMING-only — numpy's pairwise dot order means cos9
+    # can differ from the engine's sequential fold at a 9dp boundary
     avgk_q = {
-        q: float(np.sort(cos[i])[::-1][:K].mean())
+        q: float(np.sort(cos[i])[::-1][:K].sum()) / K
         for i, q in enumerate(qid)
     }
     avgk_c = {
-        c: float(np.sort(cos[:, j])[::-1][:K].mean())
+        c: float(np.sort(cos[:, j])[::-1][:K].sum()) / K
         for j, c in enumerate(cid)
     }
     rows = []

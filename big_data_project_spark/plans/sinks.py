@@ -65,17 +65,34 @@ def _conf(spark: SparkSession, key: str, value: str):
             spark.conf.set(key, prior)
 
 
-def _read_or_none(spark: SparkSession, path: str) -> DataFrame | None:
+def _read_or_none(
+    spark: SparkSession, path: str, merge_schema: bool = False
+) -> DataFrame | None:
     # Probe via the reader, not os.path — the target may live on any
     # Hadoop-compatible filesystem (s3a://, hdfs://), where a local
     # stat would silently report "absent" and turn the merge into an
     # overwrite.
     try:
-        df = spark.read.parquet(path)
+        reader = spark.read
+        if merge_schema:
+            # evolved tables hold files with different (additive)
+            # schemas; without footer merging the read picks one
+            # file's schema and silently drops the newer columns
+            reader = reader.option("mergeSchema", "true")
+        df = reader.parquet(path)
         df.schema  # force analysis so a missing path raises here
         return df
     except AnalysisException:
         return None
+
+
+def read_upsert_table(spark: SparkSession, path: str) -> DataFrame:
+    """Read an upsert-maintained parquet table with footer merging, the
+    required read shape once ``allow_schema_evolution`` upserts have
+    run: untouched partitions keep their original (narrower) files, so
+    a plain read would resolve one file's schema and silently drop the
+    evolved columns for every row."""
+    return spark.read.option("mergeSchema", "true").parquet(path)
 
 
 def _merge(
@@ -83,14 +100,19 @@ def _merge(
     delta: DataFrame,
     keys: list[str],
     version_col: str,
+    allow_missing: bool = False,
 ) -> DataFrame:
     """One surviving row per key, highest ``version_col`` wins (ties
-    favor the delta)."""
+    favor the delta). With ``allow_missing`` the column sets may
+    differ: rows take NULL for columns their side does not carry
+    (additive schema evolution)."""
     incoming = delta.withColumn("__src", F.lit(1))
     if current is None:
         unioned = incoming
     else:
-        unioned = current.withColumn("__src", F.lit(0)).unionByName(incoming)
+        unioned = current.withColumn("__src", F.lit(0)).unionByName(
+            incoming, allowMissingColumns=allow_missing
+        )
     w = Window.partitionBy(*keys).orderBy(
         F.desc(version_col), F.desc("__src")
     )
@@ -108,9 +130,22 @@ def upsert_parquet(
     keys: list[str],
     version_col: str,
     partition_col: str | None = None,
+    allow_schema_evolution: bool = False,
 ) -> DataFrame:
     """Merge ``delta`` into the parquet table at ``target_path`` and
     return the merged table.
+
+    Schema contract: by default a delta whose COLUMN SET differs from
+    the table fails loudly (naming the added/removed columns) —
+    a silently widening serving table is usually a bug upstream. With
+    ``allow_schema_evolution`` the merge takes the UNION of the
+    schemas (Delta Lake ``mergeSchema`` semantics): historical rows
+    carry NULL for columns they never had, and a winning delta row
+    that dropped a column genuinely replaces the key's row with NULL
+    there (row-level replace, not column patching). Evolved
+    hive-partitioned tables keep their untouched partitions' original
+    files, so every subsequent read must merge footers — use
+    :func:`read_upsert_table` (this function's own reads do).
 
     With ``partition_col`` (which must be one of ``keys`` or
     functionally dependent on them — a key that changed partitions
@@ -127,9 +162,26 @@ def upsert_parquet(
     Without it, the whole table is merged and rewritten — fine for
     small serving tables, O(table) per batch otherwise.
     """
+
+    def _check_columns(current: DataFrame | None) -> None:
+        if current is None or allow_schema_evolution:
+            return
+        cur, new = set(current.columns), set(delta.columns)
+        if cur != new:
+            raise ValueError(
+                "delta schema differs from table "
+                f"(added={sorted(new - cur)}, removed={sorted(cur - new)});"
+                " pass allow_schema_evolution=True to take the union"
+            )
+
     if partition_col is None:
+        current = _read_or_none(
+            spark, target_path, merge_schema=allow_schema_evolution
+        )
+        _check_columns(current)
         merged = _merge(
-            _read_or_none(spark, target_path), delta, keys, version_col
+            current, delta, keys, version_col,
+            allow_missing=allow_schema_evolution,
         )
         # Materialize before overwrite: the plan reads the same files it
         # replaces, so stage through a sibling directory first.
@@ -151,9 +203,14 @@ def upsert_parquet(
         # an EMPTY frame writes no schema-bearing file — the staging
         # read-back would fail with UNABLE_TO_INFER_SCHEMA. A quiet
         # batch in the serving loop is normal, not an error.
-        existing = _read_or_none(spark, target_path)
+        existing = _read_or_none(
+            spark, target_path, merge_schema=allow_schema_evolution
+        )
         return existing if existing is not None else delta
-    current = _read_or_none(spark, target_path)
+    current = _read_or_none(
+        spark, target_path, merge_schema=allow_schema_evolution
+    )
+    _check_columns(current)
     if current is not None:
         # isin() is three-valued: a NULL partition value (Hive's
         # __HIVE_DEFAULT_PARTITION__) never matches it, so a delta row
@@ -169,7 +226,10 @@ def upsert_parquet(
         if len(non_null) < len(touched):
             cond = cond | F.col(partition_col).isNull()
         current = current.filter(cond)
-    merged = _merge(current, delta, keys, version_col)
+    merged = _merge(
+        current, delta, keys, version_col,
+        allow_missing=allow_schema_evolution,
+    )
     # Stage only the touched partitions (O(delta) bytes), then swap them
     # in atomically-per-partition with dynamic overwrite: partitions not
     # present in the staged frame are left untouched on disk.
@@ -188,6 +248,8 @@ def upsert_parquet(
             partition_col
         ).parquet(target_path)
     _rm_recursive(spark, tmp)
+    if allow_schema_evolution:
+        return read_upsert_table(spark, target_path)
     return spark.read.parquet(target_path)
 
 

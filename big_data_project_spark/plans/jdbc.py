@@ -46,6 +46,36 @@ from pyspark.sql import functions as F
 # descriptions); callers with longer payloads pass string_type
 DEFAULT_STRING_TYPE = "VARCHAR(1024)"
 
+# Spark simpleString -> ANSI column type for ALTER TABLE ADD COLUMN
+# (schema evolution). DOUBLE PRECISION / REAL / BIGINT are the
+# portable spellings Derby and Postgres both accept.
+_ANSI_TYPES = {
+    "bigint": "BIGINT",  # Spark simpleString for LongType
+    "int": "INTEGER",
+    "smallint": "SMALLINT",
+    "tinyint": "SMALLINT",  # no ANSI 1-byte int; widen
+    "double": "DOUBLE PRECISION",
+    "float": "REAL",
+    "boolean": "BOOLEAN",
+    "timestamp": "TIMESTAMP",
+    "date": "DATE",
+}
+
+
+def _ansi_type(field, string_type: str) -> str:
+    s = field.dataType.simpleString()
+    if s == "string":
+        return string_type
+    if s.startswith("decimal"):
+        return s.upper()
+    try:
+        return _ANSI_TYPES[s]
+    except KeyError:
+        raise ValueError(
+            f"no ANSI column type mapping for evolved column "
+            f"{field.name!r} of type {s!r}"
+        ) from None
+
 
 def _q(ident: str) -> str:
     return '"' + ident.replace('"', '""') + '"'
@@ -57,6 +87,10 @@ def _q(ident: str) -> str:
 # error text under lc_messages, so 'already exists' never appears in
 # e.g. a French-locale server's message.
 _DUP_TABLE_SQLSTATES = {"X0Y32", "42P07", "42S01"}
+
+# SQLSTATEs meaning "table does not exist": Derby 42Y55 (drop) /
+# 42X05, Postgres 42P01 (undefined_table), SQL Server-compatible 42S02.
+_NO_TABLE_SQLSTATES = {"42Y55", "42X05", "42P01", "42S02"}
 
 
 def _sql_states(exc: Exception) -> set[str]:
@@ -154,6 +188,7 @@ def jdbc_upsert(
     staging_table: str | None = None,
     string_type: str = DEFAULT_STRING_TYPE,
     num_partitions: int | None = None,
+    allow_schema_evolution: bool = False,
 ) -> None:
     """Keyed upsert of ``df`` into JDBC table ``table``.
 
@@ -162,6 +197,16 @@ def jdbc_upsert(
     (ingestor.py:73) — existing rows keep their values, only new keys
     insert. The target table is created from the staging schema on
     first use.
+
+    Schema contract: a batch carrying columns the target lacks fails
+    loudly by default (naming them) — the MERGE would otherwise die in
+    an opaque SQL error. With ``allow_schema_evolution`` the missing
+    columns are added first (ALTER TABLE ADD COLUMN, NULL for existing
+    rows) — the lake sink's additive contract, except updates here are
+    COLUMN-PATCH, not row-replace: a batch MISSING some target columns
+    is always legal SQL (the MERGE sets only the batch's columns,
+    stored values survive) exactly like the reference's partial
+    ON CONFLICT SET lists.
 
     Scale: the only corpus-sized movement is the distributed staging
     write (numPartitions concurrent INSERT streams); dedup is one
@@ -179,6 +224,17 @@ def jdbc_upsert(
     if num_partitions:
         deduped = deduped.coalesce(num_partitions)
 
+    # Drop (not truncate) the transient staging table so each batch
+    # recreates it at ITS OWN schema — a truncated leftover from a
+    # prior batch rejects a widened batch with COLUMN_NOT_DEFINED.
+    try:
+        _jdbc_exec(spark, url, [f"DROP TABLE {_q(staging)}"])
+    except Exception as exc:  # noqa: BLE001 — py4j wraps SQLException
+        states = _sql_states(exc)
+        if not (states & _NO_TABLE_SQLSTATES) and (
+            states or "does not exist" not in str(exc)
+        ):
+            raise
     str_cols = [
         f.name for f in deduped.schema.fields
         if f.dataType.simpleString() == "string"
@@ -187,7 +243,6 @@ def jdbc_upsert(
         deduped.write.format("jdbc")
         .option("url", url)
         .option("dbtable", _q(staging))
-        .option("truncate", "true")
         .mode("overwrite")
     )
     if str_cols:
@@ -216,6 +271,29 @@ def jdbc_upsert(
             states or "already exists" not in str(exc)
         ):
             raise
+    target_cols = {
+        c.lower() for c in read_jdbc_table(spark, url, table).columns
+    }
+    added = [
+        f for f in deduped.schema.fields
+        if f.name.lower() not in target_cols
+    ]
+    if added:
+        if not allow_schema_evolution:
+            raise ValueError(
+                "batch carries columns the serving table lacks: "
+                f"{sorted(f.name for f in added)}; pass "
+                "allow_schema_evolution=True to ALTER TABLE ADD them"
+            )
+        _jdbc_exec(
+            spark,
+            url,
+            [
+                f"ALTER TABLE {_q(table)} ADD COLUMN "
+                f"{_q(f.name)} {_ansi_type(f, string_type)}"
+                for f in added
+            ],
+        )
     _jdbc_exec(
         spark,
         url,

@@ -216,3 +216,77 @@ def test_bad_inputs_fail_loudly(spark, url):
         jdbc_upsert(df, url, "t", ["nope"])
     with pytest.raises(ValueError, match="on_conflict"):
         jdbc_upsert(df, url, "t", ["route_id"], on_conflict="merge")
+
+
+def test_schema_evolution_rejected_by_default(spark, url):
+    jdbc_upsert(
+        _rows(spark, [("r1", 0, 1.0)]), url, "evo", ["route_id", "hour"]
+    )
+    widened = spark.createDataFrame(
+        [("r1", 0, 9.0, 12)],
+        "route_id string, hour long, delay double, riders long",
+    )
+    with pytest.raises(ValueError, match=r"\['riders'\]"):
+        jdbc_upsert(widened, url, "evo", ["route_id", "hour"])
+
+
+def test_schema_evolution_adds_column_and_patches(spark, url):
+    """ALTER TABLE ADD COLUMN on evolution: historical rows read NULL
+    for the new column, the merged key carries the value, and a later
+    SLIMMER batch column-patches (stored evolved values survive) —
+    the reference's partial ON CONFLICT SET semantics."""
+    jdbc_upsert(
+        _rows(spark, [("r1", 0, 1.0), ("r2", 0, 2.0)]),
+        url, "evo2", ["route_id", "hour"],
+    )
+    widened = spark.createDataFrame(
+        [("r1", 0, 9.0, 12), ("r3", 1, 3.0, 7)],
+        "route_id string, hour long, delay double, riders long",
+    )
+    jdbc_upsert(
+        widened, url, "evo2", ["route_id", "hour"],
+        allow_schema_evolution=True,
+    )
+    got = {
+        (r.route_id, r.hour): (r.delay, r.riders)
+        for r in read_jdbc_table(spark, url, "evo2").collect()
+    }
+    assert got == {
+        ("r1", 0): (9.0, 12),
+        ("r2", 0): (2.0, None),
+        ("r3", 1): (3.0, 7),
+    }
+    # slimmer follow-up batch: only delay is patched, riders survives
+    jdbc_upsert(
+        _rows(spark, [("r1", 0, 5.0)]), url, "evo2", ["route_id", "hour"]
+    )
+    got = {
+        (r.route_id, r.hour): (r.delay, r.riders)
+        for r in read_jdbc_table(spark, url, "evo2").collect()
+    }
+    assert got[("r1", 0)] == (5.0, 12)
+
+
+def test_schema_evolution_string_and_decimal_types(spark, url):
+    """The ALTER type mapping covers the column classes the serving
+    tables use (VARCHAR via string_type, DECIMAL passthrough)."""
+    jdbc_upsert(
+        _rows(spark, [("r1", 0, 1.0)]), url, "evo3", ["route_id", "hour"]
+    )
+    from decimal import Decimal
+
+    widened = spark.createDataFrame(
+        [("r1", 0, 2.0, "on-time", Decimal("3.14"))],
+        "route_id string, hour long, delay double, status string,"
+        " score decimal(10,2)",
+    )
+    jdbc_upsert(
+        widened, url, "evo3", ["route_id", "hour"],
+        allow_schema_evolution=True,
+    )
+    row = {
+        (r.route_id, r.hour): r
+        for r in read_jdbc_table(spark, url, "evo3").collect()
+    }[("r1", 0)]
+    assert row.status == "on-time"
+    assert float(row.score) == 3.14

@@ -290,3 +290,24 @@ def test_schema_evolution_string_and_decimal_types(spark, url):
     }[("r1", 0)]
     assert row.status == "on-time"
     assert float(row.score) == 3.14
+
+
+def test_foreach_batch_sink_evolves_mid_stream(spark, url):
+    """Schema drift arriving MID-STREAM: the foreachBatch wrapper
+    plumbs allow_schema_evolution through, so a later micro-batch that
+    gained a column widens the serving table instead of killing the
+    query."""
+    sink = foreach_batch_jdbc_upsert(
+        url, "live", ["route_id", "hour"], allow_schema_evolution=True
+    )
+    sink(_rows(spark, [("r1", 0, 1.0)]), 0)
+    widened = spark.createDataFrame(
+        [("r1", 0, 2.0, 5), ("r2", 0, 3.0, 8)],
+        "route_id string, hour long, delay double, riders long",
+    )
+    sink(widened, 1)
+    got = {
+        (r.route_id, r.hour): (r.delay, r.riders)
+        for r in read_jdbc_table(spark, url, "live").collect()
+    }
+    assert got == {("r1", 0): (2.0, 5), ("r2", 0): (3.0, 8)}

@@ -140,3 +140,93 @@ def test_log2_bucket_bin_identity(duck, x):
         "SELECT length(bin(CAST(? AS BIGINT))) - 1", [x]
     ).fetchone()[0]
     assert got == x.bit_length() - 1
+
+
+# --- protobuf wire codec (sources/protofeed.py): the seam every
+# FeedMessage key trusts — round-trip over the FULL int64 domain and
+# the whole entity graph, not just hand-picked boundaries ---
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.integers(min_value=-(1 << 63), max_value=(1 << 63) - 1))
+def test_varint_roundtrip_full_int64(v):
+    from big_data_project_spark.sources.protofeed import (
+        _dec_varint,
+        _enc_varint,
+    )
+
+    decoded, consumed = _dec_varint(_enc_varint(v), 0)
+    assert decoded == v
+    assert consumed == len(_enc_varint(v))
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=2**31),
+    st.integers(min_value=0, max_value=2**31),
+    st.one_of(
+        st.none(),
+        st.text(
+            alphabet=st.characters(codec="ascii", exclude_characters="\x00"),
+            min_size=1,
+            max_size=12,
+        ),
+    ),
+    st.one_of(
+        st.none(),
+        st.floats(
+            min_value=-1e9, max_value=1e9,
+            allow_nan=False, allow_infinity=False,
+        ),
+    ),
+    st.integers(min_value=0, max_value=2**31),
+)
+def test_feed_entity_roundtrip(eid, uid, etype, value, epoch_s):
+    """encode_entity ∘ decode_entity is the identity on every field the
+    reference poller reads, for all three entity shapes."""
+    import math as _math
+    import struct
+
+    from big_data_project_spark.sources.protofeed import (
+        _decode_entity,
+        _encode_entity_from_event,
+    )
+
+    row = _decode_entity(
+        _encode_entity_from_event(eid, uid, etype, value, epoch_s)
+    )
+    assert row["entity_id"] == f"e{eid}"
+    kind = eid % 3
+    if kind != 2:  # alerts carry no trip descriptor (poller walk)
+        assert row["trip_id"] == f"t{uid}"
+        assert row["route_id"] == etype
+    if kind == 0:
+        assert row["entity_kind"] == "vehicle"
+        assert row["vehicle_id"] == f"v{uid}"
+        assert row["vehicle_ts"].timestamp() == epoch_s
+        f32 = lambda x: struct.unpack("<f", struct.pack("<f", x))[0]  # noqa: E731
+        assert row["latitude"] == f32(44.0 + (eid % 1000) * 0.001)
+        assert row["longitude"] == f32(26.0 + (uid % 1000) * 0.001)
+        if eid % 2 == 0:
+            assert row["bearing"] == f32(float(eid % 360))
+        else:
+            assert row["bearing"] is None
+        if value is not None:
+            assert row["speed"] == f32(value)
+        else:
+            assert row["speed"] is None
+    elif kind == 1:
+        assert row["entity_kind"] == "trip_update"
+        d = int(_math.floor(value)) if value is not None else 0
+        n = uid % 3
+        assert row["delay_seconds"] == d
+        assert row["n_stop_updates"] == n
+        assert row["sum_arrival_delay"] == sum(d + k for k in range(n))
+        assert row["sum_departure_delay"] == sum(
+            d - k for k in range(n) if k % 2 == 1
+        )
+    else:
+        assert row["entity_kind"] == "alert"
+        assert row["cause"] == 1 + eid % 12
+        assert row["effect"] == 1 + uid % 11
+        assert row["description"] == etype

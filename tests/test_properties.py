@@ -230,3 +230,72 @@ def test_feed_entity_roundtrip(eid, uid, etype, value, epoch_s):
         assert row["cause"] == 1 + eid % 12
         assert row["effect"] == 1 + uid % 11
         assert row["description"] == etype
+
+
+# --- decimal folds (functions/portable.py): the order-independent
+# accumulation every streaming twin and large aggregate leans on —
+# check the SQL form against an exact python Decimal spec on random
+# inputs (the Spark side is pinned by the 222 DuckDB parity oracles)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6,
+            allow_nan=False, allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(min_value=0, max_value=6),
+)
+def test_sql_dsum_matches_decimal_spec(duck, xs, n):
+    """sql_dsum == floor-round of the exact DECIMAL(28,6) sum: each
+    value quantizes to 6dp (the ::DECIMAL cast), the quantized values
+    sum EXACTLY, and the double division/round happens once."""
+    from decimal import ROUND_HALF_EVEN, Decimal
+
+    from big_data_project_spark.functions.portable import sql_dsum
+
+    q = Decimal("0.000001")
+    total = sum(
+        Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_EVEN) for x in xs
+    )
+    scale = float(10**n)
+    expected = math.floor(float(total) * scale + 0.5) / scale
+    vals = ", ".join(f"({x!r}::DOUBLE)" for x in xs)
+    got = duck.execute(
+        f"SELECT {sql_dsum('v', n)} FROM (VALUES {vals}) t(v)"
+    ).fetchone()[0]
+    assert got == expected
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6,
+            allow_nan=False, allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(min_value=0, max_value=6),
+)
+def test_sql_davg_matches_decimal_spec(duck, xs, n):
+    from decimal import ROUND_HALF_EVEN, Decimal
+
+    from big_data_project_spark.functions.portable import sql_davg
+
+    q = Decimal("0.000001")
+    total = sum(
+        Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_EVEN) for x in xs
+    )
+    scale = float(10**n)
+    expected = math.floor(float(total) / len(xs) * scale + 0.5) / scale
+    vals = ", ".join(f"({x!r}::DOUBLE)" for x in xs)
+    got = duck.execute(
+        f"SELECT {sql_davg('v', n)} FROM (VALUES {vals}) t(v)"
+    ).fetchone()[0]
+    assert got == expected

@@ -1061,3 +1061,64 @@ def stream_sessions_native_from_dir(
     spark: SparkSession, events_dir: "str | DataFrame"
 ) -> DataFrame:
     return stream_sessions_native(events_source(spark, events_dir))
+
+
+# ------------------------- trending top-k (windowed heavy hitters) --
+
+TRENDING_K = 3
+
+
+def stream_trending_counts(
+    spark: SparkSession, events_dir: "str | DataFrame",
+    watermark: str = WATERMARK,
+) -> DataFrame:
+    """Streaming half of the trending-topics twin: watermarked tumbling
+    1-hour counts per event_type. The RANK deliberately does NOT live
+    here — append-mode streaming forbids window functions after a
+    streaming aggregate, so production ranks per micro-batch
+    (``rank_trending`` inside foreachBatch / on the serving read), the
+    same split the reference makes between its Kafka rollups and its
+    Postgres ORDER BY ... LIMIT views."""
+    src = events_source(spark, events_dir)
+    return (
+        src.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", "1 hour").alias("win"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("hour_ts"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def rank_trending(counts: DataFrame, k: int = TRENDING_K) -> DataFrame:
+    """Top-k event types per hour from a (hour_ts, event_type,
+    n_events) relation — the SHARED rank step both the batch twin and
+    the micro-batch consumer run, so stream-vs-batch equivalence holds
+    by construction for the ranking too (count desc, event_type asc
+    tie-break keeps it deterministic)."""
+    w = Window.partitionBy("hour_ts").orderBy(
+        F.col("n_events").desc(), F.col("event_type").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("hour_ts", "rank", "event_type", "n_events")
+        .orderBy("hour_ts", "rank")
+    )
+
+
+def trending_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin: identical tumbling-window aggregate over the static
+    table, then the same rank step."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        F.window("ts", "1 hour").alias("win"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events")).select(
+        F.col("win.start").alias("hour_ts"), "event_type", "n_events"
+    )
+    return rank_trending(counts)

@@ -35,6 +35,7 @@ from .operators import (
     quality,
     relational,
     sampling,
+    selection,
     similarity,
     sketches,
     spatial,
@@ -72,6 +73,7 @@ _MODULES = [
     bloom,
     warehouse,
     commerce,
+    selection,
     # --- r01 cohort: newest driver evidence is CORRECTNESS_r01 ---
     hourly,
     headway,
@@ -130,6 +132,12 @@ for _mod in _MODULES:
 # evidence and trails in module order.
 _PROMOTED = [
     # --- NEW in round 6 (appended as they land) ---
+    "quality_classifier_score",
+    "curriculum_phases",
+    "split_leakage_audit",
+    "doremi_domain_weights",
+    "knn_label_vote",
+    "hard_negative_mining",
     "proto_feed_entities",
     "ivf_kmeans_cells",
     "ann_ivf_kmeans_topk",

@@ -1,0 +1,288 @@
+"""Round-6 third batch: data-selection operators — linear quality
+classifier, quality-annealed curriculum phases, and train->test n-gram
+leakage audit. Semantics beyond the oracle gate: python-recomputed
+scores, phase-balance identities, and a leak the split cannot see."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from big_data_project_spark.catalog import load_table
+from big_data_project_spark.operators.quality import (
+    SPLIT_MOD,
+    TEST_BUCKETS,
+)
+from big_data_project_spark.operators.selection import (
+    CURRICULUM_PHASES,
+    QC_BIAS,
+    QC_KEEP_MIN,
+    QC_STOPWORDS,
+    QC_W_DIGIT,
+    QC_W_STOP,
+    QC_W_TTR,
+    QC_W_WLEN,
+    curriculum_phases,
+    quality_classifier_score,
+    split_leakage_audit,
+)
+
+from tests.conftest import SF_DIR
+
+
+def _norm_tokens(text: str) -> list[str]:
+    return [t for t in " ".join(text.lower().split()).split(" ") if t]
+
+
+def _q6(x: float) -> float:
+    return math.floor(x * 1e6 + 0.5) / 1e6
+
+
+def _py_score(text: str) -> float | None:
+    toks = _norm_tokens(text)
+    if not toks:
+        return None
+    n_chars = sum(len(t) for t in toks)
+    stop = _q6(sum(t in QC_STOPWORDS for t in toks) / len(toks))
+    ttr = _q6(len(set(toks)) / len(toks))
+    wlen = _q6(n_chars / len(toks))
+    digit = _q6(sum(c.isdigit() for t in toks for c in t) / n_chars)
+    z = _q6(
+        QC_BIAS
+        + QC_W_STOP * stop
+        + QC_W_TTR * ttr
+        + QC_W_WLEN * wlen
+        + QC_W_DIGIT * digit
+    )
+    return _q6(1.0 / (1.0 + math.exp(-z)))
+
+
+# ------------------------------------------------------------ classifier
+
+
+def test_quality_score_matches_python_recompute(spark):
+    """Per-doc score equals an independent python recompute of the
+    feature -> logit -> sigmoid pipeline on the raw text."""
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, SF_DIR, "documents").collect()
+    }
+    out = quality_classifier_score(spark, SF_DIR).collect()
+    assert len(out) == sum(1 for t in docs.values() if _norm_tokens(t))
+    for r in out:
+        expect = _py_score(docs[r.doc_id])
+        assert expect is not None
+        assert r.score == pytest.approx(expect, abs=1e-9), r.doc_id
+        assert r.keep == int(r.score >= QC_KEEP_MIN)
+
+
+def test_quality_features_are_ratios_in_range(spark):
+    out = quality_classifier_score(spark, SF_DIR).collect()
+    for r in out:
+        assert 0.0 <= r.stop_ratio <= 1.0
+        assert 0.0 < r.ttr <= 1.0
+        assert r.mean_wlen >= 1.0
+        assert 0.0 <= r.digit_ratio <= 1.0
+        assert 0.0 < r.score < 1.0
+
+
+# ------------------------------------------------------------ curriculum
+
+
+def test_curriculum_phases_partition_the_corpus(spark):
+    """Phases cover every scored doc exactly once, phase sizes differ by
+    at most one doc (ntile contract), and score ranges are ordered:
+    later phases never contain a lower score than an earlier phase's
+    minimum (quality annealing)."""
+    rows = curriculum_phases(spark, SF_DIR).collect()
+    n_scored = quality_classifier_score(spark, SF_DIR).count()
+    assert sum(r.n_docs for r in rows) == n_scored
+    per_phase = {}
+    for r in rows:
+        per_phase.setdefault(r.phase, []).append(r)
+    assert set(per_phase) == set(range(1, CURRICULUM_PHASES + 1))
+    sizes = [sum(r.n_docs for r in v) for _, v in sorted(per_phase.items())]
+    assert max(sizes) - min(sizes) <= 1
+    mins = [min(r.min_score for r in v) for _, v in sorted(per_phase.items())]
+    maxs = [max(r.max_score for r in v) for _, v in sorted(per_phase.items())]
+    for earlier_max, later_min in zip(maxs, mins[1:]):
+        assert later_min >= earlier_max - 1e-12
+
+
+# ---------------------------------------------------------------- leakage
+
+
+def test_leakage_audit_covers_every_test_doc_with_shingles(spark):
+    """Every test-split doc with >= 3 tokens gets a row; ratios are
+    n_leaked / n_shingles; leaked counts never exceed totals."""
+    from big_data_project_spark.operators.dedup import _hash60, _norm
+
+    docs = load_table(spark, SF_DIR, "documents")
+    from pyspark.sql import functions as F
+
+    test_ids = {
+        r.doc_id
+        for r in docs.select(
+            "doc_id",
+            F.pmod(_hash60(_norm(F.col("text"))), SPLIT_MOD).alias("b"),
+            F.size(F.split(_norm(F.col("text")), " ")).alias("n"),
+        )
+        .filter((F.col("b") < TEST_BUCKETS) & (F.col("n") >= 3))
+        .collect()
+    }
+    out = {r.doc_id: r for r in split_leakage_audit(spark, SF_DIR).collect()}
+    assert set(out) == test_ids
+    for r in out.values():
+        assert 0 <= r.n_leaked <= r.n_shingles
+        assert r.leak_ratio == pytest.approx(
+            math.floor(r.n_leaked / r.n_shingles * 1e6 + 0.5) / 1e6,
+            abs=1e-12,
+        )
+
+
+def test_leakage_audit_sees_a_planted_ngram_leak(spark, tmp_path):
+    """A test-side doc that shares a 3-gram with a train doc (but is not
+    an exact duplicate) is reported with the right leaked count — the
+    overlap the content-hash split alone cannot catch."""
+    import pyspark.sql.functions as F
+
+    base = load_table(spark, SF_DIR, "documents")
+    # Craft two docs around a shared trigram, then bucket them by the
+    # split hash the operator itself uses (content-hash split).
+    from big_data_project_spark.operators.dedup import _hash60, _norm
+
+    texts = []
+    shared = "alpha beta gamma"
+    for i in range(200):
+        texts.append((10_000 + i, f"{shared} filler{i} tail{i}", "en", "srcX", 0))
+    probe = spark.createDataFrame(
+        texts, "doc_id long, text string, lang string, source string, n_chars long"
+    ).withColumn(
+        "bucket", F.pmod(_hash60(_norm(F.col("text"))), SPLIT_MOD)
+    )
+    buckets = {r.doc_id: r.bucket for r in probe.collect()}
+    test_doc = next(d for d, b in buckets.items() if b < TEST_BUCKETS)
+    train_doc = next(d for d, b in buckets.items() if b >= TEST_BUCKETS)
+    keep = probe.filter(F.col("doc_id").isin(test_doc, train_doc)).drop(
+        "bucket"
+    )
+    merged = base.unionByName(keep)
+    out_dir = str(tmp_path / "sf")
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "embeddings"
+    ).split():
+        load_table(spark, SF_DIR, t).write.parquet(f"{out_dir}/{t}.parquet")
+    merged.coalesce(1).write.parquet(f"{out_dir}/documents.parquet")
+    rows = {
+        r.doc_id: r for r in split_leakage_audit(spark, out_dir).collect()
+    }
+    assert test_doc in rows
+    # the planted test doc shares exactly the 'alpha beta' prefix
+    # trigram with the planted train doc: 1 of its 3 shingles leaks
+    assert rows[test_doc].n_shingles == 3
+    assert rows[test_doc].n_leaked >= 1
+
+
+# ------------------------------------------------------------------ doremi
+
+
+def test_doremi_weights_sum_to_one_and_favor_hard_domains(spark):
+    from big_data_project_spark.operators.selection import (
+        doremi_domain_weights,
+    )
+
+    rows = doremi_domain_weights(spark, SF_DIR).collect()
+    assert abs(sum(r.weight for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.base_share for r in rows) - 1.0) < 1e-3
+    for r in rows:
+        assert r.excess_nll >= 0.0
+        # multiplicative weights never DOWN-weight below base share by
+        # more than the normalizer (all factors >= 1):
+        # weight/base_share ratio is monotone in excess
+        assert r.weight > 0
+    by_excess = sorted(rows, key=lambda r: r.excess_nll)
+    # the most-excess domain must gain share relative to the least
+    lo, hi = by_excess[0], by_excess[-1]
+    if hi.excess_nll > lo.excess_nll + 1e-6:
+        assert hi.weight / hi.base_share >= lo.weight / lo.base_share
+
+
+def test_doremi_excess_is_src_minus_corpus_clipped(spark):
+    from big_data_project_spark.operators.selection import (
+        doremi_domain_weights,
+    )
+
+    rows = doremi_domain_weights(spark, SF_DIR).collect()
+    corpus_nll = None
+    for r in rows:
+        got = math.floor(max(r.src_nll - _corpus_nll(rows), 0.0) * 1e6 + 0.5) / 1e6
+        assert r.excess_nll == pytest.approx(got, abs=2e-6)
+
+
+def _corpus_nll(rows) -> float:
+    n = sum(r.n_bigrams for r in rows)
+    s = sum(r.src_nll * r.n_bigrams for r in rows)
+    return s / n
+
+
+# ---------------------------------------------------------------- knn vote
+
+
+def test_knn_vote_matches_numpy_bruteforce(spark):
+    import numpy as np
+
+    from big_data_project_spark.operators.selection import (
+        KNN_K,
+        KNN_N_EVAL,
+        knn_label_vote,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb}
+    labels = {r.vec_id: r.label for r in emb}
+    out = {r.vec_id: r for r in knn_label_vote(spark, SF_DIR).collect()}
+    assert set(out) == {v for v in vecs if v < KNN_N_EVAL}
+    for q in sorted(out):
+        qe = vecs[q]
+        cands = []
+        for m, ce in vecs.items():
+            if m == q:
+                continue
+            cos = float(qe @ ce / (np.linalg.norm(qe) * np.linalg.norm(ce)))
+            cands.append((-round(cos, 9), m))
+        cands.sort()
+        top = [labels[m] for _, m in cands[:KNN_K]]
+        votes = {}
+        for lb in top:
+            votes[lb] = votes.get(lb, 0) + 1
+        pred = sorted(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        assert out[q].pred_label == pred[0]
+        assert out[q].n_votes == pred[1]
+        assert out[q].correct == int(pred[0] == labels[q])
+
+
+# ---------------------------------------------------------- hard negatives
+
+
+def test_hard_negatives_are_bm25_candidates_below_cos_ceiling(spark):
+    from big_data_project_spark.operators.corpus import (
+        BM25_TOP_K,
+        bm25_retrieval_topk,
+    )
+    from big_data_project_spark.operators.selection import (
+        HN_COS_MAX,
+        hard_negative_mining,
+    )
+
+    ranked = bm25_retrieval_topk(spark, SF_DIR).collect()
+    pos = {r.query_id: r.doc_id for r in ranked if r.rank == 1}
+    negs = {(r.query_id, r.doc_id) for r in ranked if r.rank > 1}
+    out = hard_negative_mining(spark, SF_DIR).collect()
+    assert {(r.query_id, r.neg_doc_id) for r in out} == negs
+    for r in out:
+        assert r.pos_doc_id == pos[r.query_id]
+        assert 2 <= r.bm25_rank <= BM25_TOP_K
+        assert r.is_hard == int(r.cos_to_pos < HN_COS_MAX)
+        assert -1.0 <= r.cos_to_pos <= 1.0

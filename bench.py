@@ -103,6 +103,11 @@ R6_HEADLINE = [
     # margin-based bitext miner (two stacked k-NN window passes)
     "bm25_retrieval_topk",
     "bitext_margin_mining",
+    # round-6 fourth batch (appended per frozen-order protocol): the
+    # zero-shuffle linear quality gate (map-side feature->sigmoid) and
+    # the shingle-grain train->test leakage join
+    "quality_classifier_score",
+    "split_leakage_audit",
 ]
 HEADLINE = R2_HEADLINE + R3_HEADLINE + R4_HEADLINE + R5_HEADLINE + R6_HEADLINE
 _R2_KEYS = frozenset(R2_HEADLINE)

@@ -598,6 +598,76 @@ def bitext_margin_mining() -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def quality_classifier_score() -> pd.DataFrame:
+    """Reference idiom: per-row apply computing the feature vector and
+    sigmoid in Python (the pandas twin of a fastText-style scorer run
+    row-at-a-time)."""
+    docs = _read("documents")
+    STOP = {"the", "a", "of", "and", "is"}
+
+    def floor6(x: float) -> float:
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    out = []
+    for _, r in docs.iterrows():
+        toks = [t for t in " ".join(str(r["text"]).lower().split()).split(" ") if t]
+        if not toks:
+            continue
+        n_chars = sum(len(t) for t in toks)
+        stop = floor6(sum(t in STOP for t in toks) / len(toks))
+        ttr = floor6(len(set(toks)) / len(toks))
+        wlen = floor6(n_chars / len(toks))
+        digit = floor6(sum(c.isdigit() for t in toks for c in t) / n_chars)
+        z = floor6(-2.0 + 6.0 * stop + 2.0 * ttr + 0.1 * wlen - 8.0 * digit)
+        score = floor6(1.0 / (1.0 + math.exp(-z)))
+        out.append(
+            {
+                "doc_id": r["doc_id"],
+                "score": score,
+                "keep": int(score >= 0.5),
+            }
+        )
+    return pd.DataFrame(out).sort_values("doc_id")
+
+
+def split_leakage_audit() -> pd.DataFrame:
+    """Reference idiom: python dict of train shingles, then a per-test-doc
+    membership loop (the single-node decontamination script shape)."""
+    docs = _read("documents")
+
+    def norm_toks(text: str) -> list[str]:
+        return [t for t in " ".join(str(text).lower().split()).split(" ") if t]
+
+    def bucket(text: str) -> int:
+        norm = " ".join(str(text).lower().split())
+        h = int(hashlib.md5(norm.encode()).hexdigest()[:15], 16)
+        return h % 10
+
+    train_sh: set[str] = set()
+    tests = []
+    for _, r in docs.iterrows():
+        toks = norm_toks(r["text"])
+        if len(toks) < 3:
+            continue
+        sh = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+        if bucket(r["text"]) < 1:
+            tests.append((r["doc_id"], sh))
+        else:
+            train_sh |= sh
+    out = []
+    for doc_id, sh in tests:
+        leaked = sum(s in train_sh for s in sh)
+        out.append(
+            {
+                "doc_id": doc_id,
+                "n_shingles": len(sh),
+                "n_leaked": leaked,
+                "leak_ratio": math.floor(leaked / len(sh) * 1e6 + 0.5) / 1e6,
+            }
+        )
+    return pd.DataFrame(out).sort_values("doc_id")
+
+
 def main() -> None:
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
@@ -630,6 +700,8 @@ def main() -> None:
     timed("dsir_importance_weights", dsir_importance_weights)
     timed("bm25_retrieval_topk", bm25_retrieval_topk)
     timed("bitext_margin_mining", bitext_margin_mining)
+    timed("quality_classifier_score", quality_classifier_score)
+    timed("split_leakage_audit", split_leakage_audit)
 
     print(json.dumps({"sf_dir": SF_DIR, "queries": timings, "rows": rows}))
 

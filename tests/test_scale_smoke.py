@@ -680,3 +680,68 @@ def test_bitext_mining_prefers_original_under_duplication(spark, scaled_emb_dir)
     assert len(rows) == similarity.BITEXT_Q
     for r in rows:
         assert r.match_id < n, "a replica beat its identical original"
+
+
+def test_quality_classifier_scale_invariant_per_doc(spark, scaled_docs_dir):
+    """Replicating docs k-fold leaves every per-doc feature and score
+    bit-identical (zero-shuffle map-side op) — each replica scores the
+    same as its original."""
+    from big_data_project_spark.operators.selection import (
+        quality_classifier_score,
+    )
+
+    base = {
+        r["doc_id"]: (r["score"], r["keep"])
+        for r in quality_classifier_score(spark, SF_DIR).collect()
+    }
+    scaled = quality_classifier_score(spark, scaled_docs_dir).collect()
+    assert len(scaled) == SCALE * len(base)
+    for r in scaled:
+        assert (r["score"], r["keep"]) == base[r["doc_id"] // SCALE]
+
+
+def test_doremi_invariant_under_uniform_replication(spark, scaled_docs_dir):
+    """k-fold uniform replication multiplies every domain's bigram count
+    AND the totals by k: shares, NLLs, excesses, and weights are
+    bit-identical (the decimal folds make this exact, not approximate)."""
+    from big_data_project_spark.operators.selection import (
+        doremi_domain_weights,
+    )
+
+    base = {
+        r["source"]: (r["src_nll"], r["excess_nll"], r["base_share"], r["weight"])
+        for r in doremi_domain_weights(spark, SF_DIR).collect()
+    }
+    scaled = {
+        r["source"]: (r["src_nll"], r["excess_nll"], r["base_share"], r["weight"])
+        for r in doremi_domain_weights(spark, scaled_docs_dir).collect()
+    }
+    assert base == scaled
+
+
+def test_leakage_audit_replication_makes_everything_leak(spark, scaled_docs_dir):
+    """After k-fold replication every test doc's shingles also exist in
+    SOME train replica (identical text, different split buckets only if
+    hashes differ — here text is identical so split is identical too,
+    but every shingle now occurs in k docs of the SAME split).
+    Invariant actually checked: per-doc n_shingles is replication-stable
+    and leak flags never decrease vs base (monotonicity under adding
+    train data)."""
+    from big_data_project_spark.operators.selection import (
+        split_leakage_audit,
+    )
+
+    base = {
+        r["doc_id"]: r for r in split_leakage_audit(spark, SF_DIR).collect()
+    }
+    scaled = {
+        r["doc_id"]: r
+        for r in split_leakage_audit(spark, scaled_docs_dir).collect()
+    }
+    # identical text -> identical split bucket; every base test doc's
+    # replicas are all test docs too
+    assert len(scaled) == SCALE * len(base)
+    for doc_id, r in scaled.items():
+        b = base[doc_id // SCALE]
+        assert r["n_shingles"] == b["n_shingles"]
+        assert r["n_leaked"] >= b["n_leaked"]

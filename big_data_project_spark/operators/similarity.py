@@ -1593,3 +1593,82 @@ def _hybrid_prf_oracle() -> str:
 
 
 ORACLES["hybrid_prf_retrieval"] = _hybrid_prf_oracle()
+
+
+def cluster_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality audit: per final k-means cell, the majority
+    embedding label, its share of the cell (purity), and the label
+    entropy-free diagnostic pair (n_members, n_labels) — the check an
+    embedding-curation run makes before trusting cells as semantic
+    units (SemDeDup prunes within cells; impure cells mean the prune
+    crosses semantic boundaries).
+
+    Determinism: majority ties break on the smaller label; purity is a
+    6dp pround of exact integer counts.
+
+    Scale: reuses the persisted Lloyd fit; the label histogram is one
+    (cell, label) aggregate (cells x labels rows), everything after is
+    cells-sized."""
+    v = _km_vectors(spark, sf_dir)
+    labels = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label"
+    )
+    _cent, assigned = _km_fit(v)
+    hist = (
+        assigned.select("vec_id", "cell")
+        .join(labels, "vec_id")
+        .groupBy("cell", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("cell").orderBy(
+        F.col("n").desc(), F.col("label").asc()
+    )
+    return (
+        hist.withColumn("r", F.row_number().over(w))
+        .withColumn(
+            "n_members",
+            F.sum("n").over(Window.partitionBy("cell")),
+        )
+        .withColumn(
+            "n_labels",
+            F.count(F.lit(1)).over(Window.partitionBy("cell")),
+        )
+        .filter(F.col("r") == 1)
+        .select(
+            "cell",
+            F.col("n_members").cast("bigint").alias("n_members"),
+            F.col("n_labels").cast("bigint").alias("n_labels"),
+            F.col("label").alias("top_label"),
+            F.col("n").cast("bigint").alias("top_label_n"),
+            pround(F.col("n") / F.col("n_members"), 6).alias("purity"),
+        )
+        .orderBy("cell")
+    )
+
+
+QUERIES["cluster_label_purity"] = cluster_label_purity
+
+ORACLES["cluster_label_purity"] = f"""
+    WITH v AS ({_SQL_V}),
+    {_KM_CTES},
+    hist AS (
+      SELECT a.cell, e.label, count(*) AS n
+      FROM afinal a JOIN embeddings e USING (vec_id)
+      GROUP BY a.cell, e.label
+    )
+    SELECT cell, n_members, n_labels, label AS top_label,
+           n::BIGINT AS top_label_n,
+           {sql_pround("n::DOUBLE / n_members", 6)} AS purity
+    FROM (
+      SELECT cell, label, n,
+             row_number() OVER (
+               PARTITION BY cell ORDER BY n DESC, label ASC) AS r,
+             CAST(sum(n) OVER (PARTITION BY cell) AS BIGINT)
+               AS n_members,
+             CAST(count(*) OVER (PARTITION BY cell) AS BIGINT)
+               AS n_labels
+      FROM hist
+    ) h
+    WHERE r = 1
+    ORDER BY cell
+"""

@@ -447,3 +447,84 @@ ORACLES["tokenizer_fertility"] = f"""
            )} AS chars_per_token
     FROM agg ORDER BY lang
 """
+
+
+# --- BPE merge induction (Sennrich et al. 2016, arXiv:1508.07909) --------
+
+BPE_TOP_MERGES = 20
+
+
+def bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One byte-pair-encoding merge round over the corpus: count every
+    adjacent character pair inside each word, weighted by the word's
+    corpus frequency, and rank the top BPE_TOP_MERGES candidates — the
+    first iteration of BPE vocabulary induction (tokenizer training's
+    inner loop; subsequent rounds re-run this over the re-segmented
+    vocabulary).
+
+    Scale: ONE corpus-scale token shuffle builds the word-frequency
+    vocabulary; the character-pair explode runs over the VOCABULARY
+    (distinct words x avg word length — tiny next to the corpus), so a
+    100x corpus with the same vocabulary only changes the weights.
+    This vocab-not-corpus shape is exactly why real BPE trainers
+    aggregate word counts first.
+
+    Determinism: pair counts are exact integers; ranking orders by
+    (count DESC, pair ASC)."""
+    from pyspark.sql.window import Window
+
+    from ..catalog import load_table_spread
+
+    docs = load_table_spread(spark, sf_dir, "documents", "doc_id")
+    words = (
+        docs.select(F.explode(_toks(F.col("text"))).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = words.select(
+        "freq",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+    )
+    w_rank = Window.orderBy(F.col("n").desc(), F.col("pair").asc())
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").cast("bigint").alias("n"))
+        .withColumn("merge_rank", F.row_number().over(w_rank))
+        .filter(F.col("merge_rank") <= BPE_TOP_MERGES)
+        .select("merge_rank", "pair", "n")
+        .orderBy("merge_rank")
+    )
+
+
+QUERIES["bpe_merge_pairs"] = bpe_merge_pairs
+
+ORACLES["bpe_merge_pairs"] = f"""
+    WITH words AS (
+      SELECT w, count(*) AS freq
+      FROM (
+        SELECT unnest({_SQL_TOKS}) AS w FROM documents
+      ) t
+      WHERE length(w) >= 2
+      GROUP BY w
+    ),
+    pairs AS (
+      SELECT substr(w, i, 2) AS pair, freq
+      FROM (
+        SELECT w, freq, unnest(range(1, length(w))) AS i FROM words
+      ) p
+    )
+    SELECT merge_rank, pair, n FROM (
+      SELECT pair, CAST(sum(freq) AS BIGINT) AS n,
+             row_number() OVER (
+               ORDER BY sum(freq) DESC, pair ASC) AS merge_rank
+      FROM pairs GROUP BY pair
+    ) r
+    WHERE merge_rank <= {BPE_TOP_MERGES}
+    ORDER BY merge_rank
+"""

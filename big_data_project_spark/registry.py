@@ -138,6 +138,8 @@ _PROMOTED = [
     "doremi_domain_weights",
     "knn_label_vote",
     "hard_negative_mining",
+    "bpe_merge_pairs",
+    "cluster_label_purity",
     "proto_feed_entities",
     "ivf_kmeans_cells",
     "ann_ivf_kmeans_topk",

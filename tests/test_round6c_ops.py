@@ -286,3 +286,72 @@ def test_hard_negatives_are_bm25_candidates_below_cos_ceiling(spark):
         assert 2 <= r.bm25_rank <= BM25_TOP_K
         assert r.is_hard == int(r.cos_to_pos < HN_COS_MAX)
         assert -1.0 <= r.cos_to_pos <= 1.0
+
+
+# ------------------------------------------------------------------- bpe
+
+
+def test_bpe_merges_match_python_counter(spark):
+    """Top merge candidates equal a python Counter over
+    word-frequency-weighted adjacent character pairs."""
+    from collections import Counter
+
+    from big_data_project_spark.operators.textops import (
+        BPE_TOP_MERGES,
+        bpe_merge_pairs,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").collect()
+    wfreq: Counter = Counter()
+    for r in docs:
+        for w in _norm_tokens(r.text):
+            if len(w) >= 2:
+                wfreq[w] += 1
+    pc: Counter = Counter()
+    for w, f in wfreq.items():
+        for i in range(len(w) - 1):
+            pc[w[i : i + 2]] += f
+    expected = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[
+        :BPE_TOP_MERGES
+    ]
+    out = bpe_merge_pairs(spark, SF_DIR).collect()
+    assert [(r.pair, r.n) for r in out] == expected
+    assert [r.merge_rank for r in out] == list(range(1, len(out) + 1))
+
+
+# ---------------------------------------------------------------- purity
+
+
+def test_cluster_purity_is_consistent_with_fit_and_labels(spark):
+    """Purity rows reconcile with an independent recount: members per
+    cell sum to the corpus, top_label_n / n_members equals purity, and
+    the top label really is the modal label of the cell."""
+    from collections import Counter
+
+    from big_data_project_spark.operators.similarity import (
+        _km_fit,
+        _km_vectors,
+        cluster_label_purity,
+    )
+
+    v = _km_vectors(spark, SF_DIR)
+    _cent, assigned = _km_fit(v)
+    cells = {r.vec_id: r.cell for r in assigned.select("vec_id", "cell").collect()}
+    labels = {
+        r.vec_id: r.label
+        for r in load_table(spark, SF_DIR, "embeddings").collect()
+    }
+    hist: dict[int, Counter] = {}
+    for vid, cell in cells.items():
+        hist.setdefault(cell, Counter())[labels[vid]] += 1
+    out = {r.cell: r for r in cluster_label_purity(spark, SF_DIR).collect()}
+    assert set(out) == set(hist)
+    assert sum(r.n_members for r in out.values()) == len(cells)
+    for cell, r in out.items():
+        top = sorted(hist[cell].items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        assert (r.top_label, r.top_label_n) == top
+        assert r.n_labels == len(hist[cell])
+        assert r.purity == pytest.approx(
+            math.floor(r.top_label_n / r.n_members * 1e6 + 0.5) / 1e6,
+            abs=1e-12,
+        )

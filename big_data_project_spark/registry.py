@@ -51,7 +51,7 @@ from .operators import (
     warehouse,
 )
 from .ml import demand
-from .sources import generators, jsonfeed, protofeed
+from .sources import cdc, generators, jsonfeed, protofeed
 from .streaming import pipeline as streaming_pipeline
 
 # Order matters: the driver's correctness gate walks this list in
@@ -74,6 +74,7 @@ _MODULES = [
     warehouse,
     commerce,
     selection,
+    cdc,
     # --- r01 cohort: newest driver evidence is CORRECTNESS_r01 ---
     hourly,
     headway,
@@ -140,6 +141,8 @@ _PROMOTED = [
     "hard_negative_mining",
     "bpe_merge_pairs",
     "cluster_label_purity",
+    "cdc_latest_state",
+    "cdc_scd2_history",
     "proto_feed_entities",
     "ivf_kmeans_cells",
     "ann_ivf_kmeans_topk",

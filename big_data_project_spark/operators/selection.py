@@ -616,9 +616,12 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: BM25 ranks are the oracle-checked ranks; the cosine is
     6dp-rounded before the flag comparison."""
     from .corpus import bm25_retrieval_topk
+    from .dedup import _persisted
     from .similarity import _dot, _norm as _l2, _vectors
 
-    ranked = bm25_retrieval_topk(spark, sf_dir)
+    # persisted: pos (rank==1) and neg (rank>1) both consume it — an
+    # unpersisted branch would execute the corpus-scale BM25 plan twice
+    ranked = _persisted(bm25_retrieval_topk(spark, sf_dir))
     pos = ranked.filter(F.col("rank") == 1).select(
         "query_id", F.col("doc_id").alias("pos_doc_id")
     )

@@ -123,6 +123,23 @@ def _merge(
     )
 
 
+def stage_swap_parquet(
+    spark: SparkSession, df: DataFrame, target_path: str
+) -> DataFrame:
+    """Materialize ``df`` OVER the table it reads from: write to a
+    sibling ``.staging`` directory first (the plan reads the same files
+    it replaces — a direct overwrite would consume its own deletions),
+    then rewrite the target from the staged copy and remove the stage.
+    The single swap point shared by every full-rewrite sink (keyed
+    upsert, CDC merge, tombstone TTL) so durability hardening lands
+    once."""
+    tmp = target_path + ".staging"
+    df.write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(target_path)
+    _rm_recursive(spark, tmp)
+    return spark.read.parquet(target_path)
+
+
 def upsert_parquet(
     spark: SparkSession,
     target_path: str,
@@ -183,13 +200,7 @@ def upsert_parquet(
             current, delta, keys, version_col,
             allow_missing=allow_schema_evolution,
         )
-        # Materialize before overwrite: the plan reads the same files it
-        # replaces, so stage through a sibling directory first.
-        tmp = target_path + ".staging"
-        merged.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(target_path)
-        _rm_recursive(spark, tmp)
-        return spark.read.parquet(target_path)
+        return stage_swap_parquet(spark, merged, target_path)
 
     if partition_col not in delta.columns:
         raise ValueError(

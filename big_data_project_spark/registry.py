@@ -120,17 +120,18 @@ for _mod in _MODULES:
             raise ValueError(f"oracle without query: {_name}")
         ORACLES[_name] = _sql
 
-# Key-level promotion: the driver's correctness walk covers 50 keys
-# per round in registration order, so this list IS the evidence
-# rotation. Round 6 (round-5 verdict items 1-2): FIRST the twelve new
-# round-6 keys (first-round keys MUST get a driver row), THEN the six
-# round-5 late-batch keys that have never had a driver row, THEN the
-# 32-key cohort whose newest driver row is still CORRECTNESS_r01
-# (suggestions/validation/geo/tpch/tpch_ext — untouched since round 1;
-# rotation means re-running, not git archaeology); 12+6+32 fills the
-# 50-key window exactly. After round 6 the union should be 100%
-# driver-evidenced. Everything green in r02-r05 keeps its union
-# evidence and trails in module order.
+# Key-level promotion: the driver's correctness walk covers ~50 keys
+# per round (wall-time budgeted) in registration order, so this list
+# IS the evidence rotation. Round 6 (round-5 verdict items 1-2): FIRST
+# the new round-6 keys (first-round keys MUST get a driver row — 22 by
+# session end), THEN the six round-5 late-batch keys that have never
+# had a driver row, THEN the 32-key cohort whose newest driver row is
+# still CORRECTNESS_r01 (suggestions/validation/geo/tpch/tpch_ext).
+# 22+6+32 = 60 OVERFLOWS a 50-key window: the r01-stale tail
+# (~q14_promo_revenue onward) rolls to the round-7 rotation — never-
+# evidenced keys outrank stale-but-green union evidence. Everything
+# green in r02-r05 keeps its union evidence and trails in module
+# order.
 _PROMOTED = [
     # --- NEW in round 6 (appended as they land) ---
     "quality_classifier_score",

@@ -38,10 +38,10 @@ CDC_PAYLOAD_SCHEMA = (
     f"after struct<{CDC_AFTER_SCHEMA}>"
 )
 
-# Microsecond-pinned like the events envelope (sources/kafka.py):
-# to_json's default format truncates to milliseconds and the round trip
-# would silently lose 3 digits.
-_TS_OPTS = {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"}
+# Shared envelope machinery: the microsecond-pinned timestamp format
+# and the malformed/tombstone routing contract live in sources/kafka.py
+# so the two JSON envelope decoders cannot silently diverge.
+from .kafka import _TS_OPTS, dead_letter_col, is_json_object  # noqa: E402
 
 def _op_col():
     # built lazily: Column construction needs an active SparkContext
@@ -96,16 +96,12 @@ def decode_cdc_envelope(
         ).alias("c"),
         F.col("value").alias("__raw"),
     )
-    is_object = F.from_json(
-        F.col("__raw").cast("string"), "map<string,string>"
-    ).isNotNull()
+    is_object = is_json_object(F.col("__raw"))
     if drop_malformed:
         return parsed.filter(is_object).select("c.*")
     return parsed.select(
         "c.*",
-        F.when(is_object, F.lit(None).cast("binary"))
-        .otherwise(F.coalesce(F.col("__raw"), F.lit(b"")))
-        .alias("corrupt_payload"),
+        dead_letter_col(is_object, F.col("__raw")),
     )
 
 
@@ -216,7 +212,7 @@ def merge_cdc_parquet(
     same partition-pruned shape as upsert_parquet; the serving tables
     this mirrors (the reference's per-entity tables) are key-grain and
     small relative to the corpus."""
-    from ..plans.sinks import _read_or_none, _rm_recursive
+    from ..plans.sinks import _read_or_none, stage_swap_parquet
 
     cols = state_cols or ["event_type", "value"]
     winners = apply_cdc_log(log_batch, keep_deletes=True).select(
@@ -243,10 +239,7 @@ def merge_cdc_parquet(
         .filter(F.col("__rn") == 1)
         .select("key", "op", "__ts", "__seq", *cols)
     )
-    tmp = target_path + ".staging"
-    merged.write.mode("overwrite").parquet(tmp)
-    spark.read.parquet(tmp).write.mode("overwrite").parquet(target_path)
-    _rm_recursive(spark, tmp)
+    stage_swap_parquet(spark, merged, target_path)
     return read_cdc_state(spark, target_path)
 
 
@@ -325,14 +318,10 @@ def compact_cdc_tombstones(
     ops that old, the resurrection guard is moot and the marker is pure
     storage). Live rows are never touched. Staged-and-swapped like the
     merge itself."""
-    from ..plans.sinks import _rm_recursive
+    from ..plans.sinks import stage_swap_parquet
 
     cur = spark.read.parquet(target_path)
     kept = cur.filter(
         (F.col("op") != "d") | (F.col("__ts") >= F.lit(horizon_ts))
     )
-    tmp = target_path + ".staging"
-    kept.write.mode("overwrite").parquet(tmp)
-    spark.read.parquet(tmp).write.mode("overwrite").parquet(target_path)
-    _rm_recursive(spark, tmp)
-    return spark.read.parquet(target_path)
+    return stage_swap_parquet(spark, kept, target_path)

@@ -52,6 +52,28 @@ EVENT_PAYLOAD_SCHEMA = (
 _TS_OPTS = {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"}
 
 
+def is_json_object(raw_col):
+    """NULL-safe probe: true iff the bytes parse as a JSON OBJECT.
+    PERMISSIVE from_json maps malformed payloads to all-NULL rows, not
+    NULL structs, so validity needs this separate map-typed re-parse —
+    it catches non-JSON bytes AND well-formed non-objects ('42',
+    '\"hi\"', '[1,2,3]'). JVM-side, same codegen stage. Shared by every
+    JSON envelope decoder (events, CDC)."""
+    return F.from_json(raw_col.cast("string"), "map<string,string>").isNotNull()
+
+
+def dead_letter_col(is_object, raw_col):
+    """The kept-malformed routing column: NULL on well-formed rows, the
+    original payload bytes on malformed ones, and EMPTY bytes on Kafka
+    tombstones (value IS NULL — a compacted-topic deletion marker has
+    nothing to archive but must still hit the dead-letter filter)."""
+    return (
+        F.when(is_object, F.lit(None).cast("binary"))
+        .otherwise(F.coalesce(raw_col, F.lit(b"")))
+        .alias("corrupt_payload")
+    )
+
+
 def decode_events_envelope(
     raw: DataFrame, drop_malformed: bool = False
 ) -> DataFrame:
@@ -89,23 +111,17 @@ def decode_events_envelope(
     # non-objects ('42', '"hi"', '[1,2,3]') that a JSON-validity
     # check alone would let through as all-NULL event rows.
     # JVM-side, same codegen stage.
-    is_object = F.from_json(
-        F.col("__raw").cast("string"), "map<string,string>"
-    ).isNotNull()
+    is_object = is_json_object(F.col("__raw"))
     if drop_malformed:
         return parsed.filter(is_object).select("e.*", "kafka_ts")
     # kept-malformed path: the all-NULL row alone is undiagnosable, so
-    # surface the original bytes (NULL on well-formed rows) — the
-    # dead-letter sink archives `corrupt_payload IS NOT NULL`. A Kafka
-    # TOMBSTONE (value IS NULL, compacted-topic deletion marker) has no
-    # bytes to archive but must still hit that filter, so it carries
-    # empty bytes rather than NULL.
+    # surface the original bytes — the dead-letter sink archives
+    # `corrupt_payload IS NOT NULL` (see dead_letter_col for the
+    # tombstone contract).
     return parsed.select(
         "e.*",
         "kafka_ts",
-        F.when(is_object, F.lit(None).cast("binary"))
-        .otherwise(F.coalesce(F.col("__raw"), F.lit(b"")))
-        .alias("corrupt_payload"),
+        dead_letter_col(is_object, F.col("__raw")),
     )
 
 

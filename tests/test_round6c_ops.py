@@ -215,9 +215,9 @@ def test_doremi_excess_is_src_minus_corpus_clipped(spark):
     )
 
     rows = doremi_domain_weights(spark, SF_DIR).collect()
-    corpus_nll = None
+    corpus = _corpus_nll(rows)
     for r in rows:
-        got = math.floor(max(r.src_nll - _corpus_nll(rows), 0.0) * 1e6 + 0.5) / 1e6
+        got = math.floor(max(r.src_nll - corpus, 0.0) * 1e6 + 0.5) / 1e6
         assert r.excess_nll == pytest.approx(got, abs=2e-6)
 
 

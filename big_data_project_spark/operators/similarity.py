@@ -1672,3 +1672,246 @@ ORACLES["cluster_label_purity"] = f"""
     WHERE r = 1
     ORDER BY cell
 """
+
+
+# --- MMR diversified re-ranking (Carbonell & Goldstein, SIGIR 1998) -----
+
+MMR_LAMBDA = 0.7  # relevance weight; 1-lambda penalizes redundancy
+MMR_M = 20  # candidate pool per query (top-M by cosine)
+MMR_K = 5  # diversified results returned per query
+
+
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking: greedily pick MMR_K of the
+    top-MMR_M cosine candidates per query, each step maximizing
+    lambda*cos(q,d) - (1-lambda)*max_{s in selected} cos(d,s) — the
+    classic redundancy-killer between retrieval and an LLM's context
+    window (dedup the prompt, not just the corpus). The first pick has
+    an empty selected set (penalty 0), i.e. plain argmax relevance.
+
+    Physical shape: ALL similarity math runs JVM-side and 9dp-quantized
+    (candidate scoring = one broadcast-query corpus scan; the
+    candidate-pair matrix is (queries x M^2), output-sized); only the
+    greedy SELECTION loop — pure argmax over already-quantized doubles,
+    O(K*M) per query — runs as a cogrouped Arrow step per query. A
+    step-unrolled DataFrame loop was tried first and discarded: 5
+    anti-join/argmax rounds over micro-relations cost ~15 s of pure
+    scheduling at sf0.01 (the grouped form is the documented escape
+    hatch for per-group iterative logic).
+
+    Determinism: cosines are floor-quantized to 9dp BEFORE the greedy
+    (both engines see identical doubles); ties break on doc_id; the MMR
+    score re-quantizes per step. The DuckDB oracle unrolls the same K
+    steps declaratively, so the whole algorithm is oracle-hash-checked.
+
+    Scale: corpus work is the one candidate-scoring scan (LSH/IVF
+    buckets are the production candidate source, as with
+    ann_cosine_topk); everything after is bounded by queries x M^2."""
+    import pandas as pd
+
+    from .dedup import _persisted
+
+    v = _vectors(spark, sf_dir)
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    c = v.select(F.col("vec_id").alias("doc_id"), F.col("e").alias("ce"))
+    scored = c.join(
+        F.broadcast(q), F.col("query_id") != F.col("doc_id")
+    ).select(
+        "query_id",
+        "doc_id",
+        "ce",
+        pround(
+            _dot(F.col("qe"), F.col("ce"))
+            / (_norm(F.col("qe")) * _norm(F.col("ce"))),
+            9,
+        ).alias("cos_q"),
+    )
+    w_cand = Window.partitionBy("query_id").orderBy(
+        F.col("cos_q").desc(), F.col("doc_id").asc()
+    )
+    cands = _persisted(
+        scored.withColumn("crank", F.row_number().over(w_cand))
+        .filter(F.col("crank") <= MMR_M)
+        .select("query_id", "doc_id", "ce", "cos_q")
+    )
+    a = cands.select(
+        "query_id", F.col("doc_id").alias("a_doc"), F.col("ce").alias("ae")
+    )
+    b = cands.select(
+        F.col("query_id").alias("qb"),
+        F.col("doc_id").alias("b_doc"),
+        F.col("ce").alias("be"),
+    )
+    # pairsim's group key is RENAMED (qa): cogrouping cands with its own
+    # derivative on a same-named column trips the ambiguous-self-join
+    # analyzer check
+    pairsim = (
+        a.join(b, a["query_id"] == b["qb"])
+        .filter(F.col("a_doc") != F.col("b_doc"))
+        .select(
+            F.col("query_id").alias("qa"),
+            "a_doc",
+            "b_doc",
+            pround(
+                _dot(F.col("ae"), F.col("be"))
+                / (_norm(F.col("ae")) * _norm(F.col("be"))),
+                9,
+            ).alias("cos_ab"),
+        )
+    )
+    lam, one_m = MMR_LAMBDA, 1.0 - MMR_LAMBDA
+
+    def _q9(x: float) -> float:
+        import math
+
+        return math.floor(x * 1e9 + 0.5) / 1e9
+
+    def _q6(x: float) -> float:
+        import math
+
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    def greedy(key, cand_pdf: pd.DataFrame, sim_pdf: pd.DataFrame):
+        # one query per group: pure selection over quantized doubles
+        pool = dict(zip(cand_pdf["doc_id"], cand_pdf["cos_q"]))
+        sims: dict = {}
+        for a_doc, b_doc, cos_ab in zip(
+            sim_pdf["a_doc"], sim_pdf["b_doc"], sim_pdf["cos_ab"]
+        ):
+            sims.setdefault(a_doc, {})[b_doc] = cos_ab
+        sel: list = []
+        out = []
+        for rank in range(1, MMR_K + 1):
+            if not pool:
+                break
+            best = None
+            for d, cq in pool.items():
+                ms = max(
+                    (sims.get(d, {}).get(s, 0.0) for s in sel),
+                    default=0.0,
+                )
+                score = _q9(lam * cq - one_m * ms)
+                cand = (-score, d)
+                if best is None or cand < best:
+                    best = cand
+            score, d = -best[0], best[1]
+            out.append(
+                (int(key[0]), rank, int(d), _q6(pool[d]), _q6(score))
+            )
+            sel.append(d)
+            del pool[d]
+        return pd.DataFrame(
+            out,
+            columns=[
+                "query_id", "mmr_rank", "doc_id", "cosine", "mmr_score"
+            ],
+        )
+
+    out = (
+        cands.drop("ce")
+        .groupBy("query_id")
+        .cogroup(pairsim.groupBy("qa"))
+        .applyInPandas(
+            greedy,
+            "query_id long, mmr_rank int, doc_id long, "
+            "cosine double, mmr_score double",
+        )
+    )
+    return out.orderBy("query_id", "mmr_rank")
+
+
+QUERIES["mmr_diversified_topk"] = mmr_diversified_topk
+
+
+def _sql_mmr_oracle() -> str:
+    lam, one_m = MMR_LAMBDA, 1.0 - MMR_LAMBDA
+    cos = (
+        "list_dot_product({x}.e, {y}.e) / (sqrt(list_dot_product({x}.e,"
+        " {x}.e)) * sqrt(list_dot_product({y}.e, {y}.e)))"
+    )
+    parts = [
+        f"v AS ({_SQL_V})",
+        f"""cands AS (
+      SELECT query_id, doc_id, cos_q FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+               {sql_pround(cos.format(x='q', y='c'), 9)} AS cos_q,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {sql_pround(cos.format(x='q', y='c'), 9)} DESC,
+                          c.vec_id ASC) AS crank
+        FROM v q JOIN v c ON q.vec_id < {N_QUERIES}
+                         AND q.vec_id <> c.vec_id
+      ) r WHERE crank <= {MMR_M}
+    )""",
+        f"""pairsim AS (
+      SELECT a.query_id, a.doc_id AS a_doc, b.doc_id AS b_doc,
+             {sql_pround(cos.format(x='va', y='vb'), 9)} AS cos_ab
+      FROM cands a JOIN cands b
+        ON a.query_id = b.query_id AND a.doc_id <> b.doc_id
+      JOIN v va ON va.vec_id = a.doc_id
+      JOIN v vb ON vb.vec_id = b.doc_id
+    )""",
+        "pool0 AS (SELECT query_id, doc_id, cos_q FROM cands)",
+    ]
+    sel_union: list[str] = []
+    for k in range(1, MMR_K + 1):
+        prev_pool = f"pool{k - 1}"
+        if k == 1:
+            parts.append(
+                f"""m{k} AS (
+      SELECT query_id, doc_id, cos_q, 0.0 AS ms FROM {prev_pool}
+    )"""
+            )
+        else:
+            sel = " UNION ALL ".join(sel_union)
+            parts.append(
+                f"""m{k} AS (
+      SELECT p.query_id, p.doc_id, p.cos_q, max(ps.cos_ab) AS ms
+      FROM {prev_pool} p
+      JOIN pairsim ps ON ps.query_id = p.query_id
+                     AND ps.a_doc = p.doc_id
+      JOIN ({sel}) s ON s.query_id = ps.query_id
+                    AND s.sel_doc = ps.b_doc
+      GROUP BY p.query_id, p.doc_id, p.cos_q
+    )"""
+            )
+        parts.append(
+            f"""s{k} AS (
+      SELECT query_id, doc_id AS sel_doc, {k} AS mmr_rank,
+             mmr AS mmr_score_x, cos_q AS cos_x
+      FROM (
+        SELECT *,
+               row_number() OVER (
+                 PARTITION BY query_id ORDER BY mmr DESC, doc_id ASC
+               ) AS rn
+        FROM (SELECT *,
+                     {sql_pround(f"{lam} * cos_q - {one_m} * ms", 9)}
+                       AS mmr
+              FROM m{k}) z
+      ) zz WHERE rn = 1
+    )"""
+        )
+        sel_union.append(f"SELECT query_id, sel_doc FROM s{k}")
+        parts.append(
+            f"""pool{k} AS (
+      SELECT p.* FROM {prev_pool} p
+      LEFT JOIN s{k} ON s{k}.query_id = p.query_id
+                    AND s{k}.sel_doc = p.doc_id
+      WHERE s{k}.sel_doc IS NULL
+    )"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT query_id, mmr_rank, sel_doc AS doc_id, "
+        f"{sql_pround('cos_x', 6)} AS cosine, "
+        f"{sql_pround('mmr_score_x', 6)} AS mmr_score FROM s{k}"
+        for k in range(1, MMR_K + 1)
+    )
+    return (
+        "WITH " + ",\n    ".join(parts)
+        + f"\n    SELECT * FROM ({union}) f ORDER BY query_id, mmr_rank"
+    )
+
+
+ORACLES["mmr_diversified_topk"] = _sql_mmr_oracle()

@@ -144,6 +144,7 @@ _PROMOTED = [
     "cluster_label_purity",
     "cdc_latest_state",
     "cdc_scd2_history",
+    "mmr_diversified_topk",
     "proto_feed_entities",
     "ivf_kmeans_cells",
     "ann_ivf_kmeans_topk",

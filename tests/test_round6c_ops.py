@@ -355,3 +355,72 @@ def test_cluster_purity_is_consistent_with_fit_and_labels(spark):
             math.floor(r.top_label_n / r.n_members * 1e6 + 0.5) / 1e6,
             abs=1e-12,
         )
+
+
+# ------------------------------------------------------------------- mmr
+
+
+def test_mmr_matches_python_greedy(spark):
+    """The unrolled declarative MMR equals an independent python greedy
+    over the same candidate pool."""
+    import numpy as np
+
+    from big_data_project_spark.operators.similarity import (
+        MMR_K,
+        MMR_LAMBDA,
+        MMR_M,
+        N_QUERIES,
+        mmr_diversified_topk,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb}
+
+    def q9(x: float) -> float:
+        return math.floor(x * 1e9 + 0.5) / 1e9
+
+    def cos(a, b):
+        return q9(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))))
+
+    out = {}
+    for r in mmr_diversified_topk(spark, SF_DIR).collect():
+        out.setdefault(r.query_id, []).append((r.mmr_rank, r.doc_id))
+    for q in range(N_QUERIES):
+        qe = vecs[q]
+        scored = sorted(
+            ((-cos(qe, vecs[d]), d) for d in vecs if d != q)
+        )[:MMR_M]
+        pool = {d: -s for s, d in scored}
+        sel: list[int] = []
+        picks = []
+        for k in range(1, MMR_K + 1):
+            best = None
+            for d, cq in pool.items():
+                ms = max((cos(vecs[d], vecs[s]) for s in sel), default=0.0)
+                score = q9(MMR_LAMBDA * cq - (1 - MMR_LAMBDA) * ms)
+                cand = (-score, d)
+                if best is None or cand < best:
+                    best = cand
+            picks.append((k, best[1]))
+            sel.append(best[1])
+            del pool[best[1]]
+        assert sorted(out[q]) == picks, q
+
+
+def test_mmr_first_pick_is_pure_relevance_and_rest_diversify(spark):
+    from big_data_project_spark.operators.similarity import (
+        mmr_diversified_topk,
+    )
+
+    rows = mmr_diversified_topk(spark, SF_DIR).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, {})[r.mmr_rank] = r
+    for q, ranks in by_q.items():
+        assert set(ranks) == {1, 2, 3, 4, 5}
+        # rank 1 has no redundancy penalty: mmr == lambda * cosine
+        r1 = ranks[1]
+        assert r1.mmr_score == pytest.approx(0.7 * r1.cosine, abs=2e-6)
+        # each query returns distinct docs
+        docs = [ranks[k].doc_id for k in sorted(ranks)]
+        assert len(set(docs)) == len(docs)

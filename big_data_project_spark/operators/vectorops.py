@@ -27,6 +27,8 @@ precedent as similarity._dot).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -409,3 +411,78 @@ ORACLES["embedding_gram_matrix"] = f"""
          generate_series(1, {GRAM_DIM}) g2(j)
     GROUP BY i, j ORDER BY i, j
 """
+
+
+PCA_TOP_K = 16  # components reported by the variance audit
+
+
+def embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA spectrum of the embedding table — the dimensionality audit
+    run before choosing a projection/compression rank (how many
+    components carry 95% of the variance?). Computed the one way that
+    scales: the quantized d x d second-moment matrix and the per-dim
+    decimal means come from single distributed passes
+    (embedding_gram_matrix's mapInPandas combine + one posexplode
+    aggregate); the covariance assembly and eigendecomposition run on
+    the driver over d^2 = 4096 numbers — O(d^3) CONSTANT work,
+    independent of corpus size (the same split as the IVF k-means fit:
+    corpus-scale passes distributed, tiny-model math local).
+
+    Rows-only by design (declared in SURVEY §2): an eigendecomposition
+    is not ANSI-SQL-expressible; the test bounds the spectrum against
+    numpy over the raw vectors.
+
+    Determinism: the Gram units and means are exactly quantized
+    (order-independent integer/decimal sums), so the driver sees a
+    bit-identical covariance on every run; eigh of an identical
+    symmetric matrix is deterministic."""
+    import numpy as np
+
+    d = GRAM_DIM
+    gram_rows = embedding_gram_matrix(spark, sf_dir).collect()
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    dims = emb.select(F.posexplode("embedding").alias("dim", "x"))
+    mean_rows = (
+        dims.groupBy("dim")
+        .agg(
+            pround(
+                F.sum(F.col("x").cast("double").cast("decimal(28,6)"))
+                .cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("m")
+        )
+        .collect()
+    )
+    g = np.zeros((d, d))
+    for r in gram_rows:
+        g[r.i - 1, r.j - 1] = r.gram
+    mu = np.zeros(d)
+    for r in mean_rows:
+        mu[r.dim] = r.m
+    cov = g / n - np.outer(mu, mu)
+    evals = np.linalg.eigvalsh(cov)[::-1]  # descending
+    total = float(evals.sum())
+    rows = []
+    cum = 0.0
+    for k in range(PCA_TOP_K):
+        ev = float(evals[k])
+        evr = ev / total
+        cum += evr
+        rows.append(
+            (
+                k + 1,
+                math.floor(ev * 1e6 + 0.5) / 1e6,
+                math.floor(evr * 1e6 + 0.5) / 1e6,
+                math.floor(cum * 1e6 + 0.5) / 1e6,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "component int, eigenvalue double, explained_var double, "
+        "cum_explained_var double",
+    )
+
+
+QUERIES["embedding_pca_variance"] = embedding_pca_variance

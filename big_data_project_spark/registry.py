@@ -145,6 +145,7 @@ _PROMOTED = [
     "cdc_latest_state",
     "cdc_scd2_history",
     "mmr_diversified_topk",
+    "embedding_pca_variance",
     "proto_feed_entities",
     "ivf_kmeans_cells",
     "ann_ivf_kmeans_topk",

@@ -424,3 +424,49 @@ def test_mmr_first_pick_is_pure_relevance_and_rest_diversify(spark):
         # each query returns distinct docs
         docs = [ranks[k].doc_id for k in sorted(ranks)]
         assert len(set(docs)) == len(docs)
+
+
+# ------------------------------------------------------------------- pca
+
+
+def test_pca_variance_matches_numpy_spectrum(spark):
+    """The distributed quantized-Gram spectrum equals numpy's PCA over
+    the raw vectors (1e-3 — the 1e-6 Gram quantization's worst case),
+    ratios are positive-descending, and the cumulative column is the
+    running sum."""
+    import numpy as np
+
+    from big_data_project_spark.operators.vectorops import (
+        PCA_TOP_K,
+        embedding_pca_variance,
+    )
+
+    out = sorted(
+        embedding_pca_variance(spark, SF_DIR).collect(),
+        key=lambda r: r.component,
+    )
+    assert len(out) == PCA_TOP_K
+    emb = load_table(spark, SF_DIR, "embeddings").collect()
+    X = np.stack([np.array(r.embedding, dtype=np.float64) for r in emb])
+    cov = np.cov(X, rowvar=False, bias=True)
+    ev = np.linalg.eigvalsh(cov)[::-1]
+    cum = 0.0
+    prev = float("inf")
+    for r in out:
+        assert r.eigenvalue == pytest.approx(
+            float(ev[r.component - 1]), abs=1e-3
+        )
+        assert 0 < r.explained_var <= prev + 1e-9
+        prev = r.explained_var
+        cum += r.explained_var
+        assert r.cum_explained_var == pytest.approx(cum, abs=1e-5)
+
+
+def test_pca_variance_is_deterministic_across_runs(spark):
+    from big_data_project_spark.operators.vectorops import (
+        embedding_pca_variance,
+    )
+
+    a = [tuple(r) for r in embedding_pca_variance(spark, SF_DIR).collect()]
+    b = [tuple(r) for r in embedding_pca_variance(spark, SF_DIR).collect()]
+    assert sorted(a) == sorted(b)

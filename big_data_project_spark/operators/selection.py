@@ -224,7 +224,7 @@ ORACLES["curriculum_phases"] = f"""
       FROM scored
     )
     SELECT phase, source, count(*) AS n_docs,
-           sum(n_toks) AS n_tokens,
+           CAST(sum(n_toks) AS BIGINT) AS n_tokens,
            min(score) AS min_score, max(score) AS max_score
     FROM phased
     GROUP BY phase, source

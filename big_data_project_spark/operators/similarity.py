@@ -1709,8 +1709,15 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann_cosine_topk); everything after is bounded by queries x M^2."""
     import pandas as pd
 
+    from ..catalog import assert_baseline_scale
     from .dedup import _persisted
 
+    assert_baseline_scale(
+        sf_dir,
+        "embeddings",
+        "mmr_diversified_topk",
+        "ann_lsh_topk/ann_ivf_kmeans_topk as the candidate source",
+    )
     v = _vectors(spark, sf_dir)
     q = v.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe")

@@ -438,23 +438,23 @@ def embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     symmetric matrix is deterministic."""
     import numpy as np
 
+    from ..functions.portable import davg
+
     d = GRAM_DIM
     gram_rows = embedding_gram_matrix(spark, sf_dir).collect()
     emb = load_table(spark, sf_dir, "embeddings")
-    n = emb.count()
     dims = emb.select(F.posexplode("embedding").alias("dim", "x"))
+    # n rides the means aggregate (every dim group has exactly n rows)
+    # — no separate count() pass over the corpus
     mean_rows = (
         dims.groupBy("dim")
         .agg(
-            pround(
-                F.sum(F.col("x").cast("double").cast("decimal(28,6)"))
-                .cast("double")
-                / F.count(F.lit(1)),
-                6,
-            ).alias("m")
+            davg(F.col("x").cast("double"), 6).alias("m"),
+            F.count(F.lit(1)).alias("n"),
         )
         .collect()
     )
+    n = mean_rows[0].n
     g = np.zeros((d, d))
     for r in gram_rows:
         g[r.i - 1, r.j - 1] = r.gram

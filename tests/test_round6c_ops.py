@@ -361,8 +361,10 @@ def test_cluster_purity_is_consistent_with_fit_and_labels(spark):
 
 
 def test_mmr_matches_python_greedy(spark):
-    """The unrolled declarative MMR equals an independent python greedy
-    over the same candidate pool."""
+    """The Spark MMR (cogrouped greedy over JVM-quantized sims) equals a
+    python/numpy greedy recomputed from the raw vectors. The unrolled
+    DuckDB oracle SQL is exercised by the registry parity gate
+    (tests/test_oracle_parity.py), not here."""
     import numpy as np
 
     from big_data_project_spark.operators.similarity import (

@@ -1422,3 +1422,83 @@ ORACLES["attribution_linear"] = f"""
            )} AS attributed_value
     FROM credited GROUP BY channel ORDER BY channel
 """
+
+
+PATH_TOP_K = 25  # ranked 3-step paths reported
+
+
+def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-step behavior paths: for every consecutive event
+    triple per user (event-time order, event_id tie-break), the path
+    count, the number of distinct users walking it, and its share of
+    all observed triples — the sequential-pattern report behind "what
+    do users do right before purchasing?" analyses (the trigram
+    extension of event_transition_matrix's first-order Markov view).
+
+    Scale: ONE window shuffle on user_id emits every triple map-side
+    (two leads over the same frame); the aggregate output is at most
+    |event_types|^3 rows. Ranking the top-K is a window over that tiny
+    relation.
+
+    Determinism: exact integer counts; share is a 6dp pround; rank
+    orders by (n DESC, path ASC)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    triples = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("e1"),
+            F.lead("event_type", 1).over(w).alias("e2"),
+            F.lead("event_type", 2).over(w).alias("e3"),
+        )
+        .filter(F.col("e3").isNotNull())
+        .select(
+            "user_id",
+            F.concat_ws(">", "e1", "e2", "e3").alias("path"),
+        )
+    )
+    agg = triples.groupBy("path").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    total = agg.agg(F.sum("n").alias("total"))
+    w_rank = Window.orderBy(F.col("n").desc(), F.col("path").asc())
+    return (
+        agg.crossJoin(F.broadcast(total))
+        .withColumn("share", pround(F.col("n") / F.col("total"), 6))
+        .withColumn("path_rank", F.row_number().over(w_rank))
+        .filter(F.col("path_rank") <= PATH_TOP_K)
+        .select("path_rank", "path", "n", "n_users", "share")
+        .orderBy("path_rank")
+    )
+
+
+QUERIES["event_path_trigrams"] = event_path_trigrams
+
+ORACLES["event_path_trigrams"] = f"""
+    WITH triples AS (
+      SELECT user_id,
+             event_type || '>' ||
+             lead(event_type, 1) OVER w || '>' ||
+             lead(event_type, 2) OVER w AS path,
+             lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    agg AS (
+      SELECT path, count(*) AS n,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM triples WHERE e3 IS NOT NULL
+      GROUP BY path
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM agg)
+    SELECT path_rank, path, n, n_users,
+           {sql_pround("n::DOUBLE / total", 6)} AS share
+    FROM (
+      SELECT *, row_number() OVER (
+               ORDER BY n DESC, path ASC) AS path_rank
+      FROM agg, tot
+    ) r
+    WHERE path_rank <= {PATH_TOP_K}
+    ORDER BY path_rank
+"""

@@ -511,3 +511,82 @@ QUERIES["customer_order_gaps"] = customer_order_gaps
 QUERIES["supplier_concentration_hhi"] = supplier_concentration_hhi
 QUERIES["sales_grouping_sets"] = sales_grouping_sets
 QUERIES["dedup_normalized"] = dedup_normalized
+
+
+def part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) of the part catalog: the parts no
+    other part dominates on (bigger size, cheaper price) — the classic
+    multi-criteria OLAP query (Borzsony/Kossmann/Stocker, ICDE 2001
+    "The Skyline Operator"). Dominance: q dominates p iff
+    q.size >= p.size AND q.price <= p.price with at least one strict.
+
+    Plan shape: NOT the naive O(n^2) NOT-EXISTS self-join — two
+    RANGE-framed window minima over one size-ordered sort express
+    dominance exactly:
+
+      minp_gt = min(price) over sizes STRICTLY greater (RANGE .. 1
+      PRECEDING on the size-descending order; integer size makes the
+      1-offset exact)
+      minp_ge = min(price) over sizes >= current (RANGE .. CURRENT ROW)
+
+    p survives iff NOT (minp_gt <= price)  -- dominated via bigger size
+          and NOT (minp_ge <  price)       -- dominated via cheaper tie
+
+    ONE sort-shuffle total, O(n log n) — at corpus scale the sort
+    range-partitions by size and the running minima compose across
+    partitions (each partition needs only the min of its size-greater
+    partitions, a partitions-sized broadcast).
+
+    Determinism: exact integer/double comparisons only — no rounding
+    anywhere, so the oracle (same two window minima) is bit-exact."""
+    part = load_table(spark, sf_dir, "part")
+    w_gt = (
+        Window.orderBy(F.col("p_size").desc())
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_ge = (
+        Window.orderBy(F.col("p_size").desc())
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = part.select(
+        "p_partkey",
+        "p_size",
+        "p_retailprice",
+        F.min("p_retailprice").over(w_gt).alias("minp_gt"),
+        F.min("p_retailprice").over(w_ge).alias("minp_ge"),
+    )
+    # NULL-safe: the largest size has no strictly-greater frame
+    # (minp_gt NULL); a bare <= would make the whole predicate NULL and
+    # silently drop the row
+    dominated = (
+        F.col("minp_gt").isNotNull()
+        & (F.col("minp_gt") <= F.col("p_retailprice"))
+    ) | (F.col("minp_ge") < F.col("p_retailprice"))
+    return (
+        flagged.filter(~dominated)
+        .select("p_partkey", "p_size", "p_retailprice")
+        .orderBy(F.col("p_size").desc(), "p_partkey")
+    )
+
+
+QUERIES["part_skyline"] = part_skyline
+
+ORACLES["part_skyline"] = """
+    WITH flagged AS (
+      SELECT p_partkey, p_size, p_retailprice,
+             min(p_retailprice) OVER (
+               ORDER BY p_size DESC
+               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS minp_gt,
+             min(p_retailprice) OVER (
+               ORDER BY p_size DESC
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS minp_ge
+      FROM part
+    )
+    SELECT p_partkey, p_size, p_retailprice
+    FROM flagged
+    WHERE NOT ((minp_gt IS NOT NULL AND minp_gt <= p_retailprice)
+               OR minp_ge < p_retailprice)
+    ORDER BY p_size DESC, p_partkey
+"""

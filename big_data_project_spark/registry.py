@@ -146,6 +146,8 @@ _PROMOTED = [
     "cdc_scd2_history",
     "mmr_diversified_topk",
     "embedding_pca_variance",
+    "part_skyline",
+    "event_path_trigrams",
     "proto_feed_entities",
     "ivf_kmeans_cells",
     "ann_ivf_kmeans_topk",

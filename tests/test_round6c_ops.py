@@ -472,3 +472,85 @@ def test_pca_variance_is_deterministic_across_runs(spark):
     a = [tuple(r) for r in embedding_pca_variance(spark, SF_DIR).collect()]
     b = [tuple(r) for r in embedding_pca_variance(spark, SF_DIR).collect()]
     assert sorted(a) == sorted(b)
+
+
+# --------------------------------------------------------------- skyline
+
+
+def test_skyline_matches_bruteforce_dominance(spark):
+    """The window-based skyline equals a brute-force O(n^2) dominance
+    check over the collected catalog."""
+    from big_data_project_spark.operators.commerce import part_skyline
+
+    parts = [
+        (r.p_partkey, r.p_size, r.p_retailprice)
+        for r in load_table(spark, SF_DIR, "part").collect()
+    ]
+    expect = set()
+    for k, s, p in parts:
+        dominated = any(
+            qs >= s and qp <= p and (qs > s or qp < p)
+            for _, qs, qp in parts
+        )
+        if not dominated:
+            expect.add(k)
+    got = {r.p_partkey for r in part_skyline(spark, SF_DIR).collect()}
+    assert got == expect
+    assert got  # never empty: the global min-price part always survives
+
+
+def test_skyline_is_mutually_nondominating(spark):
+    from big_data_project_spark.operators.commerce import part_skyline
+
+    rows = part_skyline(spark, SF_DIR).collect()
+    for a in rows:
+        for b in rows:
+            if a.p_partkey == b.p_partkey:
+                continue
+            dominates = (
+                b.p_size >= a.p_size
+                and b.p_retailprice <= a.p_retailprice
+                and (
+                    b.p_size > a.p_size
+                    or b.p_retailprice < a.p_retailprice
+                )
+            )
+            assert not dominates
+
+
+# ------------------------------------------------------------------ paths
+
+
+def test_path_trigrams_match_python_recount(spark):
+    from collections import Counter, defaultdict
+
+    from big_data_project_spark.operators.behavior import (
+        PATH_TOP_K,
+        event_path_trigrams,
+    )
+
+    ev = sorted(
+        load_table(spark, SF_DIR, "events").collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r.user_id].append(r.event_type)
+    counts: Counter = Counter()
+    users = defaultdict(set)
+    for u, seq in by_user.items():
+        for i in range(len(seq) - 2):
+            path = ">".join(seq[i : i + 3])
+            counts[path] += 1
+            users[path].add(u)
+    total = sum(counts.values())
+    expect = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[
+        :PATH_TOP_K
+    ]
+    out = event_path_trigrams(spark, SF_DIR).collect()
+    assert [(r.path, r.n) for r in out] == expect
+    for r in out:
+        assert r.n_users == len(users[r.path])
+        assert r.share == pytest.approx(
+            math.floor(r.n / total * 1e6 + 0.5) / 1e6, abs=1e-12
+        )

@@ -608,3 +608,226 @@ ORACLES["orders_yoy_growth"] = f"""
     LEFT JOIN yearly p ON p.order_year = y.order_year - 1
     ORDER BY y.order_year
 """
+
+
+def priority_returns_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence audit: are line-item returns independent
+    of order priority? Per (priority, returnflag) cell: observed count,
+    expected count under independence (row_total x col_total / n), and
+    the cell's chi-square contribution, plus the table-wide statistic
+    and degrees of freedom stamped on every row — the categorical
+    association test a warehouse runs before trusting a segmentation.
+
+    Scale: one fact-side join (orders dim broadcast by Catalyst's
+    size estimate), ONE corpus-scale aggregate to the contingency
+    table (|priorities| x |flags| rows); every margin and the statistic
+    derive from that tiny relation via windows.
+
+    Determinism: observed counts are exact integers, expected is a
+    pround(6) of exact integer arithmetic, contributions re-quantize at
+    6dp and the statistic is a decimal fold of those quantized cells."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    cells = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("l_returnflag").alias("returnflag"),
+        )
+        .agg(F.count(F.lit(1)).alias("observed"))
+    )
+    w_all = Window.partitionBy()
+    w_row = Window.partitionBy("priority")
+    w_col = Window.partitionBy("returnflag")
+    expected = pround(
+        F.sum("observed").over(w_row).cast("double")
+        * F.sum("observed").over(w_col)
+        / F.sum("observed").over(w_all),
+        6,
+    )
+    contrib = pround(
+        (F.col("observed") - F.col("expected"))
+        * (F.col("observed") - F.col("expected"))
+        / F.col("expected"),
+        6,
+    )
+    # Spark forbids DISTINCT window aggregates: dof comes from a 1-row
+    # aggregate broadcast back onto the (tiny) contingency relation
+    dims = cells.agg(
+        (
+            (F.count_distinct("priority") - 1)
+            * (F.count_distinct("returnflag") - 1)
+        )
+        .cast("int")
+        .alias("dof")
+    )
+    return (
+        cells.crossJoin(F.broadcast(dims))
+        .withColumn("expected", expected)
+        .withColumn("contrib", contrib)
+        .withColumn(
+            "chisq_total",
+            pround(
+                F.sum(F.col("contrib").cast("decimal(28,6)"))
+                .over(w_all)
+                .cast("double"),
+                4,
+            ),
+        )
+        .select(
+            "priority",
+            "returnflag",
+            "observed",
+            "expected",
+            "contrib",
+            "chisq_total",
+            "dof",
+        )
+        .orderBy("priority", "returnflag")
+    )
+
+
+QUERIES["priority_returns_chisq"] = priority_returns_chisq
+
+ORACLES["priority_returns_chisq"] = f"""
+    WITH cells AS (
+      SELECT o_orderpriority AS priority, l_returnflag AS returnflag,
+             count(*) AS observed
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2
+    ),
+    ex AS (
+      SELECT *,
+             {sql_pround(
+                 "(sum(observed) OVER (PARTITION BY priority))::DOUBLE"
+                 " * sum(observed) OVER (PARTITION BY returnflag)"
+                 " / sum(observed) OVER ()", 6)} AS expected,
+             ((count(DISTINCT priority) OVER ()) - 1)
+               * ((count(DISTINCT returnflag) OVER ()) - 1) AS dof_x
+      FROM cells
+    ),
+    ct AS (
+      SELECT *,
+             {sql_pround(
+                 "(observed - expected) * (observed - expected)"
+                 " / expected", 6)} AS contrib
+      FROM ex
+    )
+    SELECT priority, returnflag, observed, expected, contrib,
+           {sql_pround(
+               "(sum((contrib)::DECIMAL(28,6)) OVER ())::DOUBLE", 4
+           )} AS chisq_total,
+           dof_x::INT AS dof
+    FROM ct
+    ORDER BY priority, returnflag
+"""
+
+
+BENFORD_DIGITS = tuple(range(1, 10))
+
+
+def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of order totals: the observed first-digit
+    distribution of o_totalprice vs the Benford expectation
+    log10(1 + 1/d), with per-digit chi-square contributions — the
+    classic anomaly screen over financial columns (synthetic/uniform
+    amounts FAIL it loudly, which is itself the informative finding on
+    this corpus).
+
+    Scale: first digit is a map-side string op; ONE aggregate to 9
+    rows; everything downstream is constant-sized.
+
+    Determinism: expected shares are pround(6) constants folded into
+    the plan on both engines; observed shares and contributions are
+    6dp prounds of exact integer counts."""
+    import math as _math
+
+    orders = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.regexp_replace(
+            F.format_number(F.col("o_totalprice"), 6), "[^1-9]", ""
+        ),
+        1,
+        1,
+    ).cast("int")
+    counts = (
+        orders.select(digit.alias("digit"))
+        .filter(F.col("digit").isNotNull())
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_all = Window.partitionBy()
+    exp_share = F.create_map(
+        *[
+            x
+            for d in BENFORD_DIGITS
+            for x in (
+                F.lit(d),
+                F.lit(
+                    _math.floor(_math.log10(1.0 + 1.0 / d) * 1e6 + 0.5)
+                    / 1e6
+                ),
+            )
+        ]
+    )[F.col("digit")]
+    total = F.sum("n").over(w_all)
+    obs_share = pround(F.col("n") / total, 6)
+    contrib = pround(
+        (obs_share - F.col("exp_share"))
+        * (obs_share - F.col("exp_share"))
+        / F.col("exp_share")
+        * total,
+        4,
+    )
+    return (
+        counts.withColumn("exp_share", exp_share)
+        .withColumn("obs_share", obs_share)
+        .withColumn("contrib", contrib)
+        .select("digit", "n", "obs_share", "exp_share", "contrib")
+        .orderBy("digit")
+    )
+
+
+QUERIES["benford_price_audit"] = benford_price_audit
+
+
+def _benford_case() -> str:
+    import math as _math
+
+    whens = " ".join(
+        f"WHEN {d} THEN "
+        f"{_math.floor(_math.log10(1.0 + 1.0 / d) * 1e6 + 0.5) / 1e6}"
+        for d in BENFORD_DIGITS
+    )
+    # ::DOUBLE: DuckDB types the literal CASE as DECIMAL(7,6)
+    return f"(CASE digit {whens} END)::DOUBLE"
+
+
+ORACLES["benford_price_audit"] = f"""
+    WITH counts AS (
+      SELECT CAST(substr(regexp_replace(
+               format('{{:.6f}}', o_totalprice), '[^1-9]', '', 'g'
+             ), 1, 1) AS INT) AS digit,
+             count(*) AS n
+      FROM orders
+      GROUP BY 1
+      HAVING digit IS NOT NULL
+    ),
+    shares AS (
+      SELECT digit, n,
+             {sql_pround("n::DOUBLE / sum(n) OVER ()", 6)} AS obs_share,
+             {_benford_case()} AS exp_share,
+             CAST(sum(n) OVER () AS BIGINT) AS total
+      FROM counts
+    )
+    SELECT digit, n, obs_share, exp_share,
+           {sql_pround(
+               "(obs_share - exp_share) * (obs_share - exp_share)"
+               " / exp_share * total", 4)} AS contrib
+    FROM shares
+    ORDER BY digit
+"""

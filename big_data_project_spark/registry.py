@@ -148,6 +148,8 @@ _PROMOTED = [
     "embedding_pca_variance",
     "part_skyline",
     "event_path_trigrams",
+    "priority_returns_chisq",
+    "benford_price_audit",
     "proto_feed_entities",
     "ivf_kmeans_cells",
     "ann_ivf_kmeans_topk",

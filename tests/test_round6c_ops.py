@@ -554,3 +554,72 @@ def test_path_trigrams_match_python_recount(spark):
         assert r.share == pytest.approx(
             math.floor(r.n / total * 1e6 + 0.5) / 1e6, abs=1e-12
         )
+
+
+# -------------------------------------------------------------- chi-square
+
+
+def test_chisq_margins_and_statistic_reconcile(spark):
+    """Expected counts satisfy the independence identity (row x col / n),
+    contributions recompute from observed/expected, every row carries
+    the same total and dof, and dof = (r-1)(c-1)."""
+    from collections import defaultdict
+
+    from big_data_project_spark.operators.warehouse import (
+        priority_returns_chisq,
+    )
+
+    rows = priority_returns_chisq(spark, SF_DIR).collect()
+    n = sum(r.observed for r in rows)
+    row_tot = defaultdict(int)
+    col_tot = defaultdict(int)
+    for r in rows:
+        row_tot[r.priority] += r.observed
+        col_tot[r.returnflag] += r.observed
+    total_vals = {r.chisq_total for r in rows}
+    dof_vals = {r.dof for r in rows}
+    assert len(total_vals) == 1 and len(dof_vals) == 1
+    assert dof_vals.pop() == (len(row_tot) - 1) * (len(col_tot) - 1)
+    acc = 0.0
+    for r in rows:
+        exp = _q6(row_tot[r.priority] * col_tot[r.returnflag] / n)
+        assert r.expected == pytest.approx(exp, abs=2e-6)
+        contrib = _q6((r.observed - r.expected) ** 2 / r.expected)
+        assert r.contrib == pytest.approx(contrib, abs=2e-6)
+        acc += r.contrib
+    assert total_vals.pop() == pytest.approx(acc, abs=1e-3)
+
+
+# ------------------------------------------------------------------ benford
+
+
+def test_benford_audit_shares_and_digits(spark):
+    import math as m
+
+    from big_data_project_spark.operators.warehouse import (
+        benford_price_audit,
+    )
+
+    rows = sorted(benford_price_audit(spark, SF_DIR).collect(),
+                  key=lambda r: r.digit)
+    assert [r.digit for r in rows] == list(range(1, 10))
+    assert abs(sum(r.obs_share for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        expect = m.floor(m.log10(1.0 + 1.0 / r.digit) * 1e6 + 0.5) / 1e6
+        assert r.exp_share == expect
+        assert r.contrib >= 0
+    # sanity vs raw data: digit histogram matches a python recount
+    prices = [
+        x.o_totalprice
+        for x in load_table(spark, SF_DIR, "orders").collect()
+    ]
+    from collections import Counter
+
+    pc: Counter = Counter()
+    for p in prices:
+        s = f"{p:.6f}"
+        first = next((ch for ch in s if ch in "123456789"), None)
+        if first:
+            pc[int(first)] += 1
+    for r in rows:
+        assert r.n == pc[r.digit]

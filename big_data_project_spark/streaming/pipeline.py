@@ -1122,3 +1122,69 @@ def trending_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("win.start").alias("hour_ts"), "event_type", "n_events"
     )
     return rank_trending(counts)
+
+
+_PATHS_OUT = StructType(
+    [
+        StructField("path", StringType()),
+        StructField("n", LongType()),
+    ]
+)
+
+# last TWO events seen per user — the trigram twin needs one more slot
+# than the transition twin's single pair; still O(1) state per user
+_PATHS_STATE = StructType(
+    [
+        StructField("prev2_type", StringType()),
+        StructField("prev1_type", StringType()),
+    ]
+)
+
+
+def _paths_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user 3-step path emitter: applies the batch's events in
+    event-time order (event_id tie-break), emitting pre-aggregated
+    (path, n) rows per batch; the state is the user's last TWO event
+    types so triples spanning a batch boundary are counted. Same
+    cross-batch ordering caveat as _transition_fn (event-time-ordered
+    feeds, which a watermarked source delivers)."""
+    del key
+    prev2, prev1 = state.get if state.exists else (None, None)
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    if not pdf.empty:
+        pdf = pdf.sort_values(["ts", "event_id"])
+    counts: dict[str, int] = {}
+    for et in pdf["event_type"]:
+        if prev2 is not None and prev1 is not None:
+            path = f"{prev2}>{prev1}>{et}"
+            counts[path] = counts.get(path, 0) + 1
+        prev2, prev1 = prev1, et
+    state.update((prev2, prev1))
+    if counts:
+        yield pd.DataFrame(
+            sorted(counts.items()), columns=["path", "n"]
+        )
+
+
+def stream_path_trigrams(sdf: DataFrame) -> DataFrame:
+    """Streaming twin of operators/behavior.py::event_path_trigrams
+    (counts only — rank/share are a trivial batch view over the served
+    counts, the counts-in-stream / ORDER-BY-in-serving split every
+    top-k twin here makes): emits per-batch pre-aggregated 3-step path
+    counts; summing n per path downstream reproduces the batch triple
+    counts. State is the last two event types per user — O(1)."""
+    return sdf.groupBy("user_id").applyInPandasWithState(
+        _paths_fn,
+        outputStructType=_PATHS_OUT,
+        stateStructType=_PATHS_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_path_trigrams_from_dir(
+    spark: SparkSession, events_dir: str
+) -> DataFrame:
+    return stream_path_trigrams(events_source(spark, events_dir))

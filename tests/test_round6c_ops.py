@@ -623,3 +623,77 @@ def test_benford_audit_shares_and_digits(spark):
             pc[int(first)] += 1
     for r in rows:
         assert r.n == pc[r.digit]
+
+
+# ------------------------------------------------------------ stream paths
+
+
+def test_stream_path_trigrams_equal_batch(spark, tmp_path):
+    """Draining the events table through the stateful trigram emitter
+    and summing counts per path reproduces the batch triple counts
+    (event_path_trigrams without the top-K cut)."""
+    from collections import Counter, defaultdict
+
+    from big_data_project_spark.streaming import pipeline
+
+    sf = "/root/testdata/sf0.001"
+    src = str(tmp_path / "paths_src")
+    load_table(spark, sf, "events").write.parquet(src)
+    out = pipeline.run_available_now(
+        pipeline.stream_path_trigrams_from_dir(spark, src),
+        "paths_out",
+        output_mode="append",
+    ).collect()
+    streamed: Counter = Counter()
+    for r in out:
+        streamed[r["path"]] += r["n"]
+    ev = sorted(
+        load_table(spark, sf, "events").collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r.user_id].append(r.event_type)
+    batch: Counter = Counter()
+    for seq in by_user.values():
+        for i in range(len(seq) - 2):
+            batch[">".join(seq[i : i + 3])] += 1
+    assert streamed == batch
+
+
+def test_stream_path_trigrams_state_spans_batches():
+    """A triple whose three events arrive in three different batches is
+    still counted — the two-slot state seeds each next batch."""
+    import pandas as pd
+
+    from big_data_project_spark.streaming.pipeline import _paths_fn
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    def batch(rows):
+        pdf = pd.DataFrame(rows, columns=["event_id", "ts", "event_type"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        return pdf
+
+    st = FakeState()
+    out1 = list(_paths_fn(
+        (7,), iter([batch([(1, "2026-01-01 09:00:00", "view")])]), st))
+    out2 = list(_paths_fn(
+        (7,), iter([batch([(2, "2026-01-01 09:05:00", "click")])]), st))
+    out3 = list(_paths_fn(
+        (7,), iter([batch([(3, "2026-01-01 09:10:00", "purchase")])]), st))
+    assert not out1 and not out2
+    assert len(out3) == 1
+    got = dict(zip(out3[0]["path"], out3[0]["n"]))
+    assert got == {"view>click>purchase": 1}

@@ -532,10 +532,16 @@ def part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     p survives iff NOT (minp_gt <= price)  -- dominated via bigger size
           and NOT (minp_ge <  price)       -- dominated via cheaper tie
 
-    ONE sort-shuffle total, O(n log n) — at corpus scale the sort
-    range-partitions by size and the running minima compose across
-    partitions (each partition needs only the min of its size-greater
-    partitions, a partitions-sized broadcast).
+    The EXACT form here is the hash-checkable contract and — like every
+    unpartitioned-window key in this repo (curriculum/ccnet ntiles,
+    ABC ranking) — executes its global frame as ONE sorted task
+    (Spark's WindowExec single-partition move; fine for a catalog-
+    sized dimension, which `part` is). The corpus-scale swap keeps the
+    same algebra without the single task: repartitionByRange on size,
+    per-partition running minima, then compose each partition with the
+    (partitions-sized, broadcast) minima of all size-greater
+    partitions — min is associative, so the result is identical. Never
+    the naive O(n²) NOT-EXISTS self-join either way.
 
     Determinism: exact integer/double comparisons only — no rounding
     anywhere, so the oracle (same two window minima) is bit-exact."""

@@ -655,18 +655,17 @@ def priority_returns_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.col("expected"),
         6,
     )
-    # Spark forbids DISTINCT window aggregates: dof comes from a 1-row
-    # aggregate broadcast back onto the (tiny) contingency relation
-    dims = cells.agg(
-        (
-            (F.count_distinct("priority") - 1)
-            * (F.count_distinct("returnflag") - 1)
-        )
-        .cast("int")
-        .alias("dof")
-    )
+    # Spark forbids DISTINCT window aggregates, but collect_set IS a
+    # window function — dof derives from the tiny contingency relation
+    # itself (a separate .agg() branch re-executed the fact-scale
+    # scan+join: Catalyst rewrites count_distinct into an Expand plan
+    # whose exchange cannot be reused)
+    dof = (
+        (F.size(F.collect_set("priority").over(w_all)) - 1)
+        * (F.size(F.collect_set("returnflag").over(w_all)) - 1)
+    ).cast("int")
     return (
-        cells.crossJoin(F.broadcast(dims))
+        cells.withColumn("dof", dof)
         .withColumn("expected", expected)
         .withColumn("contrib", contrib)
         .withColumn(
@@ -729,6 +728,15 @@ ORACLES["priority_returns_chisq"] = f"""
 
 BENFORD_DIGITS = tuple(range(1, 10))
 
+# 6dp-floor-quantized Benford expectations, shared by the Spark plan,
+# the DuckDB oracle, and the tests — ONE place to change the precision.
+import math as _math  # noqa: E402
+
+BENFORD_SHARES = {
+    d: _math.floor(_math.log10(1.0 + 1.0 / d) * 1e6 + 0.5) / 1e6
+    for d in BENFORD_DIGITS
+}
+
 
 def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford's-law audit of order totals: the observed first-digit
@@ -744,8 +752,6 @@ def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: expected shares are pround(6) constants folded into
     the plan on both engines; observed shares and contributions are
     6dp prounds of exact integer counts."""
-    import math as _math
-
     orders = load_table(spark, sf_dir, "orders")
     digit = F.substring(
         F.regexp_replace(
@@ -765,13 +771,7 @@ def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[
             x
             for d in BENFORD_DIGITS
-            for x in (
-                F.lit(d),
-                F.lit(
-                    _math.floor(_math.log10(1.0 + 1.0 / d) * 1e6 + 0.5)
-                    / 1e6
-                ),
-            )
+            for x in (F.lit(d), F.lit(BENFORD_SHARES[d]))
         ]
     )[F.col("digit")]
     total = F.sum("n").over(w_all)

@@ -594,9 +594,8 @@ def test_chisq_margins_and_statistic_reconcile(spark):
 
 
 def test_benford_audit_shares_and_digits(spark):
-    import math as m
-
     from big_data_project_spark.operators.warehouse import (
+        BENFORD_SHARES,
         benford_price_audit,
     )
 
@@ -605,8 +604,7 @@ def test_benford_audit_shares_and_digits(spark):
     assert [r.digit for r in rows] == list(range(1, 10))
     assert abs(sum(r.obs_share for r in rows) - 1.0) < 1e-4
     for r in rows:
-        expect = m.floor(m.log10(1.0 + 1.0 / r.digit) * 1e6 + 0.5) / 1e6
-        assert r.exp_share == expect
+        assert r.exp_share == BENFORD_SHARES[r.digit]
         assert r.contrib >= 0
     # sanity vs raw data: digit histogram matches a python recount
     prices = [

@@ -525,7 +525,7 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
         _l2(F.col("qe")) * _l2(F.col("ce"))
     )
     w = Window.partitionBy("query_id").orderBy(
-        F.round(F.col("cos"), 9).desc(), F.col("match_id").asc()
+        pround(F.col("cos"), 9).desc(), F.col("match_id").asc()
     )
     nn = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("match_id"))
@@ -567,9 +567,10 @@ ORACLES["knn_label_vote"] = f"""
                c.label AS m_label,
                row_number() OVER (
                  PARTITION BY q.vec_id
-                 ORDER BY round(list_dot_product(q.e, c.e)
-                   / (sqrt(list_dot_product(q.e, q.e))
-                      * sqrt(list_dot_product(c.e, c.e))), 9) DESC,
+                 ORDER BY {sql_pround(
+                     "list_dot_product(q.e, c.e)"
+                     " / (sqrt(list_dot_product(q.e, q.e))"
+                     " * sqrt(list_dot_product(c.e, c.e)))", 9)} DESC,
                    c.vec_id ASC
                ) AS rank
         FROM v q JOIN v c ON q.vec_id < {KNN_N_EVAL}

@@ -528,3 +528,189 @@ ORACLES["bpe_merge_pairs"] = f"""
     WHERE merge_rank <= {BPE_TOP_MERGES}
     ORDER BY merge_rank
 """
+
+
+# --- multi-round BPE vocabulary induction (round-6 verdict item 5) --------
+
+BPE_ROUNDS = 5  # unrolled merge->re-segment rounds
+
+
+def bpe_vocab_k_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE_ROUNDS rounds of byte-pair-encoding induction (Sennrich et
+    al. 2016, arXiv:1508.07909) — the full trainer inner loop, not just
+    round 1 (`bpe_merge_pairs`): each round counts adjacent SYMBOL
+    pairs over the word-frequency vocabulary, merges the single winning
+    pair everywhere (greedy left-to-right, the reference algorithm's
+    rule), and re-segments for the next round. Output: one row per
+    round — the merge learned, its pair count at selection time, and
+    the total corpus token count after applying it (the fertility
+    curve a tokenizer-budget decision is read from).
+
+    Representation: a word's segmentation is its symbols joined by
+    single spaces with leading/trailing spaces (" l o w "); symbols
+    never contain spaces, so merging pair "a b" is the literal
+    replacement of " a b " with " ab ". One replace() pass is greedy
+    left-to-right but non-overlapping occurrences share their
+    delimiter space ("a b a b" matches once); a SECOND identical
+    replace() catches exactly the occurrences the first pass skipped,
+    and two passes are always sufficient (misses are never adjacent —
+    each sits next to a symbol merged in pass one). This makes the
+    whole K-round algorithm expressible as chained projections on BOTH
+    engines, so the oracle hash-checks every round.
+
+    Scale: the corpus is touched ONCE (the word-frequency aggregate —
+    the same vocab-not-corpus shape as bpe_merge_pairs); each round
+    then runs explode + aggregate + a 1-row argmax + a broadcast
+    crossJoin over the VOCABULARY relation only. Round results are
+    persisted so round r+1 never recomputes rounds 1..r.
+
+    Determinism: exact integer pair counts, winner total-ordered by
+    (count DESC, pair ASC), literal (non-regex) replaces."""
+    from ..catalog import load_table_spread
+    from .dedup import _persisted
+
+    docs = load_table_spread(spark, sf_dir, "documents", "doc_id")
+    vocab = _persisted(
+        docs.select(F.explode(_toks(F.col("text"))).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            "freq",
+            F.concat(
+                F.lit(" "), F.regexp_replace(F.col("w"), "(.)", "$1 ")
+            ).alias("seq"),
+        )
+    )
+    rows = []
+    for r in range(1, BPE_ROUNDS + 1):
+        syms = F.split(F.trim(F.col("seq")), " ")
+        sz = F.size(syms)
+        pairs = vocab.select(
+            "freq",
+            F.explode(
+                F.zip_with(
+                    F.slice(syms, F.lit(1), sz - 1),
+                    F.slice(syms, F.lit(2), sz - 1),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                )
+            ).alias("pair"),
+        )
+        # Argmax as ONE reduce (min over (-n, pair) struct order ==
+        # count DESC, pair ASC) — a whole-relation row_number window
+        # here would sort the pair vocabulary in a single task per
+        # round.
+        winner = _persisted(
+            pairs.groupBy("pair")
+            .agg(F.sum("freq").cast("bigint").alias("n"))
+            .agg(
+                F.min_by(
+                    F.struct("pair", "n"),
+                    F.struct(
+                        (-F.col("n")).alias("negn"),
+                        F.col("pair").alias("p"),
+                    ),
+                ).alias("w")
+            )
+            .select(F.col("w.pair").alias("pair"), F.col("w.n").alias("n"))
+        )
+        pat = F.concat(F.lit(" "), F.col("pair"), F.lit(" "))
+        rep = F.concat(
+            F.lit(" "),
+            F.replace(F.col("pair"), F.lit(" "), F.lit("")),
+            F.lit(" "),
+        )
+        vocab = _persisted(
+            vocab.crossJoin(F.broadcast(winner)).select(
+                "freq",
+                F.replace(
+                    F.replace(F.col("seq"), pat, rep), pat, rep
+                ).alias("seq"),
+            )
+        )
+        n_spaces = F.length("seq") - F.length(
+            F.replace(F.col("seq"), F.lit(" "), F.lit(""))
+        )
+        toks = vocab.agg(
+            F.sum(F.col("freq") * (n_spaces - 1))
+            .cast("bigint")
+            .alias("vocab_tokens")
+        )
+        rows.append(
+            winner.crossJoin(toks).select(
+                F.lit(r).alias("round"),
+                "pair",
+                F.replace(F.col("pair"), F.lit(" "), F.lit("")).alias(
+                    "merged"
+                ),
+                F.col("n").alias("pair_count"),
+                "vocab_tokens",
+            )
+        )
+    out = rows[0]
+    for more in rows[1:]:
+        out = out.unionByName(more)
+    return out.orderBy("round")
+
+
+QUERIES["bpe_vocab_k_rounds"] = bpe_vocab_k_rounds
+
+
+def _bpe_round_ctes(n_rounds: int) -> str:
+    """Chained CTEs replaying the identical K rounds in DuckDB (the
+    event_pagerank unroll pattern)."""
+    ctes = []
+    for r in range(1, n_rounds + 1):
+        prev = "v0" if r == 1 else f"v{r - 1}"
+        ctes.append(
+            f"""
+    p{r} AS (
+      SELECT s[i] || ' ' || s[i + 1] AS pair, freq
+      FROM (
+        SELECT freq, s, unnest(range(1, len(s))) AS i
+        FROM (
+          SELECT freq, string_split(trim(seq), ' ') AS s FROM {prev}
+        ) q
+      ) t
+    ),
+    w{r} AS (
+      SELECT pair, CAST(sum(freq) AS BIGINT) AS n
+      FROM p{r} GROUP BY pair
+      ORDER BY n DESC, pair ASC LIMIT 1
+    ),
+    v{r} AS (
+      SELECT freq,
+             replace(replace(seq,
+                 ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' '),
+                 ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' ')
+               AS seq
+      FROM {prev}, w{r}
+    ),
+    r{r} AS (
+      SELECT {r} AS round, pair, replace(pair, ' ', '') AS merged,
+             n AS pair_count,
+             (SELECT CAST(sum(freq * (length(seq)
+                 - length(replace(seq, ' ', '')) - 1)) AS BIGINT)
+              FROM v{r}) AS vocab_tokens
+      FROM w{r}
+    )"""
+        )
+    return ",".join(ctes)
+
+
+ORACLES["bpe_vocab_k_rounds"] = f"""
+    WITH words AS (
+      SELECT w, count(*) AS freq
+      FROM (SELECT unnest({_SQL_TOKS}) AS w FROM documents) t
+      WHERE length(w) >= 2 GROUP BY w
+    ),
+    v0 AS (
+      SELECT freq,
+             ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS seq
+      FROM words
+    ),{_bpe_round_ctes(BPE_ROUNDS)}
+    SELECT * FROM (
+      {" UNION ALL ".join(f"SELECT * FROM r{r}"
+                          for r in range(1, BPE_ROUNDS + 1))}
+    ) u ORDER BY round
+"""

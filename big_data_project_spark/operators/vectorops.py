@@ -33,7 +33,13 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.portable import dsum_exact, pround, sql_pround
+from ..functions.portable import (
+    davg,
+    dsum_exact,
+    pround,
+    sql_davg,
+    sql_pround,
+)
 
 QBITS_MAX = 127  # symmetric int8: q in [-127, 127]
 _EPS = 1e-12  # zero-vector guard: scale never divides by zero
@@ -486,3 +492,74 @@ def embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["embedding_pca_variance"] = embedding_pca_variance
+
+
+def pca_gram_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean / second-moment / variance table — the
+    SQL-expressible invariant slice of the PCA audit (round-6 verdict
+    item 4). `embedding_pca_variance` is rows-only by nature (an
+    eigendecomposition is not ANSI SQL), but the matrix it
+    eigendecomposes satisfies exact relations this key puts under the
+    driver's full hash gate: the eigenvalue sum equals the covariance
+    trace, which equals the sum of this table's `variance` column
+    (asserted in tests) — so a wrong distributed Gram/mean pass now
+    fails an ORACLE-BACKED key instead of hiding behind a rows-only
+    row.
+
+    Scale: diagonal-only work — one posexplode aggregate over the
+    corpus (the same single-shuffle shape as embedding_dim_stats), no
+    d x d fan-out, output d rows.
+
+    Determinism: per-row x*x quantized to exact 1e-6 integer units
+    before the int64 sum (embedding_gram_matrix's rule, i = j slice);
+    means via exact decimal folds; one closed-form subtraction, rounded
+    6 dp on both engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim0", "x"
+        )
+    )
+    scale = float(GRAM_SCALE)
+    per_dim = dims.groupBy("dim0").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        davg(F.col("x"), 6).alias("mean"),
+        F.sum(
+            F.floor(F.col("x") * F.col("x") * scale + F.lit(0.5)).cast(
+                "long"
+            )
+        ).alias("u2"),
+    )
+    second = F.col("u2") / F.lit(scale) / F.col("n_vecs")
+    return per_dim.select(
+        (F.col("dim0") + 1).cast("int").alias("dim"),
+        "n_vecs",
+        "mean",
+        pround(second, 6).alias("second_moment"),
+        pround(second - F.col("mean") * F.col("mean"), 6).alias(
+            "variance"
+        ),
+    ).orderBy("dim")
+
+
+QUERIES["pca_gram_invariants"] = pca_gram_invariants
+
+ORACLES["pca_gram_invariants"] = f"""
+    WITH x AS (
+      SELECT dim, embedding[dim]::DOUBLE AS x
+      FROM embeddings, generate_series(1, {GRAM_DIM}) g(dim)
+    ),
+    a AS (
+      SELECT dim, count(*) AS n_vecs,
+             {sql_davg('x', 6)} AS mean,
+             sum((floor(x * x * {GRAM_SCALE} + 0.5))::BIGINT) AS u2
+      FROM x GROUP BY dim
+    )
+    SELECT dim::INT AS dim, n_vecs, mean,
+           {sql_pround(f'u2::DOUBLE / {GRAM_SCALE} / n_vecs', 6)}
+             AS second_moment,
+           {sql_pround(
+               f'u2::DOUBLE / {GRAM_SCALE} / n_vecs - mean * mean', 6
+           )} AS variance
+    FROM a ORDER BY dim
+"""

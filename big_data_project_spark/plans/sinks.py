@@ -65,6 +65,118 @@ def _conf(spark: SparkSession, key: str, value: str):
             spark.conf.set(key, prior)
 
 
+# Staging-completeness markers (zero-byte files written AFTER a staging
+# write finishes): recovery can tell a complete staged table apart from
+# a half-written one. Two names because the two staging layouts need
+# different repairs: a swap stage is renamed in whole, a partition stage
+# is replayed through dynamic partition overwrite.
+_SWAP_MARK = "_STAGED_SWAP_OK"
+_PART_MARK = "_STAGED_PART_OK"
+
+
+def _touch(spark: SparkSession, path: str) -> None:
+    fs, hpath = _hadoop_path(spark, path)
+    fs.create(hpath, True).close()
+
+
+def _fs_exists(spark: SparkSession, path: str) -> bool:
+    fs, hpath = _hadoop_path(spark, path)
+    return fs.exists(hpath)
+
+
+def recover_staging(spark: SparkSession, target_path: str) -> str | None:
+    """Detect and repair an interrupted sink write at ``target_path``
+    (round-6 advice: a crash mid-swap used to leave the only complete
+    copy in an orphaned ``.staging`` directory with no recovery path).
+    Called automatically at the head of every sink write AND every
+    table read helper, so the table self-heals on the next touch.
+
+    Returns a short action string for the caller's audit log (or None
+    when there was nothing to repair). All states are crash states of
+    :func:`stage_swap_parquet` / :func:`upsert_parquet`; every repair
+    either completes the interrupted commit (the staged data is a
+    complete merged table, and upserts are idempotent) or discards an
+    incomplete stage — never both copies.
+    """
+    tmp = target_path.rstrip("/") + ".staging"
+    aside = target_path.rstrip("/") + ".old"
+    fs, target = _hadoop_path(spark, target_path)
+    _, tmp_p = _hadoop_path(spark, tmp)
+    _, aside_p = _hadoop_path(spark, aside)
+    has_tmp = fs.exists(tmp_p)
+    has_aside = fs.exists(aside_p)
+    if not has_tmp and not has_aside:
+        return None
+    swap_ok = has_tmp and _fs_exists(spark, tmp + "/" + _SWAP_MARK)
+    part_ok = has_tmp and _fs_exists(spark, tmp + "/" + _PART_MARK)
+    if swap_ok:
+        # Complete the interrupted swap: the stage is the full merged
+        # table. Make sure the old copy is out of the way first.
+        if fs.exists(target):
+            _rm_recursive(spark, aside)
+            if not fs.rename(target, aside_p):
+                raise IOError(
+                    f"recover_staging: cannot set aside {target_path!r}"
+                )
+        if not fs.rename(tmp_p, target):
+            raise IOError(
+                f"recover_staging: swap-in failed for {target_path!r}; "
+                f"complete staged copy remains at {tmp!r}"
+            )
+        _rm_recursive(spark, aside)
+        _rm_recursive(spark, target_path.rstrip("/") + "/" + _SWAP_MARK)
+        return "completed_swap"
+    if part_ok:
+        # Replay the interrupted dynamic partition overwrite from the
+        # complete stage (idempotent: the stage holds the fully-merged
+        # touched partitions). Partition-type inference off — same
+        # round-trip contract as compact_parquet.
+        with _conf(
+            spark,
+            "spark.sql.sources.partitionColumnTypeInference.enabled",
+            "false",
+        ):
+            staged = spark.read.parquet(tmp)
+            staged.schema
+        part_cols = [
+            st.getPath().getName().split("=", 1)[0]
+            for st in fs.listStatus(tmp_p)
+            if st.isDirectory() and "=" in st.getPath().getName()
+        ][:1]
+        if not part_cols:
+            _rm_recursive(spark, tmp)
+            return "dropped_empty_partition_stage"
+        with _conf(
+            spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        ):
+            staged.write.mode("overwrite").partitionBy(
+                part_cols[0]
+            ).parquet(target_path)
+        _rm_recursive(spark, tmp)
+        return "replayed_partition_overwrite"
+    repaired = None
+    if has_aside:
+        if fs.exists(target):
+            # Crash between swap-in and the final aside cleanup.
+            _rm_recursive(spark, aside)
+            repaired = "dropped_stale_aside"
+        else:
+            # Crash between set-aside and swap-in with no complete
+            # stage: the aside copy IS the table — restore it.
+            if not fs.rename(aside_p, target):
+                raise IOError(
+                    f"recover_staging: cannot restore {target_path!r} "
+                    f"from {aside!r}"
+                )
+            repaired = "restored_from_aside"
+    if has_tmp:
+        # No completeness marker: the staging write itself died — the
+        # stage is partial and the live table was never touched.
+        _rm_recursive(spark, tmp)
+        repaired = repaired or "dropped_incomplete_stage"
+    return repaired
+
+
 def _read_or_none(
     spark: SparkSession, path: str, merge_schema: bool = False
 ) -> DataFrame | None:
@@ -72,6 +184,7 @@ def _read_or_none(
     # Hadoop-compatible filesystem (s3a://, hdfs://), where a local
     # stat would silently report "absent" and turn the merge into an
     # overwrite.
+    recover_staging(spark, path)
     try:
         reader = spark.read
         if merge_schema:
@@ -92,6 +205,7 @@ def read_upsert_table(spark: SparkSession, path: str) -> DataFrame:
     run: untouched partitions keep their original (narrower) files, so
     a plain read would resolve one file's schema and silently drop the
     evolved columns for every row."""
+    recover_staging(spark, path)
     return spark.read.option("mergeSchema", "true").parquet(path)
 
 
@@ -129,14 +243,52 @@ def stage_swap_parquet(
     """Materialize ``df`` OVER the table it reads from: write to a
     sibling ``.staging`` directory first (the plan reads the same files
     it replaces — a direct overwrite would consume its own deletions),
-    then rewrite the target from the staged copy and remove the stage.
-    The single swap point shared by every full-rewrite sink (keyed
-    upsert, CDC merge, tombstone TTL) so durability hardening lands
-    once."""
-    tmp = target_path + ".staging"
-    df.write.mode("overwrite").parquet(tmp)
-    spark.read.parquet(tmp).write.mode("overwrite").parquet(target_path)
+    then swap the staged copy in by CHECKED renames (metadata ops), not
+    a second data rewrite. The single swap point shared by every
+    full-rewrite sink (keyed upsert, CDC merge, tombstone TTL) so
+    durability hardening lands once.
+
+    Crash contract: a ``_STAGED_SWAP_OK`` marker is written only after
+    the stage is complete, and every state an interruption can leave
+    behind is repaired by :func:`recover_staging` (invoked here and by
+    every read helper) — either the commit completes from the staged
+    copy or the incomplete stage is discarded; the data always survives
+    at exactly one of target / ``.old`` / ``.staging``. Concurrent
+    readers of ``target_path`` during the swap can observe a
+    missing-path error for the duration of two renames (loud, never
+    partial data); for snapshot-isolated readers use
+    :func:`upsert_snapshot` / :func:`read_snapshot`."""
+    recover_staging(spark, target_path)
+    tmp = target_path.rstrip("/") + ".staging"
+    aside = target_path.rstrip("/") + ".old"
     _rm_recursive(spark, tmp)
+    df.write.mode("overwrite").parquet(tmp)
+    _touch(spark, tmp + "/" + _SWAP_MARK)
+    fs, target = _hadoop_path(spark, target_path)
+    _, tmp_p = _hadoop_path(spark, tmp)
+    _, aside_p = _hadoop_path(spark, aside)
+    if fs.exists(target):
+        _rm_recursive(spark, aside)
+        if not fs.rename(target, aside_p):
+            _rm_recursive(spark, tmp)
+            raise IOError(
+                f"stage_swap_parquet: cannot set aside {target_path!r}"
+            )
+    if not fs.rename(tmp_p, target):
+        restored = fs.exists(aside_p) and fs.rename(aside_p, target)
+        raise IOError(
+            f"stage_swap_parquet: swap-in failed for {target_path!r}"
+            + (
+                "; original restored"
+                if restored
+                else f"; complete staged copy is at {tmp!r}"
+            )
+        )
+    _rm_recursive(spark, aside)
+    # The marker file starts with "_" so parquet readers ignore it; no
+    # need to delete it from the now-live directory, but drop it anyway
+    # so the live table never looks like a stage to recovery.
+    _rm_recursive(spark, target_path.rstrip("/") + "/" + _SWAP_MARK)
     return spark.read.parquet(target_path)
 
 
@@ -244,8 +396,13 @@ def upsert_parquet(
     # Stage only the touched partitions (O(delta) bytes), then swap them
     # in atomically-per-partition with dynamic overwrite: partitions not
     # present in the staged frame are left untouched on disk.
-    tmp = target_path + ".staging"
+    tmp = target_path.rstrip("/") + ".staging"
     merged.write.mode("overwrite").partitionBy(partition_col).parquet(tmp)
+    # Completeness marker: from here recovery can REPLAY the dynamic
+    # overwrite from the stage if the commit below is interrupted
+    # (idempotent — the stage holds the fully-merged touched
+    # partitions), instead of leaving a half-overwritten partition.
+    _touch(spark, tmp + "/" + _PART_MARK)
     # Partition-column type is INFERRED from directory names on read; a
     # staging dir holding only __HIVE_DEFAULT_PARTITION__ (all-NULL
     # delta) infers VOID, which cannot be written back — restore the
@@ -493,6 +650,105 @@ def compact_parquet(
         "files_after": files_after,
         "bytes": total_bytes,
     }
+
+
+# --- snapshot-isolated versioned table (manifest-free pointer) -------------
+#
+# The swap sinks above keep the PLAIN-parquet contract (the table IS the
+# directory), which leaves concurrent readers a loud missing-path window
+# during the rename pair. Where readers must never observe ANY window —
+# the reference gets this from Postgres MVCC for free (ingestor.py ON
+# CONFLICT inside a transaction) — the table becomes a directory of
+# immutable snapshot versions and "commit" is the creation of ONE
+# zero-byte marker file (atomic on every Hadoop filesystem, no
+# rename-onto-existing semantics to reason about). Readers resolve the
+# newest COMMITTED version and bind to its concrete directory: they see
+# the previous snapshot or the new one, complete either way.
+#
+# Single-writer contract (like the reference's one ingestion service):
+# version numbers are allocated by listing, so two concurrent writers
+# could race for the same number — serialize writers per table.
+
+_SNAP_PREFIX = "v-"
+_COMMIT_MARK = "_COMMITTED"
+
+
+def snapshot_versions(spark: SparkSession, root: str) -> list[tuple[int, str]]:
+    """Committed (version, dirname) pairs under ``root``, ascending.
+    Uncommitted directories (crashed writers) are invisible."""
+    fs, rootp = _hadoop_path(spark, root)
+    if not fs.exists(rootp):
+        return []
+    out = []
+    for st in fs.listStatus(rootp):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith(_SNAP_PREFIX):
+            try:
+                v = int(name[len(_SNAP_PREFIX):])
+            except ValueError:
+                continue
+            if _fs_exists(spark, f"{root.rstrip('/')}/{name}/{_COMMIT_MARK}"):
+                out.append((v, name))
+    return sorted(out)
+
+
+def write_snapshot(
+    spark: SparkSession, df: DataFrame, root: str, keep: int = 2
+) -> str:
+    """Write ``df`` as the next immutable snapshot of the table at
+    ``root`` and commit it atomically (marker-file create). Returns the
+    snapshot directory path.
+
+    Retention: all but the newest ``keep`` committed snapshots are
+    pruned after the commit. ``keep >= 2`` guarantees a reader that
+    resolved the previous newest snapshot keeps its files through one
+    subsequent commit; a reader can lag at most ``keep - 1`` commits
+    before its bound directory is pruned (then its scan fails loudly —
+    re-resolve and retry)."""
+    committed = snapshot_versions(spark, root)
+    nxt = committed[-1][0] + 1 if committed else 1
+    sdir = f"{root.rstrip('/')}/{_SNAP_PREFIX}{nxt:08d}"
+    _rm_recursive(spark, sdir)  # debris from a crashed writer, never committed
+    df.write.mode("overwrite").parquet(sdir)
+    _touch(spark, sdir + "/" + _COMMIT_MARK)  # THE commit point
+    if keep >= 1:
+        for _v, name in snapshot_versions(spark, root)[:-keep]:
+            _rm_recursive(spark, f"{root.rstrip('/')}/{name}")
+    return sdir
+
+
+def read_snapshot(spark: SparkSession, root: str) -> DataFrame:
+    """Bind to the newest committed snapshot of the table at ``root``.
+    The returned DataFrame reads a concrete immutable directory: later
+    commits never change (or half-change) what this plan scans."""
+    committed = snapshot_versions(spark, root)
+    if not committed:
+        raise FileNotFoundError(f"no committed snapshot under {root!r}")
+    return spark.read.parquet(f"{root.rstrip('/')}/{committed[-1][1]}")
+
+
+def upsert_snapshot(
+    spark: SparkSession,
+    root: str,
+    delta: DataFrame,
+    keys: list[str],
+    version_col: str,
+    keep: int = 2,
+) -> DataFrame:
+    """Keyed last-writer-wins upsert with snapshot isolation: merge
+    ``delta`` into the newest committed snapshot and commit the result
+    as a new version. Same merge semantics as :func:`upsert_parquet`;
+    readers (:func:`read_snapshot`) never observe a partial table or a
+    missing-path window."""
+    committed = snapshot_versions(spark, root)
+    current = (
+        spark.read.parquet(f"{root.rstrip('/')}/{committed[-1][1]}")
+        if committed
+        else None
+    )
+    merged = _merge(current, delta, keys, version_col)
+    write_snapshot(spark, merged, root, keep=keep)
+    return read_snapshot(spark, root)
 
 
 _Z_BITS = 12  # per-dimension grid bits (4096 buckets per dimension)

@@ -122,70 +122,24 @@ for _mod in _MODULES:
 
 # Key-level promotion: the driver's correctness walk covers ~50 keys
 # per round (wall-time budgeted) in registration order, so this list
-# IS the evidence rotation. Round 6 (round-5 verdict items 1-2): FIRST
-# the new round-6 keys (first-round keys MUST get a driver row — 22 by
-# session end), THEN the six round-5 late-batch keys that have never
-# had a driver row, THEN the 32-key cohort whose newest driver row is
-# still CORRECTNESS_r01 (suggestions/validation/geo/tpch/tpch_ext).
-# 22+6+32 = 60 OVERFLOWS a 50-key window: the r01-stale tail
-# (~q14_promo_revenue onward) rolls to the round-7 rotation — never-
-# evidenced keys outrank stale-but-green union evidence. Everything
-# green in r02-r05 keeps its union evidence and trails in module
-# order.
+# IS the evidence rotation. Round 7 (round-6 verdict items 1-2):
+# FIRST the new round-7 keys (never-evidenced keys MUST get a driver
+# row), THEN `neardup_triangle_count` — the single red r06 row (judge
+# replay was green three ways; a fresh driver row settles it), THEN
+# the 16-key cohort whose newest driver row is still CORRECTNESS_r01
+# (q5..idle_rich_customers) and the 25-key oracle-backed r02-stale
+# cohort (passenger_flow_sim..text_embedding_agreement). Rows-only
+# keys (sketches, ann_ivf_topk, embedding_pca_variance, ml/demand)
+# are deliberately NOT promoted — a `no_oracle` row burns a driver
+# slot reporting nothing (round-6 verdict item 4); their evidence is
+# the bounded unit tests + the oracle-backed companion keys.
 _PROMOTED = [
-    # --- NEW in round 6 (appended as they land) ---
-    "quality_classifier_score",
-    "curriculum_phases",
-    "split_leakage_audit",
-    "doremi_domain_weights",
-    "knn_label_vote",
-    "hard_negative_mining",
-    "bpe_merge_pairs",
-    "cluster_label_purity",
-    "cdc_latest_state",
-    "cdc_scd2_history",
-    "mmr_diversified_topk",
-    "embedding_pca_variance",
-    "part_skyline",
-    "event_path_trigrams",
-    "priority_returns_chisq",
-    "benford_price_audit",
-    "proto_feed_entities",
-    "ivf_kmeans_cells",
-    "ann_ivf_kmeans_topk",
-    "cluster_balanced_sample",
-    "dsir_importance_weights",
-    "ccnet_ppl_buckets",
-    "epoch_shard_plan",
-    "token_budget_mix",
-    "bm25_retrieval_topk",
-    "bitext_margin_mining",
-    "hybrid_prf_retrieval",
-    "dedup_keep_best_quality",
-    # --- round-5 late batch: never driver-evidenced; MUST lead ---
-    "scd2_alerts",
-    "orders_yoy_growth",
-    "tokenizer_fertility",
-    "filter_retention_funnel",
+    # --- NEW in round 7 (appended as they land) ---
+    "pca_gram_invariants",
+    "bpe_vocab_k_rounds",
+    # --- the one red r06 row: re-evidence first ---
     "neardup_triangle_count",
-    "semdedup_prune",
     # --- r01-stale cohort: newest driver evidence is CORRECTNESS_r01 ---
-    "peak_hours_summary",
-    "suggestions",
-    "suggestions_latest",
-    "top_priority",
-    "summary_actions",
-    "needs_data",
-    "validation_global",
-    "validation_by_hour",
-    "validation_by_peak",
-    "validation_by_route",
-    "routes_geo",
-    "supplier_geo",
-    "referential_filter",
-    "stop_route_mapping",
-    "q1_pricing_summary",
-    "q3_top_unshipped",
     "q5_supplier_volume",
     "q6_revenue_delta",
     "q10_returned_items",
@@ -202,9 +156,7 @@ _PROMOTED = [
     "q19_disjunctive_revenue",
     "single_supplier_orders",
     "idle_rich_customers",
-    # --- r02-stale cohort: fills whatever remains of the 50-key
-    # window after the never-evidenced + r01 cohorts; overflow simply
-    # rolls to the round-7 rotation ---
+    # --- r02-stale cohort (oracle-backed only) ---
     "passenger_flow_sim",
     "props_feed_normalize",
     "proto_delay_hourly",

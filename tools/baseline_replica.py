@@ -617,7 +617,9 @@ def quality_classifier_score() -> pd.DataFrame:
         stop = floor6(sum(t in STOP for t in toks) / len(toks))
         ttr = floor6(len(set(toks)) / len(toks))
         wlen = floor6(n_chars / len(toks))
-        digit = floor6(sum(c.isdigit() for t in toks for c in t) / n_chars)
+        digit = floor6(
+            sum(c in "0123456789" for t in toks for c in t) / n_chars
+        )
         z = floor6(-2.0 + 6.0 * stop + 2.0 * ttr + 0.1 * wlen - 8.0 * digit)
         score = floor6(1.0 / (1.0 + math.exp(-z)))
         out.append(

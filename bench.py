@@ -112,6 +112,126 @@ R6_HEADLINE = [
 HEADLINE = R2_HEADLINE + R3_HEADLINE + R4_HEADLINE + R5_HEADLINE + R6_HEADLINE
 _R2_KEYS = frozenset(R2_HEADLINE)
 
+# --- sf1 tier (round-6 verdict item 3) -------------------------------------
+# At sf0.1 the constant-factor cohort measures Spark's fixed task-
+# dispatch floor against a one-allocation pandas pass (BASELINE.md's
+# tiled-row experiment shows crossover at ~10^4 rows). The sf1 tier
+# re-times every replica-backed key on a 20x tiled dataset
+# (tools/make_tiled_sf.py, cached in /tmp) where throughput decides.
+# The pandas column is measured ONCE per replica/tile revision
+# (tools/baseline_sf1.json — the replica code is frozen between
+# rounds; re-running a 6-minute single-core loop per round would just
+# re-measure the same constants) and the Spark column is re-measured
+# per round. Summary rides the headline line; per-key numbers go to
+# BENCH_DETAIL.json's `sf1` block and BASELINE.md.
+# Ordered CHEAPEST Spark cost first (measured at tile=20), so the wall
+# budget below can only ever truncate the most expensive tail keys —
+# never starve a cheap key behind an expensive one.
+SF1_KEYS = [
+    "kpi_hourly",
+    "dedup_exact",
+    "suggestions",
+    "q1_pricing_summary",
+    "part_revenue_abc",
+    "token_count",
+    "split_leakage_audit",
+    "session_concurrency_hourly",
+    "dsir_importance_weights",
+    "quality_classifier_score",
+    "dau_rolling_wau",
+    "bitext_margin_mining",
+    "ivf_kmeans_cells",
+    "open_orders_monthly",
+    "q21_waiting_suppliers",
+    "basket_part_pairs",
+    "bm25_retrieval_topk",
+    "proto_feed_entities",
+    "exact_substring_spans",
+]
+
+
+def _run_sf1_tier(spark) -> tuple[dict | None, dict | None]:
+    """(headline summary, detail block) for the sf1 tier, or (None,
+    None) when disabled. Protocol: cold + best-of-2 steady min per key
+    (the full min-stabilization loop would double a tier that exists
+    to compare totals, not to chase 2% floors), under a wall budget so
+    a contended host can never starve the headline artifact."""
+    if os.environ.get("SPARK_GRAFT_SF1", "1") == "0":
+        return None, None
+    tile = int(os.environ.get("SPARK_GRAFT_SF1_TILE", "20"))
+    budget = float(os.environ.get("SPARK_GRAFT_SF1_BUDGET_SEC", "270"))
+    from tools.make_tiled_sf import build_tiled_sf
+
+    t_build0 = time.perf_counter()
+    sf1_dir = build_tiled_sf(tile=tile)
+    build_sec = round(time.perf_counter() - t_build0, 3)
+    pandas_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tools",
+        "baseline_sf1.json",
+    )
+    pandas_q: dict[str, float] = {}
+    try:
+        with open(pandas_path) as fh:
+            baseline = json.load(fh)
+        if baseline.get("tile") == tile:
+            pandas_q = baseline.get("queries", {})
+    except (OSError, ValueError):
+        pass
+    tier_t0 = time.perf_counter()
+    cold: dict[str, float] = {}
+    steady: dict[str, float] = {}
+    truncated = False
+    for name in SF1_KEYS:
+        if time.perf_counter() - tier_t0 > budget:
+            truncated = True
+            break
+
+        def run():
+            df = QUERIES[name](spark, sf1_dir)
+            df.write.format("noop").mode("overwrite").save()
+
+        t0 = time.perf_counter()
+        run()
+        cold[name] = round(time.perf_counter() - t0, 3)
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            run()
+            runs.append(time.perf_counter() - t0)
+        steady[name] = round(min(runs), 3)
+        print(
+            f"# sf1 {name}: cold {cold[name]:.3f}s, best {steady[name]:.3f}s"
+            + (
+                f", pandas {pandas_q[name]:.3f}s"
+                if name in pandas_q
+                else ""
+            ),
+            flush=True,
+        )
+    shared = [k for k in steady if k in pandas_q]
+    le_1x = sum(1 for k in shared if steady[k] <= pandas_q[k])
+    summary = {
+        "tile": tile,
+        "total_spark_sec": round(sum(steady.values()), 3),
+        "total_pandas_sec": round(sum(pandas_q[k] for k in shared), 3),
+        "keys_spark_le_pandas": f"{le_1x}/{len(shared)}",
+        "truncated": truncated,
+    }
+    detail = {
+        "tile": tile,
+        "build_sec": build_sec,
+        "dir": sf1_dir,
+        "spark_steady": steady,
+        "spark_cold": cold,
+        "pandas": pandas_q,
+        "ratio_spark_over_pandas": {
+            k: round(steady[k] / pandas_q[k], 3) for k in shared
+        },
+        "truncated": truncated,
+    }
+    return summary, detail
+
 # A steady-state timing more than this factor above the previous
 # round's is stamped into the headline JSON (round-5 verdict item 7:
 # seven r4->r5 key regressions were ambient-load artifacts that the
@@ -340,6 +460,14 @@ def main() -> None:
         # the detail file; only >REGRESSION_RATIO moves reach the
         # headline line (with the prior artifact named), so a reader
         # sees regressions without diffing artifacts by hand.
+        # sf1 tier AFTER the headline trials (its caches and CPU burn
+        # must not pollute the frozen-protocol numbers); only at the
+        # default sf0.1 input — env-override runs (probes, sf0.001
+        # smoke) skip it.
+        sf1_summary, sf1_detail = (None, None)
+        if os.path.abspath(sf_dir).rstrip("/") == "/root/testdata/sf0.1":
+            sf1_summary, sf1_detail = _run_sf1_tier(spark)
+
         prior_name, prior_q = _prior_round_queries(sf)
         ratios = {
             k: round(v / prior_q[k], 2)
@@ -362,6 +490,8 @@ def main() -> None:
             "min_repeats": min_repeats,
             "max_repeats": max_repeats,
         }
+        if sf1_detail is not None:
+            detail["sf1"] = sf1_detail
         detail_path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
         )
@@ -402,6 +532,12 @@ def main() -> None:
                     # ratios in BENCH_DETAIL.json
                     "prior_round": prior_name,
                     "regressed_vs_prior": regressed,
+                    # compact sf1-tier summary (per-key numbers in
+                    # BENCH_DETAIL.json's `sf1` block): Spark steady vs
+                    # the measured-once pandas replica on the 10x tiled
+                    # dataset — the tier where throughput, not task-
+                    # dispatch floor, decides
+                    **({"sf1": sf1_summary} if sf1_summary else {}),
                     "sf": sf,
                 }
             )

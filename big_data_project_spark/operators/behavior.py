@@ -1502,3 +1502,113 @@ ORACLES["event_path_trigrams"] = f"""
     WHERE path_rank <= {PATH_TOP_K}
     ORDER BY path_rank
 """
+
+
+# --- k-hop reachability over the transition graph (unrolled BFS) -----------
+
+KHOP_MAX = 3  # unrolled relaxation rounds
+
+
+def event_graph_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shortest-hop distance between every reachable pair of event
+    types within KHOP_MAX hops of the per-user transition graph — the
+    "how many steps does a user take from X to Y" reachability table
+    the funnel and path-mining keys assume rather than measure, and the
+    third member of the iterative-graph-dataflow class here (with
+    `event_pagerank`'s power iteration and `dedup_clusters`' label
+    propagation): BFS distance relaxation, UNROLLED into one
+    declarative plan the oracle replays as chained CTEs.
+
+    Each round joins the frontier to the edge list and keeps the
+    per-(src, dst) minimum — a |types|^2-bounded relation regardless of
+    corpus size, so the unroll is scheduler cost only. The corpus is
+    touched ONCE (the lead-window edge derivation shared with
+    event_transition_matrix).
+
+    Determinism: integer hop counts, min-fold, total output order."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    from .dedup import _persisted
+
+    edges = _persisted(
+        ev.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull() & (F.col("dst") != F.col("src")))
+        .distinct()
+    )
+    nodes = edges.select("src").unionByName(
+        edges.select(F.col("dst").alias("src"))
+    ).distinct()
+    dist = nodes.select(
+        "src", F.col("src").alias("dst"), F.lit(0).alias("hops")
+    )
+    for _ in range(KHOP_MAX):
+        step = (
+            dist.join(
+                edges.select(
+                    F.col("src").alias("mid"), F.col("dst").alias("nxt")
+                ),
+                dist["dst"] == F.col("mid"),
+            )
+            .select("src", F.col("nxt").alias("dst"), (F.col("hops") + 1).alias("hops"))
+        )
+        dist = (
+            dist.unionByName(step)
+            .groupBy("src", "dst")
+            .agg(F.min("hops").alias("hops"))
+        )
+    return (
+        dist.filter(F.col("hops") > 0)
+        .select(
+            F.col("src").alias("from_type"),
+            F.col("dst").alias("to_type"),
+            F.col("hops").cast("int").alias("hops"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+QUERIES["event_graph_khop"] = event_graph_khop
+
+
+def _khop_sql() -> str:
+    ctes = [
+        """
+    e AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT event_type AS src,
+               lead(event_type) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id) AS dst
+        FROM events
+      ) p WHERE dst IS NOT NULL AND dst <> src
+    ),
+    d0 AS (
+      SELECT src, src AS dst, 0 AS hops FROM (
+        SELECT src FROM e UNION SELECT dst FROM e
+      ) n
+    )"""
+    ]
+    for r in range(1, KHOP_MAX + 1):
+        ctes.append(
+            f"""
+    d{r} AS (
+      SELECT src, dst, min(hops) AS hops FROM (
+        SELECT src, dst, hops FROM d{r - 1}
+        UNION ALL
+        SELECT d.src, e.dst, d.hops + 1 AS hops
+        FROM d{r - 1} d JOIN e ON d.dst = e.src
+      ) u GROUP BY src, dst
+    )"""
+        )
+    return ",".join(ctes)
+
+
+ORACLES["event_graph_khop"] = f"""
+    WITH {_khop_sql()}
+    SELECT src AS from_type, dst AS to_type, hops::INT AS hops
+    FROM d{KHOP_MAX}
+    WHERE hops > 0
+    ORDER BY from_type, to_type
+"""

@@ -1160,3 +1160,90 @@ ORACLES["token_budget_mix"] = f"""
     FROM pw CROSS JOIN tot
     ORDER BY lang
 """
+
+
+# --- context-length padding audit -------------------------------------------
+
+CTX_LENS = [128, 256, 512, 1024]  # candidate max_seq_len configs
+
+
+def context_len_padding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding/fragmentation waste per candidate context length — the
+    table a max_seq_len decision is read from BEFORE committing a
+    pretraining run: for each config L, every doc of n tokens costs
+    ceil(n/L) sequences whose last one carries L*ceil(n/L) - n padding
+    slots (the un-packed loader's cost model; `sequence_packing_bins`
+    audits the packed alternative). Reports per L: sequences minted,
+    pad fraction of all slots, and the share of docs fitting one
+    sequence — small L wastes slots on fragmentation, large L on
+    padding, and the elbow of pad_fraction is the config choice.
+
+    Scale: ONE map-side token count per doc (shared normalization) +
+    a |CTX_LENS|-way explode of 4 integers per doc into one aggregate
+    — no shuffle wider than 4 x docs partials.
+
+    Determinism: pure integer arithmetic; ratios 6dp-quantized."""
+    from ..catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.size(F.split(_norm(F.col("text")), " ")).alias("n_toks")
+    )
+    lens = F.explode(
+        F.array(*[F.lit(x) for x in CTX_LENS])
+    ).alias("max_len")
+    per = docs.select("n_toks", lens).select(
+        "max_len",
+        "n_toks",
+        F.ceil(F.col("n_toks") / F.col("max_len")).cast("long").alias("seqs"),
+    )
+    agg = per.groupBy("max_len").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("total_tokens"),
+        F.sum("seqs").cast("bigint").alias("total_seqs"),
+        F.sum((F.col("seqs") == 1).cast("int")).cast("bigint").alias(
+            "single_seq_docs"
+        ),
+    )
+    slots = F.col("total_seqs") * F.col("max_len")
+    return agg.select(
+        F.col("max_len").cast("int").alias("max_len"),
+        "n_docs",
+        "total_tokens",
+        "total_seqs",
+        pround((slots - F.col("total_tokens")) / slots, 6).alias(
+            "pad_fraction"
+        ),
+        pround(F.col("single_seq_docs") / F.col("n_docs"), 6).alias(
+            "single_seq_share"
+        ),
+    ).orderBy("max_len")
+
+
+QUERIES["context_len_padding_audit"] = context_len_padding_audit
+
+ORACLES["context_len_padding_audit"] = f"""
+    WITH d AS (
+      SELECT len(string_split({_SQL_NORM}, ' ')) AS n_toks FROM documents
+    ),
+    per AS (
+      SELECT max_len, n_toks,
+             CAST(ceil(n_toks::DOUBLE / max_len) AS BIGINT) AS seqs
+      FROM d, (SELECT unnest({CTX_LENS}) AS max_len) c
+    ),
+    agg AS (
+      SELECT max_len, count(*) AS n_docs,
+             CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+             CAST(sum(seqs) AS BIGINT) AS total_seqs,
+             CAST(sum(CASE WHEN seqs = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS single_seq_docs
+      FROM per GROUP BY max_len
+    )
+    SELECT max_len::INT AS max_len, n_docs, total_tokens, total_seqs,
+           {sql_pround(
+               "(total_seqs * max_len - total_tokens)::DOUBLE"
+               " / (total_seqs * max_len)", 6
+           )} AS pad_fraction,
+           {sql_pround("single_seq_docs::DOUBLE / n_docs", 6)}
+             AS single_seq_share
+    FROM agg ORDER BY max_len
+"""

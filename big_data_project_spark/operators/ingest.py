@@ -133,3 +133,126 @@ ORACLES["salted_event_type_counts"] = f"""
              AS total_value
     FROM events GROUP BY event_type ORDER BY event_type
 """
+
+
+# --- join-key skew audit (the pre-join diagnostic) --------------------------
+
+_SKEW_KEYS = [
+    ("lineitem", "l_orderkey"),  # the fact-fact shuffle key (orders join)
+    ("events", "user_id"),  # the sessionization / behavior-family key
+]
+
+
+def join_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-distribution profile for the two join/shuffle keys every
+    heavy plan in this repo hashes on — the audit run BEFORE a big join
+    to decide whether AQE skew splitting, salting, or a broadcast is
+    needed (the relational twin of minhash_band_analysis, which plays
+    this role for the LSH candidate join). One row per key: row/key
+    counts, mean, p99 and max group sizes, the skew ratio max/mean
+    (the number AQE's skewedPartitionFactor thresholds against), and
+    the heaviest key itself for a targeted fix.
+
+    Scale: ONE group-by shuffle per audited key (partial aggregation
+    compresses map-side); the ranked-selection window runs over the
+    keys-sized group relation — at corpus scale swap the exact p99 for
+    approx_percentile over the same relation (the documented
+    exact-rank/approx-quantile trade every quantile key here makes).
+
+    Determinism: pure integer counts; p99 by the house integer-rank
+    rule ceil(0.99 * n) on the ascending sort (ties by key); the
+    heaviest key ties to the smallest key id; ratios 6dp-quantized."""
+    from ..functions.portable import pround
+
+    outs = []
+    for table, key in _SKEW_KEYS:
+        sizes = (
+            load_table(spark, sf_dir, table)
+            .groupBy(F.col(key).alias("k"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        w_asc = Window.orderBy(F.col("cnt").asc(), F.col("k").asc())
+        w_desc = Window.orderBy(F.col("cnt").desc(), F.col("k").asc())
+        w_all = Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        ranked = (
+            sizes.withColumn("rk", F.row_number().over(w_asc))
+            .withColumn("rk_top", F.row_number().over(w_desc))
+            .withColumn("n_keys", F.count(F.lit(1)).over(w_all))
+        )
+        outs.append(
+            ranked.groupBy().agg(
+                F.lit(f"{table}.{key}").alias("join_key"),
+                F.sum("cnt").cast("bigint").alias("n_rows"),
+                F.max("n_keys").cast("bigint").alias("n_keys"),
+                F.max(
+                    F.when(
+                        F.col("rk")
+                        == F.ceil(F.lit(0.99) * F.col("n_keys")),
+                        F.col("cnt"),
+                    )
+                ).cast("bigint").alias("p99_rows_per_key"),
+                F.max("cnt").cast("bigint").alias("max_rows_per_key"),
+                F.max(F.when(F.col("rk_top") == 1, F.col("k")))
+                .cast("bigint")
+                .alias("heaviest_key"),
+            )
+        )
+    out = outs[0]
+    for more in outs[1:]:
+        out = out.unionByName(more)
+    return out.select(
+        "join_key",
+        "n_rows",
+        "n_keys",
+        pround(F.col("n_rows") / F.col("n_keys"), 6).alias(
+            "avg_rows_per_key"
+        ),
+        "p99_rows_per_key",
+        "max_rows_per_key",
+        pround(
+            F.col("max_rows_per_key") * F.col("n_keys") / F.col("n_rows"), 6
+        ).alias("skew_ratio"),
+        "heaviest_key",
+    ).orderBy("join_key")
+
+
+QUERIES["join_key_skew_audit"] = join_key_skew_audit
+
+
+def _skew_branch_sql(table: str, key: str) -> str:
+    return f"""
+      SELECT '{table}.{key}' AS join_key,
+             CAST(sum(cnt) AS BIGINT) AS n_rows,
+             CAST(max(n_keys) AS BIGINT) AS n_keys,
+             CAST(max(CASE WHEN rk = ceil(0.99 * n_keys)
+                           THEN cnt END) AS BIGINT) AS p99_rows_per_key,
+             CAST(max(cnt) AS BIGINT) AS max_rows_per_key,
+             CAST(max(CASE WHEN rk_top = 1 THEN k END) AS BIGINT)
+               AS heaviest_key
+      FROM (
+        SELECT k, cnt,
+               row_number() OVER (ORDER BY cnt ASC, k ASC) AS rk,
+               row_number() OVER (ORDER BY cnt DESC, k ASC) AS rk_top,
+               count(*) OVER () AS n_keys
+        FROM (
+          SELECT {key} AS k, count(*) AS cnt FROM {table} GROUP BY {key}
+        ) s
+      ) r
+    """
+
+
+ORACLES["join_key_skew_audit"] = f"""
+    WITH u AS (
+      {" UNION ALL ".join(_skew_branch_sql(t, k) for t, k in _SKEW_KEYS)}
+    )
+    SELECT join_key, n_rows, n_keys,
+           {_sql_pround("n_rows::DOUBLE / n_keys", 6)} AS avg_rows_per_key,
+           p99_rows_per_key, max_rows_per_key,
+           {_sql_pround(
+               "max_rows_per_key::DOUBLE * n_keys / n_rows", 6
+           )} AS skew_ratio,
+           heaviest_key
+    FROM u ORDER BY join_key
+"""

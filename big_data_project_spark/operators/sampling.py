@@ -325,3 +325,70 @@ def _keep_best_quality_oracle() -> str:
 
 
 ORACLES["dedup_keep_best_quality"] = _keep_best_quality_oracle()
+
+
+# --- weighted reservoir sampling (Efraimidis & Spirakis 2006) -------------
+
+WRS_K = 100  # sample size
+
+
+def weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional document sample without replacement — the
+    A-ES scheme (Efraimidis & Spirakis 2006, IPL 97(5)): each doc gets
+    the key u^(1/w) for a uniform u, and the top-K keys ARE a sample
+    where inclusion probability is proportional to weight w (here
+    n_chars: a token-budget-proportional draw, the shape a "sample 1%
+    of tokens, not 1% of docs" curation request needs).
+
+    This is THE distributed weighted sample: one map-side key per row
+    and a top-K — no sequential reservoir, no rejection loop, no
+    global sort (TakeOrdered); merges across partitions/streams by
+    just keeping the K largest keys. rand()-based weighted sampling
+    is not reproducible across retries/partitionings; the md5-derived
+    uniform makes the draw deterministic and fully oracle-checkable.
+
+    Determinism: u = (hash60(doc_id)+1)/2^60 in (0,1]; the rank key is
+    the monotone log form ln(u)/w (identical ordering to u^(1/w),
+    no libm pow), 9dp-quantized before ranking with doc_id tie-break."""
+    from ..catalog import load_table
+    from .dedup import _hash60
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars") > 0
+    )
+    u = (
+        _hash60(F.concat(F.lit("wrs:"), F.col("doc_id"))) + 1
+    ) / F.lit(float(2**60))
+    keyed = docs.select(
+        "doc_id",
+        F.col("n_chars").alias("weight"),
+        pround(F.log(u) / F.col("n_chars"), 9).alias("skey"),
+    )
+    w = Window.orderBy(F.col("skey").desc(), F.col("doc_id").asc())
+    return (
+        keyed.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= WRS_K)
+        .select("rank", "doc_id", "weight", "skey")
+        .orderBy("rank")
+    )
+
+
+QUERIES["weighted_reservoir_sample"] = weighted_reservoir_sample
+
+ORACLES["weighted_reservoir_sample"] = f"""
+    WITH keyed AS (
+      SELECT doc_id, n_chars AS weight,
+             {sql_pround(
+                 "ln(((('0x' || substr(md5('wrs:' || doc_id), 1, 15))"
+                 "::BIGINT + 1))::DOUBLE / 1152921504606846976.0)"
+                 " / n_chars", 9
+             )} AS skey
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT rank, doc_id, weight, skey FROM (
+      SELECT *, row_number() OVER (
+               ORDER BY skey DESC, doc_id ASC) AS rank
+      FROM keyed
+    ) r WHERE rank <= {WRS_K}
+    ORDER BY rank
+"""

@@ -1240,3 +1240,322 @@ ORACLES["revenue_stl_decompose"] = f"""
     FROM d LEFT JOIN seas ON month(d.month) = seas.moy
     ORDER BY d.month
 """
+
+
+# --- Poisson-bootstrap CI for the per-route mean delay ---------------------
+#
+# The distributed bootstrap: classic resample-with-replacement needs the
+# whole dataset addressable per replicate; the Poisson bootstrap
+# (multiplicity ~ Poisson(1) per row per replicate) is one streaming
+# pass — each row decides its own count in every replicate
+# independently, map-side, and partial aggregation compresses the B-way
+# fan-out to (routes x B) groups before the single exchange. This is
+# how error bars are put on means at data sizes where a driver-side
+# resample cannot run at all.
+
+BOOT_B = 32  # bootstrap replicates
+# Inverse-CDF thresholds of Poisson(1) as shared plan constants: the
+# md5-uniform is compared against identical literals on both engines,
+# so multiplicities are exactly reproducible (capped at 6; P(>6) < 1e-4).
+_POIS_CDF = [
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+]
+_BOOT_LO_RK = 2  # ceil(0.05 * 32)
+_BOOT_HI_RK = 31  # ceil(0.95 * 32)
+
+
+def delay_mean_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-route mean delay with a 90% Poisson-bootstrap confidence
+    interval and bootstrap standard error — the uncertainty the naked
+    per-route average (delay_hourly / route KPI tier) does not carry,
+    and the number that says whether two routes' delays actually
+    differ.
+
+    Determinism: replicate multiplicities come from md5-uniforms
+    against fixed Poisson(1) CDF literals (no RNG state); replicate
+    means are decimal-folded and 6dp-quantized before ranking (ties
+    break on replicate id), so the whole resampling procedure is
+    hash-checked against the oracle.
+
+    Scale: ONE corpus-scale exchange. The B-way explode is map-side
+    and Catalyst's partial aggregation reduces it to (route x B)
+    partials per task before the shuffle; everything after runs on the
+    (routes x B)-sized replicate relation."""
+    from ..catalog import load_table_spread
+    from .dedup import _hash60
+
+    ev = (
+        load_table_spread(spark, sf_dir, "events", "event_id")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "event_id", "value")
+    )
+    boot = ev.select(
+        "event_type",
+        "event_id",
+        "value",
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"),
+    )
+    u = (
+        _hash60(
+            F.concat(
+                F.lit("boot:"), F.col("b"), F.lit(":"), F.col("event_id")
+            )
+        )
+        + 1
+    ) / F.lit(float(2**60))
+    mult = F.lit(6)
+    for k in range(len(_POIS_CDF) - 1, -1, -1):
+        mult = F.when(u <= F.lit(_POIS_CDF[k]), F.lit(k)).otherwise(mult)
+    means = (
+        boot.withColumn("mult", mult)
+        .groupBy("event_type", "b")
+        .agg(
+            F.sum("mult").alias("m"),
+            dsum_exact(F.col("mult") * F.col("value")).alias("sv"),
+        )
+        .select(
+            "event_type",
+            "b",
+            pround(F.col("sv") / F.nullif(F.col("m"), F.lit(0)), 6).alias(
+                "mean_b"
+            ),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("mean_b").asc(), F.col("b").asc()
+    )
+    stats = (
+        means.withColumn("rk", F.row_number().over(w))
+        .groupBy("event_type")
+        .agg(
+            F.max(
+                F.when(F.col("rk") == _BOOT_LO_RK, F.col("mean_b"))
+            ).alias("boot_lo"),
+            F.max(
+                F.when(F.col("rk") == _BOOT_HI_RK, F.col("mean_b"))
+            ).alias("boot_hi"),
+            dsum_exact("mean_b").alias("s1"),
+            dsum_exact(F.col("mean_b") * F.col("mean_b")).alias("s2"),
+        )
+        .select(
+            "event_type",
+            "boot_lo",
+            "boot_hi",
+            pround(
+                F.sqrt(
+                    F.greatest(
+                        (
+                            F.col("s2")
+                            - F.col("s1") * F.col("s1") / F.lit(float(BOOT_B))
+                        )
+                        / F.lit(float(BOOT_B - 1)),
+                        F.lit(0.0),
+                    )
+                ),
+                6,
+            ).alias("boot_se"),
+        )
+    )
+    base = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        davg("value", 6).alias("mean_delay"),
+    )
+    return (
+        base.join(stats, "event_type")
+        .select(
+            "event_type",
+            "n_events",
+            "mean_delay",
+            "boot_lo",
+            "boot_hi",
+            "boot_se",
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["delay_mean_bootstrap"] = delay_mean_bootstrap
+
+_SQL_POIS_MULT = "CASE " + " ".join(
+    f"WHEN u <= {t} THEN {k}" for k, t in enumerate(_POIS_CDF)
+) + " ELSE 6 END"
+
+ORACLES["delay_mean_bootstrap"] = f"""
+    WITH ev AS (
+      SELECT event_type, event_id, value FROM events
+      WHERE value IS NOT NULL
+    ),
+    boot AS (
+      SELECT event_type, b,
+             {_SQL_POIS_MULT} AS mult, value
+      FROM (
+        SELECT event_type, event_id, value, b,
+               ((('0x' || substr(md5('boot:' || b || ':' || event_id),
+                   1, 15))::BIGINT + 1))::DOUBLE
+                 / 1152921504606846976.0 AS u
+        FROM ev, (SELECT unnest(range({BOOT_B})) AS b) t
+      ) q
+    ),
+    means AS (
+      SELECT event_type, b,
+             {sql_pround(
+                 "(sum((mult * value)::DECIMAL(28,6)))::DOUBLE"
+                 " / nullif(sum(mult), 0)", 6
+             )} AS mean_b
+      FROM boot GROUP BY event_type, b
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY mean_b ASC, b ASC) AS rk
+      FROM means
+    ),
+    stats AS (
+      SELECT event_type,
+             max(CASE WHEN rk = {_BOOT_LO_RK} THEN mean_b END) AS boot_lo,
+             max(CASE WHEN rk = {_BOOT_HI_RK} THEN mean_b END) AS boot_hi,
+             (sum((mean_b)::DECIMAL(28,6)))::DOUBLE AS s1,
+             (sum((mean_b * mean_b)::DECIMAL(28,6)))::DOUBLE AS s2
+      FROM ranked GROUP BY event_type
+    ),
+    base AS (
+      SELECT event_type, count(*) AS n_events,
+             {sql_davg('value', 6)} AS mean_delay
+      FROM ev GROUP BY event_type
+    )
+    SELECT b.event_type, b.n_events, b.mean_delay, s.boot_lo, s.boot_hi,
+           {sql_pround(
+               f"sqrt(greatest((s.s2 - s.s1 * s.s1 / {float(BOOT_B)})"
+               f" / {float(BOOT_B - 1)}, 0.0))", 6
+           )} AS boot_se
+    FROM base b JOIN stats s USING (event_type)
+    ORDER BY b.event_type
+"""
+
+
+# --- expanding-window backtest (time-series cross-validation) --------------
+
+BT_FOLDS = 4  # contiguous folds per route; folds 2..K are test windows
+
+
+def expanding_window_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expanding-window backtest of the mean forecast over the demand
+    rollup — time-series cross-validation, the evaluation discipline a
+    single train/test split (train_predict.py's one 80/20 cut) gets
+    wrong when the series drifts: each route's observed hours split
+    into BT_FOLDS contiguous folds by hour rank; for every fold k >= 2
+    the prediction for each of its hours is the decimal mean of ALL
+    earlier folds (train never sees the future), scored by MAE and
+    signed bias. A model that only looks good on the last split shows
+    up here as fold-over-fold MAE growth.
+
+    Scale: runs on the shared (route x hour) rollup — one in-route
+    rank window, a folds-sized cumulative window, one aggregate.
+
+    Determinism: fold edges are pure integer rank arithmetic
+    floor((rk-1)*K/n)+1; means/MAE are decimal folds rounded 4dp."""
+    from ..caching import persisted
+
+    d = persisted(
+        demand_hourly(spark, sf_dir).select(
+            "route_id", "hour_ts", "passengers"
+        )
+    )
+    w = Window.partitionBy("route_id").orderBy("hour_ts")
+    wn = Window.partitionBy("route_id")
+    folded = d.select(
+        "route_id",
+        "passengers",
+        (
+            F.floor(
+                (F.row_number().over(w) - 1)
+                * BT_FOLDS
+                / F.count(F.lit(1)).over(wn)
+            )
+            + 1
+        ).cast("int").alias("fold"),
+    )
+    per_fold = folded.groupBy("route_id", "fold").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("passengers").cast("decimal(28,6)")).alias("s"),
+    )
+    wcum = (
+        Window.partitionBy("route_id")
+        .orderBy("fold")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    train = per_fold.select(
+        "route_id",
+        "fold",
+        F.sum("n").over(wcum).alias("n_train"),
+        (
+            F.sum("s").over(wcum).cast("double")
+            / F.sum("n").over(wcum)
+        ).alias("train_mean_raw"),
+    ).filter(F.col("fold") >= 2)
+    scored = folded.join(train, ["route_id", "fold"]).groupBy(
+        "route_id", "fold"
+    ).agg(
+        F.max("n_train").alias("n_train"),
+        F.count(F.lit(1)).alias("n_test"),
+        pround(F.max("train_mean_raw"), 4).alias("train_mean"),
+        davg(
+            F.abs(F.col("passengers") - F.col("train_mean_raw")), 4
+        ).alias("mae"),
+        davg(F.col("passengers") - F.col("train_mean_raw"), 4).alias(
+            "bias"
+        ),
+    )
+    return scored.select(
+        "route_id", "fold", "n_train", "n_test", "train_mean", "mae", "bias"
+    ).orderBy("route_id", "fold")
+
+
+QUERIES["expanding_window_backtest"] = expanding_window_backtest
+
+ORACLES["expanding_window_backtest"] = f"""
+    WITH d AS ({SQL_DEMAND}),
+    folded AS (
+      SELECT route_id, passengers,
+             (floor((row_number() OVER (
+                  PARTITION BY route_id ORDER BY hour_ts) - 1)
+                * {BT_FOLDS}
+                / count(*) OVER (PARTITION BY route_id)) + 1)::INT
+               AS fold
+      FROM d
+    ),
+    per_fold AS (
+      SELECT route_id, fold, count(*) AS n,
+             sum((passengers)::DECIMAL(28,6)) AS s
+      FROM folded GROUP BY route_id, fold
+    ),
+    train AS (
+      SELECT route_id, fold,
+             sum(n) OVER win AS n_train,
+             (sum(s) OVER win)::DOUBLE / (sum(n) OVER win)
+               AS train_mean_raw
+      FROM per_fold
+      WINDOW win AS (PARTITION BY route_id ORDER BY fold
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      QUALIFY fold >= 2
+    )
+    SELECT f.route_id, f.fold, max(t.n_train) AS n_train,
+           count(*) AS n_test,
+           {sql_pround('max(t.train_mean_raw)', 4)} AS train_mean,
+           {sql_pround(
+               '(sum((abs(f.passengers - t.train_mean_raw))'
+               '::DECIMAL(28,6)))::DOUBLE / count(*)', 4
+           )} AS mae,
+           {sql_pround(
+               '(sum((f.passengers - t.train_mean_raw)'
+               '::DECIMAL(28,6)))::DOUBLE / count(*)', 4
+           )} AS bias
+    FROM folded f JOIN train t USING (route_id, fold)
+    GROUP BY f.route_id, f.fold
+    ORDER BY f.route_id, f.fold
+"""

@@ -137,6 +137,12 @@ _PROMOTED = [
     # --- NEW in round 7 (appended as they land) ---
     "pca_gram_invariants",
     "bpe_vocab_k_rounds",
+    "weighted_reservoir_sample",
+    "delay_mean_bootstrap",
+    "join_key_skew_audit",
+    "event_graph_khop",
+    "context_len_padding_audit",
+    "expanding_window_backtest",
     # --- the one red r06 row: re-evidence first ---
     "neardup_triangle_count",
     # --- r01-stale cohort: newest driver evidence is CORRECTNESS_r01 ---

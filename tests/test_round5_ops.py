@@ -159,6 +159,17 @@ def test_bench_final_line_fits_driver_capture():
         "total_cold_sec": 99999.999,
         "amortized": ["kpi_hourly", "suggestions"],
         "contended": False,
+        "ambient_load_frac": 0.999,
+        "prior_round": "BENCH_r99.json",
+        "regressed_vs_prior": {},
+        # worst-case shape of the compact sf1-tier summary (round-7)
+        "sf1": {
+            "tile": 10,
+            "total_spark_sec": 99999.999,
+            "total_pandas_sec": 99999.999,
+            "keys_spark_le_pandas": "19/19",
+            "truncated": False,
+        },
         "sf": 0.1,
     }
     line = json.dumps(payload)

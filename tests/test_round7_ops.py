@@ -12,6 +12,13 @@ from .conftest import SF_DIR
 
 ROUND7_KEYS = [
     "pca_gram_invariants",
+    "bpe_vocab_k_rounds",
+    "weighted_reservoir_sample",
+    "delay_mean_bootstrap",
+    "join_key_skew_audit",
+    "event_graph_khop",
+    "context_len_padding_audit",
+    "expanding_window_backtest",
 ]
 
 
@@ -122,3 +129,163 @@ def test_bpe_k_rounds_fertility_drops(spark):
     first = QUERIES["bpe_merge_pairs"](spark, SF_DIR).collect()[0]
     assert rows[0]["merged"] == first["pair"]
     assert rows[0]["pair_count"] == first["n"]
+
+
+def test_weighted_reservoir_matches_python_aes(spark, duck):
+    """The top-K by u^(1/w) (log form) equals a direct Python A-ES
+    pass over the same md5 uniforms, and the draw is weight-biased:
+    the sampled docs' mean weight exceeds the corpus mean."""
+    import hashlib
+    import math
+
+    rows = duck.execute(
+        "SELECT doc_id, n_chars FROM documents WHERE n_chars > 0"
+    ).fetchall()
+    keyed = []
+    for doc_id, w in rows:
+        h = int(hashlib.md5(f"wrs:{doc_id}".encode()).hexdigest()[:15], 16)
+        u = (h + 1) / float(2**60)
+        skey = math.floor(math.log(u) / w * 1e9 + 0.5) / 1e9
+        keyed.append((-skey, doc_id))
+    expected = [d for _k, d in sorted(keyed)[:100]]
+    got = QUERIES["weighted_reservoir_sample"](spark, SF_DIR).collect()
+    assert [r["doc_id"] for r in got] == expected
+    sample_mean_w = sum(r["weight"] for r in got) / len(got)
+    corpus_mean_w = sum(w for _d, w in rows) / len(rows)
+    assert sample_mean_w > corpus_mean_w
+
+
+def test_bootstrap_ci_brackets_mean_and_python_recount(spark, duck):
+    """CI orientation + a full Python recount of one route's replicate
+    means from the same md5-derived Poisson multiplicities."""
+    import hashlib
+
+    got = {r["event_type"]: r for r in
+           QUERIES["delay_mean_bootstrap"](spark, SF_DIR).collect()}
+    for r in got.values():
+        assert r["boot_lo"] <= r["boot_hi"]
+        assert r["boot_se"] >= 0
+        # a 90% CI from 32 replicates almost surely brackets the mean
+        assert r["boot_lo"] <= r["mean_delay"] <= r["boot_hi"]
+
+    from big_data_project_spark.operators.trend import _POIS_CDF, BOOT_B
+
+    route = sorted(got)[0]
+    rows = duck.execute(
+        "SELECT event_id, value FROM events"
+        " WHERE value IS NOT NULL AND event_type = ?",
+        [route],
+    ).fetchall()
+    means = []
+    for b in range(BOOT_B):
+        sv = n = 0.0
+        for eid, v in rows:
+            h = int(
+                hashlib.md5(f"boot:{b}:{eid}".encode()).hexdigest()[:15], 16
+            )
+            u = (h + 1) / float(2**60)
+            mult = 6
+            for k, t in enumerate(_POIS_CDF):
+                if u <= t:
+                    mult = k
+                    break
+            sv += mult * v
+            n += mult
+        means.append(
+            __import__("math").floor(sv / n * 1e6 + 0.5) / 1e6
+        )
+    means.sort()
+    assert got[route]["boot_lo"] == means[1]  # rank 2 of 32
+    assert got[route]["boot_hi"] == means[30]  # rank 31 of 32
+
+
+def test_join_key_skew_audit_python_recount(spark, duck):
+    got = {r["join_key"]: r for r in
+           QUERIES["join_key_skew_audit"](spark, SF_DIR).collect()}
+    for table, key in [("lineitem", "l_orderkey"), ("events", "user_id")]:
+        sizes = dict(
+            duck.execute(
+                f"SELECT {key}, count(*) FROM {table} GROUP BY {key}"
+            ).fetchall()
+        )
+        r = got[f"{table}.{key}"]
+        assert r["n_keys"] == len(sizes)
+        assert r["n_rows"] == sum(sizes.values())
+        assert r["max_rows_per_key"] == max(sizes.values())
+        heaviest = min(
+            (k for k, c in sizes.items() if c == max(sizes.values()))
+        )
+        assert r["heaviest_key"] == heaviest
+        assert r["skew_ratio"] >= 1.0
+        assert r["p99_rows_per_key"] <= r["max_rows_per_key"]
+
+
+def test_event_graph_khop_matches_python_bfs(spark, duck):
+    """Direct BFS over the same distinct-edge list."""
+    edges = duck.execute(
+        """
+        SELECT DISTINCT src, dst FROM (
+          SELECT event_type AS src,
+                 lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS dst
+          FROM events) p
+        WHERE dst IS NOT NULL AND dst <> src
+        """
+    ).fetchall()
+    adj: dict[str, set[str]] = {}
+    nodes = set()
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+        nodes.update((s, d))
+    expected = {}
+    for start in nodes:
+        frontier, dist, hops = {start}, {start: 0}, 0
+        while frontier and hops < 3:
+            hops += 1
+            frontier = {
+                d
+                for s in frontier
+                for d in adj.get(s, ())
+                if d not in dist
+            }
+            for d in frontier:
+                dist[d] = hops
+        for dst, h in dist.items():
+            if h > 0:
+                expected[(start, dst)] = h
+    got = {
+        (r["from_type"], r["to_type"]): r["hops"]
+        for r in QUERIES["event_graph_khop"](spark, SF_DIR).collect()
+    }
+    assert got == expected
+
+
+def test_context_len_padding_invariants(spark):
+    rows = QUERIES["context_len_padding_audit"](spark, SF_DIR).collect()
+    assert [r["max_len"] for r in rows] == [128, 256, 512, 1024]
+    # same corpus at every config
+    assert len({(r["n_docs"], r["total_tokens"]) for r in rows}) == 1
+    # bigger context => never more sequences, never less single-seq share
+    seqs = [r["total_seqs"] for r in rows]
+    assert all(a >= b for a, b in zip(seqs, seqs[1:]))
+    shares = [r["single_seq_share"] for r in rows]
+    assert all(a <= b for a, b in zip(shares, shares[1:]))
+    for r in rows:
+        assert 0 <= r["pad_fraction"] < 1
+        assert r["total_seqs"] * r["max_len"] >= r["total_tokens"]
+
+
+def test_expanding_window_backtest_shape(spark):
+    rows = QUERIES["expanding_window_backtest"](spark, SF_DIR).collect()
+    by_route: dict[str, list] = {}
+    for r in rows:
+        by_route.setdefault(r["route_id"], []).append(r)
+    for route, rs in by_route.items():
+        rs.sort(key=lambda r: r["fold"])
+        assert [r["fold"] for r in rs] == [2, 3, 4]
+        # expanding window: training set strictly grows
+        trains = [r["n_train"] for r in rs]
+        assert all(a < b for a, b in zip(trains, trains[1:]))
+        for r in rs:
+            assert r["mae"] >= 0
+            assert abs(r["bias"]) <= r["mae"] + 1e-9

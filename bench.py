@@ -213,11 +213,19 @@ def _run_sf1_tier(spark) -> tuple[dict | None, dict | None]:
     le_1x = sum(1 for k in shared if steady[k] <= pandas_q[k])
     summary = {
         "tile": tile,
-        "total_spark_sec": round(sum(steady.values()), 3),
+        # totals compare the SAME key set on both engines; when the
+        # committed pandas baseline doesn't match this tile, the
+        # comparison is meaningless and says so instead of printing
+        # spark-seconds next to a zero
+        "total_spark_sec": round(sum(steady[k] for k in shared), 3)
+        if shared
+        else round(sum(steady.values()), 3),
         "total_pandas_sec": round(sum(pandas_q[k] for k in shared), 3),
         "keys_spark_le_pandas": f"{le_1x}/{len(shared)}",
         "truncated": truncated,
     }
+    if not shared:
+        summary["baseline_mismatch"] = True
     detail = {
         "tile": tile,
         "build_sec": build_sec,
@@ -466,7 +474,14 @@ def main() -> None:
         # smoke) skip it.
         sf1_summary, sf1_detail = (None, None)
         if os.path.abspath(sf_dir).rstrip("/") == "/root/testdata/sf0.1":
-            sf1_summary, sf1_detail = _run_sf1_tier(spark)
+            # A failing sf1 tier (no /tmp space for the tiled copy, a
+            # key erroring on the tiled data) must DEGRADE, never
+            # destroy the headline artifact the round is judged on.
+            try:
+                sf1_summary, sf1_detail = _run_sf1_tier(spark)
+            except Exception as exc:  # noqa: BLE001 — degrade to headline-only
+                print(f"# sf1 tier failed, continuing: {exc!r}", flush=True)
+                sf1_summary, sf1_detail = None, {"error": repr(exc)}
 
         prior_name, prior_q = _prior_round_queries(sf)
         ratios = {
@@ -534,7 +549,7 @@ def main() -> None:
                     "regressed_vs_prior": regressed,
                     # compact sf1-tier summary (per-key numbers in
                     # BENCH_DETAIL.json's `sf1` block): Spark steady vs
-                    # the measured-once pandas replica on the 10x tiled
+                    # the measured-once pandas replica on the tiled
                     # dataset — the tier where throughput, not task-
                     # dispatch floor, decides
                     **({"sf1": sf1_summary} if sf1_summary else {}),

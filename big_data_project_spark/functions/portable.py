@@ -70,3 +70,25 @@ def dsum(c: Column | str, n: int = 2) -> Column:
 
 def sql_dsum(expr: str, n: int = 2) -> str:
     return sql_pround(f"(sum(({expr})::DECIMAL(28,6)))::DOUBLE", n)
+
+
+# md5-derived uniform in (0, 1]: the deterministic stand-in for rand()
+# every hash-randomized operator here builds on (weighted sampling,
+# bootstrap multiplicities). (hash60 + 1) / 2^60 — the +1 keeps ln(u)
+# finite; 2^60 because hash60 is the first 15 md5 hex chars. One
+# definition on each engine so the parity-critical formula can never
+# drift per-operator.
+
+
+def uniform01(c: Column | str) -> Column:
+    if isinstance(c, str):
+        c = F.col(c)
+    h = F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+    return (h + 1) / F.lit(float(2**60))
+
+
+def sql_uniform01(expr: str) -> str:
+    return (
+        f"((('0x' || substr(md5({expr}), 1, 15))::BIGINT + 1))::DOUBLE"
+        f" / {2**60}.0"
+    )

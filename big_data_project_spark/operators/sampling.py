@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.portable import pround, sql_pround
+from ..functions.portable import pround, sql_pround, sql_uniform01
 from .dedup import (
     TAU,
     _SQL_JACCARD_PAIRS,
@@ -351,14 +351,12 @@ def weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the monotone log form ln(u)/w (identical ordering to u^(1/w),
     no libm pow), 9dp-quantized before ranking with doc_id tie-break."""
     from ..catalog import load_table
-    from .dedup import _hash60
+    from ..functions.portable import uniform01
 
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("n_chars") > 0
     )
-    u = (
-        _hash60(F.concat(F.lit("wrs:"), F.col("doc_id"))) + 1
-    ) / F.lit(float(2**60))
+    u = uniform01(F.concat(F.lit("wrs:"), F.col("doc_id")))
     keyed = docs.select(
         "doc_id",
         F.col("n_chars").alias("weight"),
@@ -375,14 +373,12 @@ def weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["weighted_reservoir_sample"] = weighted_reservoir_sample
 
+_WRS_U = sql_uniform01("'wrs:' || doc_id")
+
 ORACLES["weighted_reservoir_sample"] = f"""
     WITH keyed AS (
       SELECT doc_id, n_chars AS weight,
-             {sql_pround(
-                 "ln(((('0x' || substr(md5('wrs:' || doc_id), 1, 15))"
-                 "::BIGINT + 1))::DOUBLE / 1152921504606846976.0)"
-                 " / n_chars", 9
-             )} AS skey
+             {sql_pround(f"ln({_WRS_U}) / n_chars", 9)} AS skey
       FROM documents WHERE n_chars > 0
     )
     SELECT rank, doc_id, weight, skey FROM (

@@ -27,6 +27,7 @@ from ..functions.portable import (
     pround,
     sql_davg,
     sql_pround,
+    sql_uniform01,
 )
 from .headway import SQL_HEADWAY, headway_hourly
 from .hourly import SQL_DELAY, SQL_DEMAND, SQL_WEATHER
@@ -1287,7 +1288,7 @@ def delay_mean_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials per task before the shuffle; everything after runs on the
     (routes x B)-sized replicate relation."""
     from ..catalog import load_table_spread
-    from .dedup import _hash60
+    from ..functions.portable import uniform01
 
     ev = (
         load_table_spread(spark, sf_dir, "events", "event_id")
@@ -1300,14 +1301,9 @@ def delay_mean_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"),
     )
-    u = (
-        _hash60(
-            F.concat(
-                F.lit("boot:"), F.col("b"), F.lit(":"), F.col("event_id")
-            )
-        )
-        + 1
-    ) / F.lit(float(2**60))
+    u = uniform01(
+        F.concat(F.lit("boot:"), F.col("b"), F.lit(":"), F.col("event_id"))
+    )
     mult = F.lit(6)
     for k in range(len(_POIS_CDF) - 1, -1, -1):
         mult = F.when(u <= F.lit(_POIS_CDF[k]), F.lit(k)).otherwise(mult)
@@ -1326,8 +1322,13 @@ def delay_mean_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # asc_nulls_last: a replicate whose every multiplicity drew 0 has
+    # NULL mean_b (probability 0.368^n per replicate — real for tiny
+    # routes); Spark's plain asc sorts NULLs FIRST while DuckDB's
+    # ORDER BY ASC sorts them LAST, which would shift the CI ranks
+    # between the plan and its oracle.
     w = Window.partitionBy("event_type").orderBy(
-        F.col("mean_b").asc(), F.col("b").asc()
+        F.col("mean_b").asc_nulls_last(), F.col("b").asc()
     )
     stats = (
         means.withColumn("rk", F.row_number().over(w))
@@ -1395,9 +1396,7 @@ ORACLES["delay_mean_bootstrap"] = f"""
              {_SQL_POIS_MULT} AS mult, value
       FROM (
         SELECT event_type, event_id, value, b,
-               ((('0x' || substr(md5('boot:' || b || ':' || event_id),
-                   1, 15))::BIGINT + 1))::DOUBLE
-                 / 1152921504606846976.0 AS u
+               {sql_uniform01("'boot:' || b || ':' || event_id")} AS u
         FROM ev, (SELECT unnest(range({BOOT_B})) AS b) t
       ) q
     ),
@@ -1412,7 +1411,7 @@ ORACLES["delay_mean_bootstrap"] = f"""
     ranked AS (
       SELECT *, row_number() OVER (
                PARTITION BY event_type
-               ORDER BY mean_b ASC, b ASC) AS rk
+               ORDER BY mean_b ASC NULLS LAST, b ASC) AS rk
       FROM means
     ),
     stats AS (

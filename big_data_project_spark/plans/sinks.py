@@ -276,6 +276,12 @@ def stage_swap_parquet(
             )
     if not fs.rename(tmp_p, target):
         restored = fs.exists(aside_p) and fs.rename(aside_p, target)
+        if restored:
+            # The write FAILED from the caller's view — discard the
+            # marked stage, or the next recover_staging would silently
+            # commit the abandoned batch over the restored original
+            # (compact_parquet makes the same call in this state).
+            _rm_recursive(spark, tmp)
         raise IOError(
             f"stage_swap_parquet: swap-in failed for {target_path!r}"
             + (

@@ -351,21 +351,37 @@ def weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the monotone log form ln(u)/w (identical ordering to u^(1/w),
     no libm pow), 9dp-quantized before ranking with doc_id tie-break."""
     from ..catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return wrs_top_k(wrs_keyed(docs), WRS_K)
+
+
+def wrs_keyed(docs: DataFrame) -> DataFrame:
+    """(doc_id, weight, skey) A-ES sample keys for a documents-shaped
+    frame — THE keying rule, shared by the batch operator and the
+    streaming sample-maintenance twin (streaming/pipeline.py) so the
+    two can never drift. Content-derived (md5 of doc_id): a redelivered
+    doc produces the SAME key, which is what makes the streaming merge
+    idempotent."""
     from ..functions.portable import uniform01
 
-    docs = load_table(spark, sf_dir, "documents").filter(
-        F.col("n_chars") > 0
-    )
     u = uniform01(F.concat(F.lit("wrs:"), F.col("doc_id")))
-    keyed = docs.select(
+    return docs.filter(F.col("n_chars") > 0).select(
         "doc_id",
         F.col("n_chars").alias("weight"),
         pround(F.log(u) / F.col("n_chars"), 9).alias("skey"),
     )
+
+
+def wrs_top_k(keyed: DataFrame, k: int) -> DataFrame:
+    """Ranked top-k of A-ES-keyed rows. Mergeable by construction: the
+    top-k of a union equals the top-k of per-part top-ks, so the same
+    function ranks the one-shot batch sample AND every streaming merge
+    step."""
     w = Window.orderBy(F.col("skey").desc(), F.col("doc_id").asc())
     return (
         keyed.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= WRS_K)
+        .filter(F.col("rank") <= k)
         .select("rank", "doc_id", "weight", "skey")
         .orderBy("rank")
     )

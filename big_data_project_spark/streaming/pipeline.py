@@ -1188,3 +1188,62 @@ def stream_path_trigrams_from_dir(
     spark: SparkSession, events_dir: str
 ) -> DataFrame:
     return stream_path_trigrams(events_source(spark, events_dir))
+
+
+# --- streaming weighted-sample maintenance (A-ES merge property) -----------
+
+DOCS_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+def serve_weighted_sample_foreach_batch(
+    spark: SparkSession,
+    docs_dir: "str | DataFrame",
+    state_path: str,
+    checkpoint_dir: str,
+    k: int | None = None,
+) -> None:
+    """Streaming maintenance of the weighted document sample: as docs
+    arrive, keep the corpus-wide A-ES top-k up to date in a served
+    parquet table — the streaming form of
+    operators/sampling.py::weighted_reservoir_sample, and the reason
+    A-ES is THE streaming weighted sampler: its keys are mergeable
+    (top-k of a union == top-k of per-part top-ks), so each micro-batch
+    only unions its own candidates with the k-row served table and
+    re-ranks. State is the k-row table itself — O(k) regardless of how
+    much history has streamed past.
+
+    Idempotent on redelivery: keys are content-derived (md5 of doc_id,
+    operators/sampling.py::wrs_keyed — the SHARED keying rule), so a
+    replayed doc yields its same key and the doc_id-keyed merge absorbs
+    it; batch-sequence ≡ single-shot convergence is test-asserted.
+
+    foreachBatch + stage_swap_parquet gives the crash-safe read-merge-
+    swap; the checkpoint makes each batch exactly-once."""
+    from ..operators.sampling import WRS_K, wrs_keyed, wrs_top_k
+    from ..plans.sinks import _read_or_none, stage_swap_parquet
+
+    k = WRS_K if k is None else k
+    if isinstance(docs_dir, DataFrame):
+        src = docs_dir
+    else:
+        src = spark.readStream.schema(DOCS_SCHEMA).parquet(docs_dir)
+
+    def _merge(batch_df, _batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        cand = wrs_keyed(batch_df).select("doc_id", "weight", "skey")
+        current = _read_or_none(sess, state_path)
+        if current is not None:
+            cand = cand.unionByName(
+                current.select("doc_id", "weight", "skey")
+            ).dropDuplicates(["doc_id"])
+        stage_swap_parquet(sess, wrs_top_k(cand, k), state_path)
+
+    q = (
+        src.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

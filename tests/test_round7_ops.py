@@ -5,6 +5,7 @@ from __future__ import annotations
 import math
 
 import pytest
+from pyspark.sql import functions as F
 
 from big_data_project_spark.registry import ORACLES, QUERIES
 
@@ -289,3 +290,65 @@ def test_expanding_window_backtest_shape(spark):
         for r in rs:
             assert r["mae"] >= 0
             assert abs(r["bias"]) <= r["mae"] + 1e-9
+
+
+def test_stream_weighted_sample_converges_to_batch(spark, tmp_path):
+    """The streaming sample-maintenance twin: documents streamed in
+    three micro-batches end in exactly the single-shot batch sample
+    (A-ES mergeability), and a replayed batch (redelivery) leaves the
+    served table unchanged (content-derived keys are idempotent)."""
+    from big_data_project_spark.catalog import load_table
+    from big_data_project_spark.operators.sampling import (
+        wrs_keyed,
+        wrs_top_k,
+    )
+    from big_data_project_spark.streaming.pipeline import (
+        serve_weighted_sample_foreach_batch,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    src_dir = str(tmp_path / "docs_feed")
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+
+    state = str(tmp_path / "served_sample")
+    serve_weighted_sample_foreach_batch(
+        spark,
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir),
+        state,
+        str(tmp_path / "ckpt"),
+        k=25,
+    )
+    served = sorted(
+        tuple(r) for r in spark.read.parquet(state).collect()
+    )
+    expected = sorted(
+        tuple(r) for r in wrs_top_k(wrs_keyed(docs), 25).collect()
+    )
+    assert served == expected
+
+    # redelivery: replaying one batch through the merge is a no-op
+    from big_data_project_spark.streaming import pipeline as sp
+
+    replay = docs.filter(F.col("doc_id") % 3 == 1)
+    from big_data_project_spark.operators.sampling import wrs_keyed as wk
+    from big_data_project_spark.plans.sinks import (
+        _read_or_none,
+        stage_swap_parquet,
+    )
+
+    cand = wk(replay).select("doc_id", "weight", "skey").unionByName(
+        _read_or_none(spark, state).select("doc_id", "weight", "skey")
+    ).dropDuplicates(["doc_id"])
+    stage_swap_parquet(spark, wrs_top_k(cand, 25), state)
+    assert (
+        sorted(tuple(r) for r in spark.read.parquet(state).collect())
+        == expected
+    )

@@ -846,9 +846,10 @@ def event_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     INTO — the stationary-importance companion of the raw transition
     probabilities. Demonstrates the iterative-dataflow class: the K
     power iterations are UNROLLED into one declarative plan (the graph
-    is types-sized, so each iteration is a tiny hash join; a
-    billion-node graph would iterate the same two-relation step with a
-    localCheckpoint per round, as dedup_clusters does).
+    is types-sized, so each iteration is a tiny hash join) with a
+    localCheckpoint per round truncating lineage, as dedup_clusters
+    does — a billion-node graph iterates the identical two-relation
+    step.
 
     Determinism: contributions are decimal-exact folds per iteration
     (each addend quantized at 1e-6 identically on both engines); the
@@ -908,6 +909,11 @@ def event_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + d * F.coalesce(F.col("inflow"), F.lit(0.0))
                 ).alias("pr"),
             )
+            # lineage truncation per round (the dedup_clusters /
+            # bpe_vocab_k_rounds pattern): without it the final plan
+            # nests all K iterations and analysis/codegen dominates
+            # the types-sized data cost
+            .localCheckpoint(eager=True)
         )
     return (
         pr.select("node", pround("pr", 6).alias("pagerank"))

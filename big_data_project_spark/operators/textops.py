@@ -562,15 +562,24 @@ def bpe_vocab_k_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same vocab-not-corpus shape as bpe_merge_pairs); each round
     then runs explode + aggregate + a 1-row argmax + a broadcast
     crossJoin over the VOCABULARY relation only. Round results are
-    persisted so round r+1 never recomputes rounds 1..r.
+    eagerly localCheckpoint-ed (the dedup_clusters lineage-truncation
+    pattern), so round r+1 never recomputes rounds 1..r AND the final
+    plan stays shallow — the lazy-persist form compiled one plan
+    nesting all five rounds and spent ~10 s in analysis/codegen
+    (measured 15.6 s -> 5.2 s at sf0.01).
 
     Determinism: exact integer pair counts, winner total-ordered by
     (count DESC, pair ASC), literal (non-regex) replaces."""
     from ..catalog import load_table_spread
-    from .dedup import _persisted
 
     docs = load_table_spread(spark, sf_dir, "documents", "doc_id")
-    vocab = _persisted(
+    # localCheckpoint (the dedup_clusters lineage-truncation pattern)
+    # instead of persist(): with lazy persists the final 5-round union
+    # is ONE plan nesting every round's explode+aggregate+crossJoin —
+    # analysis/codegen of that tree cost ~10s of the key's ~16s wall.
+    # Eager checkpoints keep each round's plan shallow; the vocabulary
+    # relation being checkpointed is tiny (distinct words).
+    vocab = (
         docs.select(F.explode(_toks(F.col("text"))).alias("w"))
         .filter(F.length("w") >= 2)
         .groupBy("w")
@@ -581,6 +590,7 @@ def bpe_vocab_k_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(" "), F.regexp_replace(F.col("w"), "(.)", "$1 ")
             ).alias("seq"),
         )
+        .localCheckpoint(eager=True)
     )
     rows = []
     for r in range(1, BPE_ROUNDS + 1):
@@ -600,7 +610,7 @@ def bpe_vocab_k_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         # count DESC, pair ASC) — a whole-relation row_number window
         # here would sort the pair vocabulary in a single task per
         # round.
-        winner = _persisted(
+        winner = (
             pairs.groupBy("pair")
             .agg(F.sum("freq").cast("bigint").alias("n"))
             .agg(
@@ -613,6 +623,7 @@ def bpe_vocab_k_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("w")
             )
             .select(F.col("w.pair").alias("pair"), F.col("w.n").alias("n"))
+            .localCheckpoint(eager=True)
         )
         pat = F.concat(F.lit(" "), F.col("pair"), F.lit(" "))
         rep = F.concat(
@@ -620,13 +631,14 @@ def bpe_vocab_k_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.replace(F.col("pair"), F.lit(" "), F.lit("")),
             F.lit(" "),
         )
-        vocab = _persisted(
+        vocab = (
             vocab.crossJoin(F.broadcast(winner)).select(
                 "freq",
                 F.replace(
                     F.replace(F.col("seq"), pat, rep), pat, rep
                 ).alias("seq"),
             )
+            .localCheckpoint(eager=True)
         )
         n_spaces = F.length("seq") - F.length(
             F.replace(F.col("seq"), F.lit(" "), F.lit(""))

@@ -1543,7 +1543,7 @@ ORACLES["expanding_window_backtest"] = f"""
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
       QUALIFY fold >= 2
     )
-    SELECT f.route_id, f.fold, max(t.n_train) AS n_train,
+    SELECT f.route_id, f.fold, CAST(max(t.n_train) AS BIGINT) AS n_train,
            count(*) AS n_test,
            {sql_pround('max(t.train_mean_raw)', 4)} AS train_mean,
            {sql_pround(

@@ -181,6 +181,8 @@ def _run_sf1_tier(spark) -> tuple[dict | None, dict | None]:
     tier_t0 = time.perf_counter()
     cold: dict[str, float] = {}
     steady: dict[str, float] = {}
+    cotenant: dict[str, float] = {}
+    meter = _CoTenantMeter()
     truncated = False
     for name in SF1_KEYS:
         if time.perf_counter() - tier_t0 > budget:
@@ -191,6 +193,7 @@ def _run_sf1_tier(spark) -> tuple[dict | None, dict | None]:
             df = QUERIES[name](spark, sf1_dir)
             df.write.format("noop").mode("overwrite").save()
 
+        meter.start()
         t0 = time.perf_counter()
         run()
         cold[name] = round(time.perf_counter() - t0, 3)
@@ -200,8 +203,10 @@ def _run_sf1_tier(spark) -> tuple[dict | None, dict | None]:
             run()
             runs.append(time.perf_counter() - t0)
         steady[name] = round(min(runs), 3)
+        cotenant[name] = round(meter.stop(), 2)
         print(
             f"# sf1 {name}: cold {cold[name]:.3f}s, best {steady[name]:.3f}s"
+            f", cotenant_cores {cotenant[name]:.1f}"
             + (
                 f", pandas {pandas_q[name]:.3f}s"
                 if name in pandas_q
@@ -211,27 +216,38 @@ def _run_sf1_tier(spark) -> tuple[dict | None, dict | None]:
         )
     shared = [k for k in steady if k in pandas_q]
     le_1x = sum(1 for k in shared if steady[k] <= pandas_q[k])
+    cpus_quota = len(os.sched_getaffinity(0))
+    sf1_contended = sorted(
+        k
+        for k, co in cotenant.items()
+        if co > CONTENTION_LOAD_FRACTION * cpus_quota
+    )
     summary = {
         "tile": tile,
         # totals compare the SAME key set on both engines; when the
         # committed pandas baseline doesn't match this tile, the
-        # comparison is meaningless and says so instead of printing
-        # spark-seconds next to a zero
+        # comparison is meaningless — null totals, not spark-seconds
+        # printed next to a zero (round-7 ADVICE)
         "total_spark_sec": round(sum(steady[k] for k in shared), 3)
         if shared
         else round(sum(steady.values()), 3),
-        "total_pandas_sec": round(sum(pandas_q[k] for k in shared), 3),
-        "keys_spark_le_pandas": f"{le_1x}/{len(shared)}",
+        "total_pandas_sec": round(sum(pandas_q[k] for k in shared), 3)
+        if shared
+        else None,
+        "keys_spark_le_pandas": f"{le_1x}/{len(shared)}" if shared else None,
         "truncated": truncated,
     }
     if not shared:
         summary["baseline_mismatch"] = True
+    if sf1_contended:
+        summary["contended_keys"] = sf1_contended
     detail = {
         "tile": tile,
         "build_sec": build_sec,
         "dir": sf1_dir,
         "spark_steady": steady,
         "spark_cold": cold,
+        "cotenant_cores": cotenant,
         "pandas": pandas_q,
         "ratio_spark_over_pandas": {
             k: round(steady[k] / pandas_q[k], 3) for k in shared
@@ -296,6 +312,77 @@ def _load_snapshot() -> dict:
         "load_15m": round(la15, 2),
         "cpus": len(os.sched_getaffinity(0)),
     }
+
+
+# --- in-run co-tenant metering (round-7 verdict item 2) ---------------------
+# The pre-flight `contended` flag samples load BEFORE Spark starts; r07
+# was poisoned by co-tenant load that climbed 6.7 -> 25.3 cores DURING
+# the run (27/42 keys "regressed" 1.3-4.6x with no code change). The
+# 1-min load average mid-run is useless for flagging — it includes our
+# own 32 executor threads. Instead, measure co-tenant CPU directly per
+# key window: (host busy jiffies delta − our process-tree jiffies
+# delta) / wall. Keys measured above the threshold are flagged, retried
+# once at end-of-run, and the headline self-labels.
+
+_CLK_TCK = os.sysconf("SC_CLK_TCK")
+
+
+def _host_busy_jiffies() -> int:
+    with open("/proc/stat") as fh:
+        parts = fh.readline().split()
+    # cpu: user nice system idle iowait irq softirq steal ...
+    v = [int(x) for x in parts[1:9]]
+    return v[0] + v[1] + v[2] + v[5] + v[6] + v[7]
+
+
+def _tree_jiffies() -> int:
+    """utime+stime of this process and every live descendant (the
+    Spark JVM, pyspark daemons). Dead short-lived children undercount
+    SELF, which only ever OVERCOUNTS co-tenant load — flagging stays
+    conservative in the safe direction (more retries, never a silently
+    poisoned number)."""
+    me = os.getpid()
+    stats: dict[int, tuple[int, int]] = {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat") as fh:
+                s = fh.read()
+        except OSError:
+            continue
+        try:
+            rest = s[s.rindex(")") + 2:].split()
+            stats[int(d)] = (int(rest[1]), int(rest[11]) + int(rest[12]))
+        except (ValueError, IndexError):
+            continue
+    tree = {me}
+    changed = True
+    while changed:
+        changed = False
+        for pid, (ppid, _) in stats.items():
+            if ppid in tree and pid not in tree:
+                tree.add(pid)
+                changed = True
+    return sum(j for pid, (_, j) in stats.items() if pid in tree)
+
+
+class _CoTenantMeter:
+    """Average co-tenant busy CORES over a start()..stop() window."""
+
+    def start(self) -> None:
+        self._t0 = time.monotonic()
+        self._h0 = _host_busy_jiffies()
+        self._s0 = _tree_jiffies()
+
+    def stop(self) -> float:
+        dt = time.monotonic() - self._t0
+        if dt <= 0:
+            return 0.0
+        other = (_host_busy_jiffies() - self._h0) - (
+            _tree_jiffies() - self._s0
+        )
+        return max(0.0, other / _CLK_TCK / dt)
 
 
 def _stream_events_hourly_bench(spark, events_dir: str):
@@ -403,36 +490,36 @@ def main() -> None:
 
         timings: dict[str, float] = {}
         loads: dict[str, list[float]] = {}
-        total = 0.0
+        cotenant_cores: dict[str, float] = {}
         # 5 mandatory trials: under ambient host load (other tenants keep
         # ~4 cores busy) a 3-trial floor still carries ~20-30% cross-process
         # spread on sub-second queries; the min over 5+ trials is stable.
         min_repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "5"))
         max_repeats = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_REPEATS", "15"))
-        for name in HEADLINE:
-            # Time a noop-sink write: .count() would let Catalyst prune every
-            # aggregate/projection expression (verified — the executed count
-            # plan drops the sums entirely), so only a full materializing
-            # sink measures the real query cost.
-            #
-            # Adaptive best-of-N with min-stabilization (JMH-style): repeat
-            # until the two fastest runs agree within 2% (or 20 ms for the
-            # sub-100ms queries), then report the MIN. Run 1 pays one-time
-            # costs (codegen compile, AQE planning, materializing the shared
-            # rollup tier); later runs carry transient scheduler/GC noise
-            # that only ever ADDS time — the stabilized minimum is the
-            # load-insensitive estimate of true query cost, which a fixed
-            # median-of-3 wasn't (±15% run-to-run observed in round 1-2).
-            load_before = _load_snapshot()["load_1m"]
+        cpus_quota = ambient["cpus"]
+        meter = _CoTenantMeter()
+
+        def measure_steady(name: str) -> tuple[float, list[float], float]:
+            """(best-of-N steady min, all runs, co-tenant busy cores
+            averaged over the measurement window).
+
+            Time a noop-sink write: .count() would let Catalyst prune every
+            aggregate/projection expression (verified — the executed count
+            plan drops the sums entirely), so only a full materializing
+            sink measures the real query cost.
+
+            Adaptive best-of-N with min-stabilization (JMH-style): repeat
+            until no new floor appears for 3 trials, then report the MIN.
+            Ambient load only ever ADDS time, so the min converges from
+            above — "no new floor in 3 trials" is the convergence signal.
+            """
+            meter.start()
             runs: list[float] = []
             since_new_min = 0
             while len(runs) < max_repeats:
                 t0 = time.perf_counter()
-                df = run_once(name)
+                run_once(name)
                 dt_run = time.perf_counter() - t0
-                # Track how long the floor has been stable: ambient host
-                # load only ever ADDS time, so the min converges from above
-                # and "no new floor in 3 trials" is the convergence signal.
                 if runs and dt_run < min(runs) * 0.995:
                     since_new_min = 0
                 else:
@@ -440,18 +527,55 @@ def main() -> None:
                 runs.append(dt_run)
                 if len(runs) >= min_repeats and since_new_min >= 3:
                     break
-            dt = min(runs)
+            return min(runs), runs, meter.stop()
+
+        for name in HEADLINE:
+            load_before = _load_snapshot()["load_1m"]
+            dt, runs, co = measure_steady(name)
             loads[name] = [load_before, _load_snapshot()["load_1m"]]
-            # untimed, display only (streaming frames can't be counted)
-            n = "n/a" if df.isStreaming else df.count()
+            cotenant_cores[name] = round(co, 2)
             timings[name] = round(dt, 3)
-            total += dt
             runs_s = "/".join(f"{r:.2f}" for r in runs)
             print(
                 f"# {name}: cold {cold[name]:.3f}s, best {dt:.3f}s of "
-                f"[{runs_s}] rows={n} load={loads[name]}",
+                f"[{runs_s}] cotenant_cores={co:.1f} load={loads[name]}",
                 flush=True,
             )
+
+        # End-of-run retry of contention-flagged keys (round-7 verdict
+        # item 2): a key whose measurement window saw co-tenant load
+        # above the threshold gets ONE re-measurement; if the retry
+        # window is quiet the retry number replaces the poisoned one
+        # (min-of-N converges from above, so the better number is
+        # always at least as truthful); if the retry is ALSO contended
+        # the key stays flagged and the headline self-labels.
+        flagged = [
+            k
+            for k in HEADLINE
+            if cotenant_cores[k] > CONTENTION_LOAD_FRACTION * cpus_quota
+        ]
+        retries: dict[str, dict] = {}
+        for name in flagged:
+            dt, runs, co = measure_steady(name)
+            retries[name] = {
+                "steady_sec": round(dt, 3),
+                "cotenant_cores": round(co, 2),
+            }
+            if dt < timings[name]:
+                timings[name] = round(dt, 3)
+            # the key's reported contention level is the QUIETEST
+            # window it was measured under
+            cotenant_cores[name] = min(cotenant_cores[name], round(co, 2))
+            print(
+                f"# retry {name}: best {dt:.3f}s cotenant_cores={co:.1f}",
+                flush=True,
+            )
+        contended_keys = sorted(
+            k
+            for k in HEADLINE
+            if cotenant_cores[k] > CONTENTION_LOAD_FRACTION * cpus_quota
+        )
+        total = sum(timings.values())
 
         # Two artifacts (round-4 verdict item 1: the driver tails ~2 KB
         # of stdout, and r04's single ~4 KB line was truncated to
@@ -502,6 +626,10 @@ def main() -> None:
             "ambient_load": ambient,
             "load_final": _load_snapshot(),
             "query_load_1m": loads,
+            # per-key co-tenant busy cores averaged over the (quietest)
+            # measurement window — the in-run contention evidence
+            "query_cotenant_cores": cotenant_cores,
+            "contention_retries": retries,
             "min_repeats": min_repeats,
             "max_repeats": max_repeats,
         }
@@ -536,6 +664,18 @@ def main() -> None:
                     # absolute numbers should not be compared across rounds
                     # (min-of-N still converges from above).
                     "contended": contended,
+                    # keys whose EVERY measurement window (initial +
+                    # one retry) saw co-tenant CPU above 25% of the
+                    # quota — their numbers are inflated by co-tenant
+                    # work and self-labeled as such (round-7 verdict:
+                    # the pre-flight flag alone let a mid-run load
+                    # spike publish noise as regression signal)
+                    "contended_during_run": bool(contended_keys),
+                    **(
+                        {"contended_keys": contended_keys}
+                        if contended_keys
+                        else {}
+                    ),
                     # fraction of the CPU quota the ambient 1-min load
                     # was eating when the bench started — readers judge
                     # sub-threshold contention without BENCH_DETAIL

@@ -293,11 +293,67 @@ def baseline_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rank", "model")
 
 
+def ml_dataset_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-backed audit of the DETERMINISTIC share of the RF
+    pipeline (round-7 verdict item 7): the shift(-1) label derivation
+    and the 80/20 time-ordered split membership, per split — n_rows,
+    route/hour coverage, time range, and exact decimal label mass. The
+    only thing left rows-only in ml/demand.py is the RandomForest's own
+    scores.
+
+    The cut rule here is the portable one — the smallest hour whose
+    cumulative row share reaches SPLIT_RATIO (cume_dist over the hour
+    axis) — mirrored exactly in the DuckDB oracle; a unit test bounds
+    it against ``_split``'s approxQuantile cut. Scale: the ranking
+    window runs over the DISTINCT-HOURS relation (already grouped —
+    days×24 rows, never the rollup), the tag is a broadcast scalar
+    join, and the audit aggregate is one rollup-sized groupBy."""
+    from ..functions.portable import davg, dsum
+
+    base = training_frame(spark, sf_dir).select(
+        "route_id",
+        "hour_ts",
+        F.unix_timestamp("hour_ts").alias("t"),
+        F.col("passengers_next_hour").alias("label"),
+    )
+    byt = base.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    cum = byt.withColumn("cum_c", F.sum("c").over(w))
+    total = base.agg(F.count(F.lit(1)).alias("n"))
+    cut = (
+        cum.join(F.broadcast(total))
+        .filter(F.col("cum_c") >= F.lit(SPLIT_RATIO) * F.col("n"))
+        .agg(F.min("t").alias("cut_t"))
+    )
+    tagged = base.join(F.broadcast(cut)).select(
+        F.when(F.col("t") <= F.col("cut_t"), F.lit("train"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+        "route_id",
+        "hour_ts",
+        "label",
+    )
+    return (
+        tagged.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("route_id").alias("n_routes"),
+            F.countDistinct("hour_ts").alias("n_hours"),
+            F.min("hour_ts").alias("hour_min"),
+            F.max("hour_ts").alias("hour_max"),
+            dsum("label", 2).alias("label_sum"),
+            davg("label", 4).alias("label_avg"),
+        )
+        .orderBy("split")
+    )
+
+
 QUERIES = {
     "rf_demand_model": rf_demand_model,
     "rf_demand_predictions": rf_demand_predictions,
     "demand_model_leaderboard": demand_model_leaderboard,
     "baseline_leaderboard": baseline_leaderboard,
+    "ml_dataset_split_audit": ml_dataset_split_audit,
 }
 
 # rows-only for the RF keys (model output is not SQL-expressible);
@@ -347,3 +403,47 @@ def _baseline_leaderboard_sql() -> str:
 
 
 ORACLES["baseline_leaderboard"] = _baseline_leaderboard_sql()
+
+
+def _split_audit_sql() -> str:
+    from ..functions.portable import sql_davg, sql_dsum
+    from ..operators.kpi import SQL_ML_DATASET
+
+    return f"""
+        WITH ds AS ({SQL_ML_DATASET}),
+        lab AS (
+          SELECT route_id, hour_ts,
+                 lead(passengers) OVER (
+                   PARTITION BY route_id ORDER BY hour_ts) AS label
+          FROM ds
+        ),
+        base AS (
+          SELECT route_id, hour_ts, epoch(hour_ts) AS t, label
+          FROM lab WHERE label IS NOT NULL
+        ),
+        byt AS (SELECT t, count(*) AS c FROM base GROUP BY t),
+        cum AS (
+          SELECT t, sum(c) OVER (ORDER BY t) AS cum_c,
+                 (SELECT count(*) FROM base) AS n
+          FROM byt
+        ),
+        cutv AS (
+          SELECT min(t) AS cut_t FROM cum
+          WHERE cum_c >= {SPLIT_RATIO} * n
+        ),
+        tagged AS (
+          SELECT CASE WHEN t <= cut_t THEN 'train' ELSE 'test' END AS split,
+                 route_id, hour_ts, label
+          FROM base, cutv
+        )
+        SELECT split, count(*) AS n_rows,
+               count(DISTINCT route_id) AS n_routes,
+               count(DISTINCT hour_ts) AS n_hours,
+               min(hour_ts) AS hour_min, max(hour_ts) AS hour_max,
+               {sql_dsum('label', 2)} AS label_sum,
+               {sql_davg('label', 4)} AS label_avg
+        FROM tagged GROUP BY split ORDER BY split
+    """
+
+
+ORACLES["ml_dataset_split_audit"] = _split_audit_sql()

@@ -377,11 +377,19 @@ def wrs_top_k(keyed: DataFrame, k: int) -> DataFrame:
     """Ranked top-k of A-ES-keyed rows. Mergeable by construction: the
     top-k of a union equals the top-k of per-part top-ks, so the same
     function ranks the one-shot batch sample AND every streaming merge
-    step."""
+    step.
+
+    The k-cut is sort+limit, which Spark executes as
+    TakeOrderedAndProject — per-partition bounded top-k heaps merged at
+    the driver, never a global sort (round-7 advice: the previous
+    unpartitioned-window rank moved the whole keyed relation into one
+    task). Only the k survivors see the ranking window."""
+    cut = keyed.orderBy(
+        F.col("skey").desc(), F.col("doc_id").asc()
+    ).limit(k)
     w = Window.orderBy(F.col("skey").desc(), F.col("doc_id").asc())
     return (
-        keyed.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        cut.withColumn("rank", F.row_number().over(w))
         .select("rank", "doc_id", "weight", "skey")
         .orderBy("rank")
     )

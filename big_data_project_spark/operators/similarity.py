@@ -438,6 +438,32 @@ def _km_fit(v: DataFrame) -> tuple[DataFrame, DataFrame]:
     return cent, _km_assign(v, cent)
 
 
+def _km_fit_shared(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Session-memoized k-means fit (round-7 verdict item 4): the
+    centroids AND the final persisted assignment are built once per
+    (application, sf_dir) and shared by every consumer —
+    ``ivf_kmeans_cells`` and ``ann_ivf_kmeans_topk`` previously each
+    re-ran the full unrolled Lloyd pipeline (13 stages apiece at the
+    bench tier) for the identical fit."""
+    from ..rollups import shared_rollup
+
+    cent = shared_rollup(
+        spark,
+        sf_dir,
+        "ivf_km_centroids",
+        lambda sp, sd: _km_fit(_km_vectors(sp, sd))[0],
+    )
+    assigned = shared_rollup(
+        spark,
+        sf_dir,
+        "ivf_km_assigned",
+        lambda sp, sd: _km_assign(_km_vectors(sp, sd), cent),
+    )
+    return cent, assigned
+
+
 def ivf_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cell summary of the DISTRIBUTED k-means fit: member count,
     decimal-mean within-cell squared distance, centroid norm — the
@@ -446,8 +472,7 @@ def ivf_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     (init + every assign/recompute round) agrees across engines."""
     from ..functions.portable import davg
 
-    v = _km_vectors(spark, sf_dir)
-    cent, assigned = _km_fit(v)
+    cent, assigned = _km_fit_shared(spark, sf_dir)
     stats = assigned.groupBy("cell").agg(
         F.count(F.lit(1)).alias("n_members"),
         davg("d2", 6).alias("avg_dist2"),
@@ -469,12 +494,11 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     same broadcast centroid array) and exact cosine ranks the members
     of those cells — ann_ivf_topk's exact shape, but with the fit
     stage inside the oracle contract instead of a driver-side numpy
-    loop. Probe cost per query stays corpus/IVF_CELLS × IVF_NPROBE."""
-    from .dedup import _persisted
-
+    loop. Probe cost per query stays corpus/IVF_CELLS × IVF_NPROBE.
+    The fit (centroids + persisted assignment) is the session-shared
+    one — computed once for this key and ``ivf_kmeans_cells`` both."""
     v = _km_vectors(spark, sf_dir)
-    cent, assigned = _km_fit(v)
-    assigned = _persisted(assigned.select("vec_id", "e", "cell"))
+    cent, assigned = _km_fit_shared(spark, sf_dir)
     cs = cent.agg(F.collect_list(F.struct("cell", "ce")).alias("cs"))
     ranked = F.transform(
         F.col("cs"),

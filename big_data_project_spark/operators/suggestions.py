@@ -144,6 +144,28 @@ def _apply_rules(kpi: DataFrame) -> DataFrame:
         0.60 * over + 0.20 * peak + 0.20 * delay_norm, 0.0, 1.0
     )
 
+    # Reason-payload fields (generate_suggestions.py:128-185): the rule
+    # string plus the rule-conditional targets. Only the JSON exporter
+    # reads these; the registry keys project them away.
+    rule = (
+        F.when(ppt.isNull(), F.lit("missing trip estimate"))
+        .when(ppt > CAP_TARGET, F.lit("ppt > cap_target"))
+        .when(
+            (ppt < CAP_LOW) & (peak == 0),
+            F.lit("ppt < cap_low and off-peak"),
+        )
+        .otherwise(F.lit("within normal range"))
+    )
+    acted = ~ppt.isNull() & (
+        (ppt > CAP_TARGET) | ((ppt < CAP_LOW) & (peak == 0))
+    )
+    raw_rec = F.when(
+        ppt > CAP_TARGET, _clamp(raw_rec_inc, MIN_HEADWAY, MAX_HEADWAY)
+    ).when(
+        (ppt < CAP_LOW) & (peak == 0),
+        _clamp(raw_rec_dec, MIN_HEADWAY, MAX_HEADWAY),
+    )
+
     return df.select(
         "route_id",
         "hour_ts",
@@ -155,6 +177,17 @@ def _apply_rules(kpi: DataFrame) -> DataFrame:
         "is_peak_hour",
         "active_vehicles",
         "avg_headway_min",
+        # --- reason fields (export payload only) ---
+        rule.alias("rule"),
+        "predicted_passengers",
+        "observed_passengers",
+        "avg_delay_seconds",
+        F.col("trips_per_hour_est"),
+        F.col("capacity_est").alias("capacity_est_per_hour"),
+        F.col("load_factor").alias("load_factor_per_hour"),
+        "passengers_per_trip_est",
+        F.when(acted, tphr_target).alias("trips_per_hour_target"),
+        raw_rec.alias("raw_recommended_headway_min"),
     )
 
 
@@ -225,6 +258,61 @@ def _route_rows_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_cur_hw").alias("current_headway_min"),
         F.col("s_rec_hw").alias("recommended_headway_min"),
         F.coalesce("s_score", F.lit(0.0)).alias("priority_score"),
+    )
+
+
+def route_export_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-hour payload WITH the reason fields — the flat relation
+    the JSON exporter (plans/exports.py) nests into the reference's
+    ``route_suggestions_latest.json`` item shape
+    (export_suggestions_json.py:88-146 SQL_LATEST_ROWS + the stored
+    ``reasons`` JSONB from generate_suggestions.py:128-185). All rule
+    math runs here, in codegen; the exporter only arranges the
+    routes-sized collected result into nested dicts."""
+    kpi = kpi_hourly(spark, sf_dir)
+    latest = kpi.agg(F.max("hour_ts").alias("max_ts"))
+    k = kpi.join(F.broadcast(latest)).filter(
+        F.col("hour_ts") == F.col("max_ts")
+    )
+    s = _suggestions_full(spark, sf_dir).filter(
+        F.col("action") != "keep"
+    ).select(
+        "route_id",
+        "hour_ts",
+        F.col("action").alias("s_action"),
+        F.col("current_headway_min").alias("s_cur_hw"),
+        F.col("recommended_headway_min").alias("s_rec_hw"),
+        F.col("priority_score").alias("s_score"),
+        F.col("confidence").alias("s_confidence"),
+        F.col("rule").alias("s_rule"),
+        F.col("trips_per_hour_est").alias("s_tphr"),
+        F.col("capacity_est_per_hour").alias("s_cap_est"),
+        F.col("load_factor_per_hour").alias("s_load_factor"),
+        F.col("passengers_per_trip_est").alias("s_ppt"),
+        F.col("trips_per_hour_target").alias("s_tphr_target"),
+        F.col("raw_recommended_headway_min").alias("s_raw_rec"),
+    )
+    return k.join(F.broadcast(s), ["route_id", "hour_ts"], "left").select(
+        "route_id",
+        "hour_ts",
+        "predicted_passengers",
+        "observed_passengers",
+        "active_vehicles",
+        "avg_headway_min",
+        "avg_delay_seconds",
+        "is_peak_hour",
+        F.coalesce("s_action", F.lit("needs_data")).alias("action"),
+        F.col("s_cur_hw").alias("current_headway_min"),
+        F.col("s_rec_hw").alias("recommended_headway_min"),
+        F.coalesce("s_score", F.lit(0.0)).alias("priority_score"),
+        F.col("s_confidence").alias("confidence"),
+        F.col("s_rule").alias("rule"),
+        F.col("s_tphr").alias("trips_per_hour_est"),
+        F.col("s_cap_est").alias("capacity_est_per_hour"),
+        F.col("s_load_factor").alias("load_factor_per_hour"),
+        F.col("s_ppt").alias("passengers_per_trip_est"),
+        F.col("s_tphr_target").alias("trips_per_hour_target"),
+        F.col("s_raw_rec").alias("raw_recommended_headway_min"),
     )
 
 

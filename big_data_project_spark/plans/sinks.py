@@ -91,6 +91,18 @@ def recover_staging(spark: SparkSession, target_path: str) -> str | None:
     Called automatically at the head of every sink write AND every
     table read helper, so the table self-heals on the next touch.
 
+    Concurrency contract: because read helpers invoke this, reads are
+    NOT side-effect-free — a reader that finds crash debris performs
+    repair renames on the table directory. The single-writer contract
+    is therefore writer-plus-readers: readers must not run concurrently
+    with a LIVE writer on the same path (a reader can complete the swap
+    the writer is between renames of, making the writer's own rename
+    fail and report a spurious error for a commit that actually
+    landed — state converges, the report doesn't). Concurrent
+    reader-with-writer workloads belong on the snapshot tables
+    (:func:`upsert_snapshot` / :func:`read_snapshot`), whose readers
+    never mutate.
+
     Returns a short action string for the caller's audit log (or None
     when there was nothing to repair). All states are crash states of
     :func:`stage_swap_parquet` / :func:`upsert_parquet`; every repair
@@ -282,12 +294,21 @@ def stage_swap_parquet(
             # commit the abandoned batch over the restored original
             # (compact_parquet makes the same call in this state).
             _rm_recursive(spark, tmp)
+        else:
+            # No aside to restore (first-ever write) or the restore
+            # itself failed: the stage must still not look committable —
+            # strip the marker so the next recover_staging DISCARDS it
+            # (or restores the aside) instead of silently committing a
+            # batch the caller was just told failed. The staged files
+            # stay behind, unmarked, for manual inspection until the
+            # next touch drops them.
+            _rm_recursive(spark, tmp + "/" + _SWAP_MARK)
         raise IOError(
             f"stage_swap_parquet: swap-in failed for {target_path!r}"
             + (
                 "; original restored"
                 if restored
-                else f"; complete staged copy is at {tmp!r}"
+                else f"; staged copy (unmarked) is at {tmp!r}"
             )
         )
     _rm_recursive(spark, aside)

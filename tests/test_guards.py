@@ -43,8 +43,8 @@ def test_export_rows_cap_trips(spark, monkeypatch):
     monkeypatch.setattr(exports, "MAX_EXPORT_ROWS", 2)
     df = spark.range(3)
     with pytest.raises(ValueError, match="export payload exceeds"):
-        exports._rows(df)
+        exports._collect(df)
 
 
 def test_export_rows_under_cap_ok(spark):
-    assert len(exports._rows(spark.range(5))) == 5
+    assert len(exports._collect(spark.range(5))) == 5

@@ -379,10 +379,15 @@ class _CoTenantMeter:
         dt = time.monotonic() - self._t0
         if dt <= 0:
             return 0.0
-        other = (_host_busy_jiffies() - self._h0) - (
-            _tree_jiffies() - self._s0
-        )
-        return max(0.0, other / _CLK_TCK / dt)
+        # A pyspark worker that dies mid-window takes its accumulated
+        # jiffies out of the tree sum, making the self delta negative
+        # and "other" impossibly large — floor self at 0 and cap the
+        # result at the core count (still conservative: undercounted
+        # self only ever OVERSTATES co-tenant load).
+        self_d = max(0, _tree_jiffies() - self._s0)
+        other = (_host_busy_jiffies() - self._h0) - self_d
+        cores = max(0.0, other / _CLK_TCK / dt)
+        return min(cores, float(len(os.sched_getaffinity(0))))
 
 
 def _stream_events_hourly_bench(spark, events_dir: str):

@@ -714,12 +714,13 @@ BM25_QUERY_TERMS = (
 def bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k documents per query by Okapi BM25 (k1=1.2, b=0.75).
 
-    Plan shape for 100 TB: doc length rides along the SAME projection
-    that explodes tokens (a map-side size(), no second corpus scan and
-    no corpus-corpus join); the explode output is filtered to the
-    query vocabulary immediately, so the tf aggregate shuffles only
-    the matching slice, never the full token stream; df and the
-    corpus stats (N, avgdl) are vocabulary-/one-row-sized broadcasts.
+    Plan shape for 100 TB: ONE corpus tokenize pass — a persisted
+    (doc_id, dl, query-vocabulary token array) projection feeds both
+    the tf explode (pre-filtered map-side to the query vocabulary, so
+    the aggregate shuffles only the matching slice) and the N/avgdl
+    stats aggregate (round-8: the stats previously re-split every
+    document, a second full corpus scan the sf1 tier billed); df and
+    the corpus stats are vocabulary-/one-row-sized broadcasts.
 
     Portability: tf/df/dl/N are exact integers, both engines evaluate
     the identically-shaped double expression, each per-term score is
@@ -730,16 +731,21 @@ def bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.filter(
         F.split(_norm(F.col("text")), " "), lambda t: t != ""
     )
-    exploded = docs.select(
-        "doc_id",
-        F.size(toks).alias("dl"),
-        F.explode(toks).alias("tok"),
-    ).filter(F.col("tok").isin(*vocab))
+    base = _persisted(
+        docs.select(
+            "doc_id",
+            F.size(toks).alias("dl"),
+            F.filter(toks, lambda t: t.isin(*vocab)).alias("qtoks"),
+        )
+    )
+    exploded = base.select(
+        "doc_id", "dl", F.explode("qtoks").alias("tok")
+    )
     tf = exploded.groupBy("doc_id", "dl", "tok").agg(
         F.count(F.lit(1)).alias("tf")
     )
     dfq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    stats = docs.select(F.size(toks).alias("dl")).agg(
+    stats = base.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("dl").alias("sum_dl"),
     )

@@ -1247,3 +1247,101 @@ ORACLES["context_len_padding_audit"] = f"""
              AS single_seq_share
     FROM agg ORDER BY max_len
 """
+
+
+# --- feature-hashing collision audit ----------------------------------------
+
+FH_BUCKETS = 16  # deliberately below the vocabulary size (the
+# synthetic corpus has ~31 distinct tokens) so collisions -- the
+# thing the audit measures -- actually occur; same rationale as
+# CM_WIDTH in operators/sketches.py
+
+
+def feature_hash_collision_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Collision audit of the hashing trick (Weinberger et al. 2009,
+    ICML — feature hashing maps an unbounded vocabulary into FH_BUCKETS
+    fixed dimensions): bucket-occupancy histogram over the corpus
+    vocabulary — for each occupancy level k, how many buckets hold k
+    distinct tokens and how much token MASS (total occurrences) sits in
+    them. Rows with occupancy ≥ 2 are the collisions; their mass share
+    is the fraction of feature weight the model cannot disambiguate.
+    The sizing check you run BEFORE committing to a hashed feature
+    space — too-small K shows up as heavy mass at high occupancy.
+
+    Scale: the vocabulary aggregate is the ONE corpus token shuffle
+    (map-side combined, token_frequencies' shape); everything after is
+    vocabulary-sized, then FH_BUCKETS-sized, then occupancy-levels-
+    sized. The md5-derived bucket hash is the engine-portable stand-in
+    for murmurhash — deterministic, so the whole audit sits under the
+    oracle hash gate."""
+    docs = load_table_spread(spark, sf_dir, "documents", "doc_id")
+    vocab = (
+        docs.select(
+            F.explode(F.split(_norm(F.col("text")), " ")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    per_bucket = vocab.groupBy(
+        F.pmod(
+            _hash60(F.concat(F.lit("fh:"), F.col("tok"))),
+            F.lit(FH_BUCKETS),
+        ).alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("occupancy"),
+        F.sum("n").alias("mass"),
+    )
+    total = vocab.agg(
+        F.sum("n").alias("total_mass"),
+        F.count(F.lit(1)).alias("vocab_size"),
+    )
+    return (
+        per_bucket.groupBy("occupancy")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum("mass").alias("token_mass"),
+        )
+        .join(F.broadcast(total))
+        .select(
+            "occupancy",
+            "n_buckets",
+            "token_mass",
+            "vocab_size",
+            pround(
+                F.col("token_mass") / F.col("total_mass"), 6
+            ).alias("mass_share"),
+        )
+        .orderBy("occupancy")
+    )
+
+
+QUERIES["feature_hash_collision_audit"] = feature_hash_collision_audit
+
+ORACLES["feature_hash_collision_audit"] = f"""
+    WITH vocab AS (
+      SELECT tok, count(*) AS n
+      FROM (SELECT unnest(string_split({_SQL_NORM}, ' ')) AS tok
+            FROM documents) t
+      WHERE tok != ''
+      GROUP BY tok
+    ),
+    per_bucket AS (
+      SELECT {_sql_hash60("'fh:' || tok")} % {FH_BUCKETS} AS bucket,
+             count(*) AS occupancy, sum(n) AS mass
+      FROM vocab GROUP BY bucket
+    ),
+    total AS (
+      SELECT sum(n) AS total_mass, count(*) AS vocab_size FROM vocab
+    )
+    SELECT occupancy, count(*) AS n_buckets,
+           CAST(sum(mass) AS BIGINT) AS token_mass,
+           CAST(max(vocab_size) AS BIGINT) AS vocab_size,
+           {sql_pround('sum(mass)::DOUBLE / max(total_mass)', 6)}
+             AS mass_share
+    FROM per_bucket, total
+    GROUP BY occupancy
+    ORDER BY occupancy
+"""

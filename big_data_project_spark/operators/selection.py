@@ -700,3 +700,153 @@ ORACLES["hard_negative_mining"] = (
     .replace("{BM25}", _CORPUS_ORACLES["bm25_retrieval_topk"])
     .replace("{SQLV}", _SIM_SQL_V)
 )
+
+
+# --- RHO-style reducible-loss selection --------------------------------------
+
+RHO_K = 50  # selected batch size
+
+
+def rho_loss_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reducible-holdout-loss data selection (RHO-loss, Mindermann et
+    al. 2022, ICML — "prioritize points that are learnable, worth
+    learning, and not yet learnt"): per document, reducible loss =
+    loss under the GENERAL model minus loss under a REFERENCE model
+    that has seen the doc's own domain. Here both models are bigram
+    LMs (the lm_bigram_logprob machinery): general = corpus-wide MLE,
+    reference = the doc's own source-domain MLE, so
+    reducible = avg_logprob_domain − avg_logprob_corpus — high values
+    mark docs the general model underfits RELATIVE to what their
+    domain makes predictable, the top-RHO_K training batch a
+    loss-based selector would feed next.
+
+    Scale: the exploded bigram stream is persisted once and feeds
+    three linear aggregates (corpus model, per-source model, per-doc
+    score); the scoring joins are hash equi-joins against
+    vocabulary-sized broadcast models, and the final cut is a
+    TakeOrdered top-K, never a global sort. Cites reference scope:
+    the reference has no data-selection surface; public recipe is the
+    RHO paper + KenLM-style scoring as in CCNet (Wenzek et al. 2020).
+
+    Determinism: both avg logprobs are decimal folds rounded 6dp, the
+    reducible margin is derived from the ROUNDED pair, and the top-K
+    orders by (reducible desc, doc_id)."""
+    from .dedup import _persisted
+
+    docs = load_table_spread(spark, sf_dir, "documents", "doc_id")
+    from .corpus import _bigram_arr
+
+    bg = _persisted(
+        docs.select(
+            "doc_id",
+            "source",
+            F.explode(_bigram_arr(F.col("text"))).alias("bg"),
+        )
+    )
+    gmodel = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("gcnt"))
+    gtotal = gmodel.agg(F.sum("gcnt").alias("gtotal"))
+    dmodel = bg.groupBy("source", "bg").agg(
+        F.count(F.lit(1)).alias("dcnt")
+    )
+    dtotal = dmodel.groupBy("source").agg(
+        F.sum("dcnt").alias("dtotal")
+    )
+    from ..functions.portable import davg
+
+    scored = (
+        bg.join(F.broadcast(gmodel), "bg")
+        .join(F.broadcast(dmodel), ["source", "bg"])
+        .join(F.broadcast(gtotal))
+        .join(F.broadcast(dtotal), "source")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            davg(F.log(F.col("gcnt") / F.col("gtotal")), 6).alias(
+                "lp_corpus"
+            ),
+            davg(F.log(F.col("dcnt") / F.col("dtotal")), 6).alias(
+                "lp_domain"
+            ),
+        )
+    )
+    cut = (
+        scored.select(
+            "doc_id",
+            "source",
+            "n_bigrams",
+            "lp_corpus",
+            "lp_domain",
+            pround(F.col("lp_domain") - F.col("lp_corpus"), 6).alias(
+                "reducible"
+            ),
+        )
+        .orderBy(F.desc("reducible"), "doc_id")
+        .limit(RHO_K)
+    )
+    w = Window.orderBy(F.desc("reducible"), "doc_id")
+    return cut.select(
+        F.row_number().over(w).alias("rank"),
+        "doc_id",
+        "source",
+        "n_bigrams",
+        "lp_corpus",
+        "lp_domain",
+        "reducible",
+    ).orderBy("rank")
+
+
+QUERIES["rho_loss_selection"] = rho_loss_selection
+
+_SQL_BG_SRC = f"""
+    SELECT doc_id, source,
+           unnest(list_transform(
+             range(1, greatest(len(toks), 1)),
+             i -> toks[i] || ' ' || toks[i+1]
+           )) AS bg
+    FROM (SELECT doc_id, source, string_split({_SQL_NORM}, ' ') AS toks
+          FROM documents) d
+    WHERE len(toks) >= 2
+"""
+
+
+def _rho_sql() -> str:
+    from ..functions.portable import sql_davg
+
+    return f"""
+        WITH bg AS ({_SQL_BG_SRC}),
+        gmodel AS (SELECT bg AS g, count(*) AS gcnt FROM bg GROUP BY bg),
+        gtot AS (SELECT CAST(sum(gcnt) AS BIGINT) AS gtotal FROM gmodel),
+        dmodel AS (
+          SELECT source, bg AS g, count(*) AS dcnt
+          FROM bg GROUP BY source, bg
+        ),
+        dtot AS (
+          SELECT source, CAST(sum(dcnt) AS BIGINT) AS dtotal
+          FROM dmodel GROUP BY source
+        ),
+        scored AS (
+          SELECT doc_id, bg.source, count(*) AS n_bigrams,
+                 {sql_davg('ln(gcnt::DOUBLE / gtotal)', 6)} AS lp_corpus,
+                 {sql_davg('ln(dcnt::DOUBLE / dtotal)', 6)} AS lp_domain
+          FROM bg
+          JOIN gmodel ON bg.bg = gmodel.g
+          JOIN dmodel ON bg.source = dmodel.source AND bg.bg = dmodel.g
+          JOIN dtot ON bg.source = dtot.source, gtot
+          GROUP BY doc_id, bg.source
+        ),
+        cut AS (
+          SELECT *,
+                 {sql_pround('lp_domain - lp_corpus', 6)} AS reducible
+          FROM scored
+          ORDER BY reducible DESC, doc_id
+          LIMIT {RHO_K}
+        )
+        SELECT CAST(row_number() OVER (
+                 ORDER BY reducible DESC, doc_id) AS INT) AS rank,
+               doc_id, source, n_bigrams, lp_corpus, lp_domain, reducible
+        FROM cut
+        ORDER BY rank
+    """
+
+
+ORACLES["rho_loss_selection"] = _rho_sql()

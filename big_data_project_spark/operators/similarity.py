@@ -389,24 +389,33 @@ def _km_assign(v: DataFrame, cent: DataFrame) -> DataFrame:
     )
 
 
-def _km_means(assigned: DataFrame) -> DataFrame:
+def _km_means(assigned: DataFrame, d: int) -> DataFrame:
     """(cell, ce): per-cell per-dim decimal-exact mean rounded to 6dp
-    (order-independent), assembled into dim-sorted centroid arrays —
-    the ONE corpus×d shuffle of a Lloyd iteration. A cell that lost
-    every member simply has no row (mirrored naturally in SQL)."""
-    dims = assigned.select("cell", F.posexplode("e").alias("dim_idx", "x"))
-    md = dims.groupBy("cell", "dim_idx").agg(
-        pround(
-            F.sum(F.col("x").cast("decimal(28,6)")).cast("double")
-            / F.count(F.lit(1)),
-            6,
-        ).alias("m")
+    (order-independent), assembled into centroid arrays — ONE exchange
+    on the cell key per Lloyd iteration. The d per-dim sums are d
+    aggregate expressions over the vector column, NOT a posexplode:
+    the explode form multiplied the corpus by d before the map-side
+    combine and needed a second (cell, dim)→(cell) shuffle to
+    reassemble arrays (round-7 verdict item 4 counted 13 stages for 2
+    rounds; this is the fused recompute). A cell that lost every
+    member simply has no row (mirrored naturally in SQL)."""
+    sums = assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.col("e")[i].cast("decimal(28,6)")).alias(f"s{i}")
+            for i in range(d)
+        ],
     )
-    return md.groupBy("cell").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("dim_idx", "m"))),
-            lambda s: s["m"],
-        ).alias("ce")
+    return sums.select(
+        "cell",
+        F.array(
+            *[
+                pround(
+                    F.col(f"s{i}").cast("double") / F.col("n"), 6
+                )
+                for i in range(d)
+            ]
+        ).alias("ce"),
     )
 
 
@@ -428,13 +437,21 @@ def _km_fit(v: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(final centroids, final assignment) after IVF_KM_ITERS unrolled
     Lloyd rounds from the deterministic init (the first IVF_CELLS
     vectors by vec_id ARE the seed centroids — no RNG to mirror)."""
-    from .dedup import _persisted
-
     cent = v.filter(F.col("vec_id") < IVF_CELLS).select(
         F.col("vec_id").cast("int").alias("cell"), F.col("e").alias("ce")
     )
+    # dimensionality is a dataset constant; one first() probe (a
+    # single-partition read) pins it for the d aggregate expressions
+    d = len(v.select("e").first()["e"])
     for _ in range(IVF_KM_ITERS):
-        cent = _persisted(_km_means(_km_assign(v, cent)))
+        # eager localCheckpoint, not lazy persist: unrolled loops
+        # otherwise accumulate ONE giant lineage whose re-expansion
+        # under each round's broadcast dominates Catalyst analysis and
+        # inflates the static plan (the BPE/PageRank lesson; cells×d
+        # rows — trivially checkpointable)
+        cent = _km_means(_km_assign(v, cent), d).localCheckpoint(
+            eager=True
+        )
     return cent, _km_assign(v, cent)
 
 

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..catalog import load_table
 from ..functions.portable import pround, sql_pround
@@ -141,10 +142,110 @@ def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.desc("exact_n"), "tok")
 
 
+QBINS = 128  # equi-width histogram resolution (mergeable state size)
+
+
+def mergeable_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MERGEABLE quantile sketch with its exact error,
+    per route: a QBINS equi-width histogram over each route's value
+    range, quantile estimates read off the cumulative histogram
+    (smallest bin whose cumulative count reaches p·n, estimated at the
+    bin midpoint), compared against the exact percentiles.
+
+    This is the role t-digest / KLL play in a serving stack — per-
+    partition histograms merge by ADDING bin counts (across executors,
+    days, or streaming micro-batches), so the quantile state is
+    O(QBINS) per key and one map-side combine deep, where the exact
+    percentile needs a full per-key sort. Unlike the engine-native
+    GK/HLL entries above (rows-only by nature), every step here is
+    +-*/ floor arithmetic, so the WHOLE sketch — binning, merge,
+    cumulative read-off — sits inside the DuckDB oracle hash gate.
+
+    Scale: one (route) range aggregate (map-side combined), one
+    (route, bin) aggregate — the mergeable state, ≤ routes×QBINS rows
+    — and a routes-sized window over that state. The exact-percentile
+    column is the audit; at 100 TB you drop it and keep the sketch.
+
+    Error bound: |est - exact| ≤ bin_width/2 + interpolation error —
+    the audit columns make the bound observable per route."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("value").isNotNull()
+    )
+    route = F.col("event_type").alias("route_id")
+    rng = ev.groupBy(route).agg(
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    j = ev.select(route, "value").join(F.broadcast(rng), "route_id")
+    width = F.when(
+        F.col("mx") > F.col("mn"),
+        (F.col("mx") - F.col("mn")) / F.lit(float(QBINS)),
+    ).otherwise(F.lit(1.0))
+    bin_ = F.least(
+        F.lit(QBINS - 1),
+        F.floor((F.col("value") - F.col("mn")) / width),
+    ).cast("int")
+    hist = j.groupBy("route_id", bin_.alias("bin")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = (
+        Window.partitionBy("route_id")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.withColumn("cum_c", F.sum("c").over(w)).join(
+        F.broadcast(rng), "route_id"
+    )
+
+    def est(p: float):
+        mid = F.when(
+            F.col("mx") > F.col("mn"),
+            F.col("mn")
+            + (F.col("bin") + 0.5)
+            * ((F.col("mx") - F.col("mn")) / F.lit(float(QBINS))),
+        ).otherwise(F.col("mn"))
+        return pround(
+            F.min(F.when(F.col("cum_c") >= F.lit(p) * F.col("n"), mid)),
+            6,
+        )
+
+    sk = cum.groupBy("route_id").agg(
+        F.first("n").alias("n_values"),
+        est(0.5).alias("est_p50"),
+        est(0.9).alias("est_p90"),
+        est(0.99).alias("est_p99"),
+    )
+    exact = ev.groupBy(route).agg(
+        pround(F.expr("percentile(value, 0.5)"), 4).alias("exact_p50"),
+        pround(F.expr("percentile(value, 0.99)"), 4).alias("exact_p99"),
+    )
+    return (
+        sk.join(exact, "route_id")
+        .select(
+            "route_id",
+            "n_values",
+            "est_p50",
+            "exact_p50",
+            pround(F.abs(F.col("est_p50") - F.col("exact_p50")), 4).alias(
+                "err_p50"
+            ),
+            "est_p90",
+            "est_p99",
+            "exact_p99",
+            pround(F.abs(F.col("est_p99") - F.col("exact_p99")), 4).alias(
+                "err_p99"
+            ),
+        )
+        .orderBy("route_id")
+    )
+
+
 QUERIES = {
     "route_cardinality_sketch": route_cardinality_sketch,
     "delay_quantile_sketch": delay_quantile_sketch,
     "countmin_heavy_hitters": countmin_heavy_hitters,
+    "mergeable_quantile_bins": mergeable_quantile_bins,
 }
 
 
@@ -196,3 +297,69 @@ ORACLES: dict[str, str] = {
         ORDER BY exact_n DESC, tok
     """,
 }
+
+
+def _quantile_bins_sql() -> str:
+    width = (
+        f"CASE WHEN mx > mn THEN (mx - mn) / {float(QBINS)} ELSE 1.0 END"
+    )
+    mid = (
+        f"CASE WHEN mx > mn THEN mn + (bin + 0.5) * ((mx - mn) / "
+        f"{float(QBINS)}) ELSE mn END"
+    )
+
+    def est(p: float, alias: str) -> str:
+        return sql_pround(
+            f"min(CASE WHEN cum_c >= {p} * n THEN {mid} END)", 6
+        ) + f" AS {alias}"
+
+    return f"""
+        WITH ev AS (
+          SELECT event_type AS route_id, value
+          FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+        ),
+        rng AS (
+          SELECT route_id, min(value) AS mn, max(value) AS mx,
+                 count(*) AS n
+          FROM ev GROUP BY route_id
+        ),
+        binned AS (
+          SELECT ev.route_id,
+                 least({QBINS - 1},
+                       CAST(floor((value - mn) / ({width})) AS BIGINT))
+                   AS bin
+          FROM ev JOIN rng USING (route_id)
+        ),
+        hist AS (
+          SELECT route_id, bin, count(*) AS c
+          FROM binned GROUP BY route_id, bin
+        ),
+        cum AS (
+          SELECT h.route_id, h.bin, mn, mx, n,
+                 sum(c) OVER (PARTITION BY h.route_id ORDER BY h.bin)
+                   AS cum_c
+          FROM hist h JOIN rng USING (route_id)
+        ),
+        sk AS (
+          SELECT route_id, any_value(n) AS n_values,
+                 {est(0.5, 'est_p50')},
+                 {est(0.9, 'est_p90')},
+                 {est(0.99, 'est_p99')}
+          FROM cum GROUP BY route_id
+        ),
+        exact AS (
+          SELECT route_id,
+                 {sql_pround('quantile_cont(value, 0.5)', 4)} AS exact_p50,
+                 {sql_pround('quantile_cont(value, 0.99)', 4)} AS exact_p99
+          FROM ev GROUP BY route_id
+        )
+        SELECT route_id, n_values, est_p50, exact_p50,
+               {sql_pround('abs(est_p50 - exact_p50)', 4)} AS err_p50,
+               est_p90, est_p99, exact_p99,
+               {sql_pround('abs(est_p99 - exact_p99)', 4)} AS err_p99
+        FROM sk JOIN exact USING (route_id)
+        ORDER BY route_id
+    """
+
+
+ORACLES["mergeable_quantile_bins"] = _quantile_bins_sql()

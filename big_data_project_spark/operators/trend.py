@@ -1558,3 +1558,147 @@ ORACLES["expanding_window_backtest"] = f"""
     GROUP BY f.route_id, f.fold
     ORDER BY f.route_id, f.fold
 """
+
+
+# --- split-conformal prediction intervals -----------------------------------
+
+CONF_ALPHA = 0.1  # target miscoverage: 90% intervals
+
+
+def conformal_interval_coverage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Split-conformal prediction intervals on the persistence
+    forecaster, per route: the first half of each route's forecastable
+    hours (by time) calibrates the interval radius — the k-th smallest
+    absolute residual with k = ceil((n_cal+1)·(1−alpha)), the standard
+    split-conformal quantile that guarantees ≥1−alpha coverage for
+    exchangeable residuals — and the second half measures EMPIRICAL
+    coverage of yhat ± q. The distribution-free uncertainty wrapper a
+    production forecast serving layer puts around any point model
+    (Vovk et al.; Angelopoulos & Bates 2023 tutorial) — the reference's
+    validation harness grades point error only.
+
+    Scale: runs on the shared (route × hour) demand rollup — one lag
+    join, two in-route windows (time rank, residual rank), one
+    aggregate; nothing touches raw events. Determinism: the radius is
+    an ORDER statistic (no interpolation), picked by integer rank with
+    hour_ts tie-break; coverage is a rounded ratio of exact counts."""
+    from ..caching import persisted
+
+    d = persisted(
+        demand_hourly(spark, sf_dir).select(
+            "route_id", "hour_ts", "passengers"
+        )
+    )
+    p1 = d.select(
+        "route_id",
+        (F.col("hour_ts") + F.expr("INTERVAL 1 HOUR")).alias("hour_ts"),
+        F.col("passengers").alias("yhat"),
+    )
+    ev = d.join(p1, ["route_id", "hour_ts"]).select(
+        "route_id",
+        "hour_ts",
+        F.abs(F.col("passengers") - F.col("yhat")).alias("abs_res"),
+    )
+    wt = Window.partitionBy("route_id").orderBy("hour_ts")
+    wn = Window.partitionBy("route_id")
+    tagged = ev.select(
+        "route_id",
+        "hour_ts",
+        "abs_res",
+        (
+            F.row_number().over(wt) * 2 <= F.count(F.lit(1)).over(wn)
+        ).alias("is_cal"),
+    )
+    cal = tagged.filter(F.col("is_cal"))
+    wr = Window.partitionBy("route_id").orderBy("abs_res", "hour_ts")
+    q = (
+        cal.select(
+            "route_id",
+            "abs_res",
+            F.row_number().over(wr).alias("rk"),
+            F.count(F.lit(1)).over(wn).alias("n_cal"),
+        )
+        .filter(
+            F.col("rk")
+            == F.least(
+                F.col("n_cal"),
+                F.ceil(
+                    (F.col("n_cal") + 1) * F.lit(1.0 - CONF_ALPHA)
+                ).cast("int"),
+            )
+        )
+        .select(
+            "route_id", "n_cal", F.col("abs_res").alias("q_radius")
+        )
+    )
+    test = tagged.filter(~F.col("is_cal"))
+    return (
+        test.join(F.broadcast(q), "route_id")
+        .groupBy("route_id")
+        .agg(
+            F.max("n_cal").alias("n_cal"),
+            F.count(F.lit(1)).alias("n_test"),
+            pround(F.max("q_radius"), 4).alias("q_radius"),
+            pround(
+                F.sum(
+                    F.when(
+                        F.col("abs_res") <= F.col("q_radius"), 1
+                    ).otherwise(0)
+                )
+                / F.count(F.lit(1)),
+                4,
+            ).alias("coverage"),
+        )
+        .withColumn("target_coverage", F.lit(1.0 - CONF_ALPHA))
+        .orderBy("route_id")
+    )
+
+
+QUERIES["conformal_interval_coverage"] = conformal_interval_coverage
+
+ORACLES["conformal_interval_coverage"] = f"""
+    WITH d AS ({SQL_DEMAND}),
+    p1 AS (
+      SELECT route_id, hour_ts + INTERVAL 1 HOUR AS hour_ts,
+             passengers AS yhat
+      FROM d
+    ),
+    ev AS (
+      SELECT d.route_id, d.hour_ts,
+             abs(d.passengers - p1.yhat) AS abs_res
+      FROM d JOIN p1 USING (route_id, hour_ts)
+    ),
+    tagged AS (
+      SELECT route_id, hour_ts, abs_res,
+             row_number() OVER (
+               PARTITION BY route_id ORDER BY hour_ts) * 2
+               <= count(*) OVER (PARTITION BY route_id) AS is_cal
+      FROM ev
+    ),
+    q AS (
+      SELECT route_id, n_cal, abs_res AS q_radius
+      FROM (
+        SELECT route_id, abs_res,
+               row_number() OVER (
+                 PARTITION BY route_id ORDER BY abs_res, hour_ts) AS rk,
+               count(*) OVER (PARTITION BY route_id) AS n_cal
+        FROM tagged WHERE is_cal
+      ) r
+      WHERE rk = least(n_cal,
+                       CAST(ceil((n_cal + 1) * {1.0 - CONF_ALPHA}) AS INT))
+    )
+    SELECT t.route_id, CAST(max(q.n_cal) AS BIGINT) AS n_cal,
+           count(*) AS n_test,
+           {sql_pround('max(q.q_radius)', 4)} AS q_radius,
+           {sql_pround(
+               'sum(CASE WHEN t.abs_res <= q.q_radius '
+               'THEN 1 ELSE 0 END)::DOUBLE / count(*)', 4
+           )} AS coverage,
+           CAST({1.0 - CONF_ALPHA} AS DOUBLE) AS target_coverage
+    FROM tagged t JOIN q USING (route_id)
+    WHERE NOT t.is_cal
+    GROUP BY t.route_id
+    ORDER BY t.route_id
+"""

@@ -122,72 +122,78 @@ for _mod in _MODULES:
 
 # Key-level promotion: the driver's correctness walk covers ~50 keys
 # per round (wall-time budgeted) in registration order, so this list
-# IS the evidence rotation. Round 7 (round-6 verdict items 1-2):
-# FIRST the new round-7 keys (never-evidenced keys MUST get a driver
-# row), THEN `neardup_triangle_count` — the single red r06 row (judge
-# replay was green three ways; a fresh driver row settles it), THEN
-# the 16-key cohort whose newest driver row is still CORRECTNESS_r01
-# (q5..idle_rich_customers) and the 25-key oracle-backed r02-stale
-# cohort (passenger_flow_sim..text_embedding_agreement). Rows-only
-# keys (sketches, ann_ivf_topk, embedding_pca_variance, ml/demand)
-# are deliberately NOT promoted — a `no_oracle` row burns a driver
-# slot reporting nothing (round-6 verdict item 4); their evidence is
-# the bounded unit tests + the oracle-backed companion keys.
+# IS the evidence rotation. Round 8 (round-7 verdict items 1, 6):
+# FIRST the new round-8 keys (never-evidenced keys MUST get a driver
+# row), THEN `neardup_triangle_count` — red in r06 AND r07 while judge
+# replays matched exactly; its output hash surface is now BIGINT-only
+# (corpus_stats.py), so this row decides between a type-canonicalization
+# bug (fixed) and a driver-hasher bug (documented in SURVEY §7 if it
+# fails again) — THEN the 48-key cohort whose newest driver row is
+# CORRECTNESS_r03 (5 rounds stale). Rows-only keys (sketches,
+# ann_ivf_topk, embedding_pca_variance, ml/demand RF keys) are
+# deliberately NOT promoted — a `no_oracle` row burns a driver slot
+# reporting nothing; their evidence is the bounded unit tests + the
+# oracle-backed companion keys. If the wall budget cuts the tail, the
+# last r03 keys roll to round 9 (the driver-SF pytest gate covers them
+# meanwhile).
 _PROMOTED = [
-    # --- NEW in round 7 (appended as they land) ---
-    "pca_gram_invariants",
-    "bpe_vocab_k_rounds",
-    "weighted_reservoir_sample",
-    "delay_mean_bootstrap",
-    "join_key_skew_audit",
-    "event_graph_khop",
-    "context_len_padding_audit",
-    "expanding_window_backtest",
-    # --- the one red r06 row: re-evidence first ---
+    # --- NEW in round 8 (appended as they land) ---
+    "ml_dataset_split_audit",
+    "mergeable_quantile_bins",
+    "conformal_interval_coverage",
+    "feature_hash_collision_audit",
+    "rho_loss_selection",
+    # --- the r06/r07 red row, re-evidenced on the BIGINT hash surface ---
     "neardup_triangle_count",
-    # --- r01-stale cohort: newest driver evidence is CORRECTNESS_r01 ---
-    "q5_supplier_volume",
-    "q6_revenue_delta",
-    "q10_returned_items",
-    "order_priority_count",
-    "top_customers_window",
-    "sales_rollup",
-    "market_share",
-    "avg_acctbal_filter",
-    "q7_nation_volume",
-    "q9_product_profit",
-    "q14_promo_revenue",
-    "q16_supplier_count",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "single_supplier_orders",
-    "idle_rich_customers",
-    # --- r02-stale cohort (oracle-backed only) ---
-    "passenger_flow_sim",
-    "props_feed_normalize",
-    "proto_delay_hourly",
-    "token_count",
-    "quality_score",
-    "doc_fingerprint",
-    "doc_stats",
-    "doc_chunking",
-    "pii_scrub",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "minhash_accuracy",
-    "dedup_simhash",
-    "multimodal_meta",
-    "multimodal_features",
-    "stratified_doc_sample",
-    "dedup_clusters",
-    "dedup_keep_list",
-    "embedding_norms",
-    "ann_cosine_topk",
-    "ann_lsh_topk",
-    "dedup_embedding_cosine",
-    "embedding_label_outliers",
-    "text_embedding_agreement",
+    # --- r03-stale cohort: newest driver evidence is CORRECTNESS_r03 ---
+    "lang_id",
+    "lang_confusion",
+    "stops_geo",
+    "stop_grid_density",
+    "nearest_stop",
+    "stops_within_radius",
+    "q2_min_cost_supplier",
+    "q11_part_value_share",
+    "q12_late_priority_lines",
+    "q13_order_count_distribution",
+    "q15_top_revenue_supplier",
+    "q17_small_qty_avg_revenue",
+    "q20_heavy_shipper_suppliers",
+    "demand_range_window",
+    "customer_balance_quartiles",
+    "sales_cube",
+    "route_hour_pivot",
+    "weekday_weekend_routes",
+    "demand_delay_full_outer",
+    "nation_revenue_running",
+    "route_dow_rank_profile",
+    "service_alerts",
+    "alerts_hourly",
+    "kpi_alerts_hourly",
+    "alerts_latest_per_type",
+    "user_sessions",
+    "contamination_check",
+    "repetition_score",
+    "token_frequencies",
+    "doc_length_histogram",
+    "doc_filter_cascade",
+    "source_mixture_weights",
+    "stopword_density_buckets",
+    "lm_bigram_logprob",
+    "shingle_novelty",
+    "tfidf_top_terms",
+    "vocab_coverage",
+    "dedup_incremental",
+    "cross_source_dup_matrix",
+    "chunk_dup_rate",
+    "dedup_method_agreement",
+    "asof_join_weather",
+    "delay_anomaly_hours",
+    "demand_rolling_3h",
+    "top_stops_per_route",
+    "delay_gap_fill",
+    "delay_ffill",
+    "route_delay_quantiles",
 ]
 _missing = [k for k in _PROMOTED if k not in QUERIES]
 if _missing:

@@ -40,6 +40,43 @@ _NATURAL_KEYS = {
 }
 
 
+def extract_feed_zip(zip_path: str, out_dir: str) -> dict[str, str]:
+    """Extract a GTFS feed zip into ``out_dir`` and return
+    {"dir": extracted dir, "sha256": archive checksum} — the
+    acquisition step between download and :func:`read_gtfs` (the
+    reference's extract() task, gtfs-static-job.py:47-88: unzip +
+    sha256 over the archive bytes + missing-file validation). The
+    download itself (requests.get against a feed URL) stays out of
+    engine scope — any fetcher can hand the zip path in. A feed zip is
+    a single small static file, so this is honest driver-side work,
+    exactly like the reference's task; the checksum is the feed
+    VERSION key callers pass to change-detection (same role as
+    ``feed_checksum`` below for extracted dirs).
+
+    Raises FileNotFoundError for a missing archive or any missing core
+    file after extraction (the reference's load_table contract)."""
+    import hashlib
+    import zipfile
+
+    if not os.path.exists(zip_path):
+        raise FileNotFoundError(f"GTFS zip not found: {zip_path}")
+    os.makedirs(out_dir, exist_ok=True)
+    with zipfile.ZipFile(zip_path, "r") as zf:
+        zf.extractall(out_dir)
+    missing = [
+        f"{name}.txt"
+        for name in GTFS_FILES
+        if not os.path.exists(os.path.join(out_dir, f"{name}.txt"))
+    ]
+    if missing:
+        raise FileNotFoundError(f"Missing GTFS file(s): {missing}")
+    sha256 = hashlib.sha256()
+    with open(zip_path, "rb") as fh:
+        for chunk in iter(lambda: fh.read(8192), b""):
+            sha256.update(chunk)
+    return {"dir": out_dir, "sha256": sha256.hexdigest()}
+
+
 def read_gtfs(spark: SparkSession, gtfs_dir: str) -> dict[str, DataFrame]:
     """Load the five core GTFS files as all-string DataFrames with ids
     trimmed (the reference's dtype=str + strip normalization)."""

@@ -1197,6 +1197,119 @@ DOCS_SCHEMA = (
 )
 
 
+def serve_quantile_bins_foreach_batch(
+    spark: SparkSession,
+    events_dir: "str | DataFrame",
+    state_path: str,
+    checkpoint_dir: str,
+    lo: float,
+    hi: float,
+) -> None:
+    """Streaming maintenance of the mergeable histogram-quantile state
+    (the streaming form of operators/sketches.py::
+    mergeable_quantile_bins): per-(route, bin) counts over FIXED bin
+    edges [lo, hi) — fixed because a streaming sketch cannot re-bin
+    when the observed range grows; the batch operator derives edges
+    from the data, the streaming twin takes them as configuration (the
+    same contract t-digest avoids by splitting centroids, at the cost
+    of determinism). Each micro-batch bins its own rows map-side and
+    ADDS counts into the served table — the mergeability that makes
+    the histogram a sketch: state is O(routes × QBINS) forever,
+    quantile read-off happens at serving time from the tiny table.
+
+    NOT redelivery-idempotent by itself (counts are additive, not
+    keyed): exactly-once comes from the checkpoint, as with every
+    aggregate-state stream here; the crash-safe read-merge-swap is
+    stage_swap_parquet's."""
+    from ..operators.sketches import QBINS
+    from ..plans.sinks import _read_or_none, stage_swap_parquet
+
+    if isinstance(events_dir, DataFrame):
+        src = events_dir
+    else:
+        src = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
+    width = (hi - lo) / float(QBINS) if hi > lo else 1.0
+
+    def _merge(batch_df, _batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        binned = (
+            batch_df.filter(
+                F.col("event_type").isNotNull()
+                & F.col("value").isNotNull()
+            )
+            .select(
+                F.col("event_type").alias("route_id"),
+                F.least(
+                    F.lit(QBINS - 1),
+                    F.greatest(
+                        F.lit(0),
+                        F.floor((F.col("value") - F.lit(lo)) / F.lit(width)),
+                    ),
+                ).cast("int").alias("bin"),
+            )
+            .groupBy("route_id", "bin")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        current = _read_or_none(sess, state_path)
+        if current is not None:
+            binned = (
+                binned.unionByName(current)
+                .groupBy("route_id", "bin")
+                .agg(F.sum("c").alias("c"))
+            )
+        stage_swap_parquet(sess, binned, state_path)
+
+    q = (
+        src.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_quantile_bins(
+    spark: SparkSession, state_path: str, lo: float, hi: float
+) -> DataFrame:
+    """Quantile read-off from the served histogram state: p50/p90/p99
+    per route at the bin midpoints — the serving-time half of the
+    streaming sketch (state is routes × QBINS rows; this is a tiny
+    batch query, callable between or during streams)."""
+    from ..functions.portable import pround
+    from ..operators.sketches import QBINS
+    from ..plans.sinks import read_upsert_table
+    from pyspark.sql.window import Window as W
+
+    width = (hi - lo) / float(QBINS) if hi > lo else 1.0
+    hist = read_upsert_table(spark, state_path)
+    w = (
+        W.partitionBy("route_id")
+        .orderBy("bin")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    wn = W.partitionBy("route_id")
+    cum = hist.withColumn("cum_c", F.sum("c").over(w)).withColumn(
+        "n", F.sum("c").over(wn)
+    )
+
+    def est(p):
+        mid = F.lit(lo) + (F.col("bin") + 0.5) * F.lit(width)
+        return pround(
+            F.min(F.when(F.col("cum_c") >= F.lit(p) * F.col("n"), mid)), 6
+        )
+
+    return (
+        cum.groupBy("route_id")
+        .agg(
+            F.max("n").alias("n_values"),
+            est(0.5).alias("est_p50"),
+            est(0.9).alias("est_p90"),
+            est(0.99).alias("est_p99"),
+        )
+        .orderBy("route_id")
+    )
+
+
 def serve_weighted_sample_foreach_batch(
     spark: SparkSession,
     docs_dir: "str | DataFrame",

@@ -114,3 +114,168 @@ def test_stage_swap_failed_first_write_not_committed(spark, tmp_path):
     action = sinks.recover_staging(spark, target)
     assert action == "dropped_incomplete_stage"
     assert not sinks._fs_exists(spark, target)
+
+
+def test_mergeable_quantile_bins_bounds(spark):
+    """Histogram estimates stay inside each route's value range, are
+    monotone across p, and sit within bin_width/2 of the DISCRETE
+    order statistic (the sketch's actual guarantee — the exact_p*
+    audit columns use interpolated quantiles, whose extra error is the
+    gap between adjacent order stats and is unbounded in sparse
+    tails)."""
+    import math
+
+    from big_data_project_spark.catalog import load_table
+    from big_data_project_spark.operators.sketches import (
+        QBINS,
+        mergeable_quantile_bins,
+    )
+
+    rows = mergeable_quantile_bins(spark, SF_DIR).collect()
+    assert rows
+    vals = {}
+    for r in (
+        load_table(spark, SF_DIR, "events")
+        .filter(F.col("event_type").isNotNull() & F.col("value").isNotNull())
+        .select(F.col("event_type").alias("route_id"), "value")
+        .collect()
+    ):
+        vals.setdefault(r["route_id"], []).append(r["value"])
+    for r in rows:
+        v = sorted(vals[r["route_id"]])
+        mn, mx, n = v[0], v[-1], len(v)
+        width = (mx - mn) / QBINS if mx > mn else 1.0
+        assert mn - 1e-9 <= r["est_p50"] <= r["est_p90"] + 1e-9
+        assert r["est_p90"] <= r["est_p99"] + 1e-9 <= mx + 2e-9
+        for p, c in ((0.5, "est_p50"), (0.9, "est_p90"), (0.99, "est_p99")):
+            disc = v[min(n - 1, max(0, math.ceil(p * n) - 1))]
+            assert abs(r[c] - disc) <= width / 2 + 1e-6, (p, r)
+
+
+def test_conformal_coverage_near_target(spark):
+    from big_data_project_spark.operators.trend import (
+        conformal_interval_coverage,
+    )
+
+    rows = conformal_interval_coverage(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["q_radius"] >= 0
+        assert r["target_coverage"] == pytest.approx(0.9)
+        # split-conformal guarantees >= 1 - alpha in expectation for
+        # exchangeable residuals; allow slack for finite test windows
+        assert 0.7 <= r["coverage"] <= 1.0
+
+
+def test_feature_hash_histogram_accounts_for_vocab(spark):
+    from big_data_project_spark.operators.curation import (
+        feature_hash_collision_audit,
+    )
+
+    rows = feature_hash_collision_audit(spark, SF_DIR).collect()
+    assert rows
+    vocab = rows[0]["vocab_size"]
+    assert sum(r["occupancy"] * r["n_buckets"] for r in rows) == vocab
+    assert sum(r["mass_share"] for r in rows) == pytest.approx(1.0, abs=1e-4)
+    # FH_BUCKETS deliberately below vocab: collisions must be observed
+    assert any(r["occupancy"] >= 2 for r in rows)
+
+
+def test_rho_selection_ranked_and_scored(spark):
+    from big_data_project_spark.operators.selection import (
+        RHO_K,
+        rho_loss_selection,
+    )
+
+    rows = rho_loss_selection(spark, SF_DIR).collect()
+    assert len(rows) == RHO_K
+    red = [r["reducible"] for r in rows]
+    assert red == sorted(red, reverse=True)
+    for r in rows:
+        assert r["reducible"] == pytest.approx(
+            r["lp_domain"] - r["lp_corpus"], abs=2e-6
+        )
+
+
+def test_gtfs_zip_extract_roundtrip(spark, tmp_path):
+    """Feed-zip acquisition step: extract + checksum + missing-file
+    validation, then the extracted dir round-trips through read_gtfs."""
+    import zipfile
+
+    from big_data_project_spark.sources import gtfs
+
+    src = tmp_path / "feed"
+    src.mkdir()
+    files = {
+        "routes.txt": "route_id,route_short_name\nR1,10\n",
+        "stops.txt": "stop_id,stop_name,stop_lat,stop_lon\nS1,A,44.1,26.0\n",
+        "trips.txt": "trip_id,route_id,service_id\nT1,R1,C1\n",
+        "stop_times.txt": "trip_id,stop_id,stop_sequence\nT1,S1,1\n",
+        "calendar.txt": "service_id\nC1\n",
+    }
+    zip_path = str(tmp_path / "gtfs.zip")
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for name, body in files.items():
+            zf.writestr(name, body)
+
+    out = gtfs.extract_feed_zip(zip_path, str(tmp_path / "extracted"))
+    assert len(out["sha256"]) == 64
+    frames = gtfs.read_gtfs(spark, out["dir"])
+    assert frames["routes"].count() == 1
+
+    # extracting the same archive twice yields the same version key
+    out2 = gtfs.extract_feed_zip(zip_path, str(tmp_path / "extracted2"))
+    assert out2["sha256"] == out["sha256"]
+
+    # a feed missing a core file fails loudly
+    bad_zip = str(tmp_path / "bad.zip")
+    with zipfile.ZipFile(bad_zip, "w") as zf:
+        zf.writestr("routes.txt", files["routes.txt"])
+    with pytest.raises(FileNotFoundError, match="Missing GTFS"):
+        gtfs.extract_feed_zip(bad_zip, str(tmp_path / "bad_extract"))
+    with pytest.raises(FileNotFoundError, match="not found"):
+        gtfs.extract_feed_zip(str(tmp_path / "ghost.zip"), str(tmp_path))
+
+
+def test_streaming_quantile_bins_converges(spark, tmp_path):
+    """Three micro-batches of additive histogram merges equal the
+    single-shot binning of the full feed — the mergeability claim of
+    mergeable_quantile_bins, exercised through the streaming twin."""
+    from big_data_project_spark.catalog import load_table
+    from big_data_project_spark.streaming.pipeline import (
+        read_quantile_bins,
+        serve_quantile_bins_foreach_batch,
+    )
+
+    ev = load_table(spark, SF_DIR, "events").filter(
+        F.col("event_type").isNotNull() & F.col("value").isNotNull()
+    )
+    lo, hi = 0.0, 400.0
+    src = str(tmp_path / "events_stream")
+    # three files -> three micro-batches under maxFilesPerTrigger=1
+    ev.repartition(3).write.parquet(src)
+    state = str(tmp_path / "hist_state")
+    from big_data_project_spark.streaming.pipeline import EVENTS_SCHEMA
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    serve_quantile_bins_foreach_batch(
+        spark, stream, state, str(tmp_path / "ckpt"), lo, hi
+    )
+    served = {
+        r["route_id"]: r for r in read_quantile_bins(spark, state, lo, hi).collect()
+    }
+    # single-shot reference: same binning over the whole feed at once
+    n_by_route = {
+        r["route_id"]: r["n"]
+        for r in ev.groupBy(F.col("event_type").alias("route_id"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(served) == set(n_by_route)
+    for rid, r in served.items():
+        assert r["n_values"] == n_by_route[rid]
+        assert lo <= r["est_p50"] <= r["est_p90"] <= r["est_p99"] <= hi

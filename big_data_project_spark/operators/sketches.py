@@ -8,9 +8,11 @@ one-pass, mergeable, and bounded-memory — the right default for
 monitoring surfaces like the reference's KPI views, with the exact
 operators kept for reconciliation.
 
-Entries are *rows-only* (sketch estimates are engine-specific by
-nature); the unit tests bound the relative error against the exact
-values instead.
+The HLL/GK entries are *rows-only* (their estimates are
+engine-specific by nature; unit tests bound the relative error against
+the exact values instead). The md5-deterministic sketches — count-min
+(frequencies), the equi-width mergeable histogram (quantiles), linear
+counting (cardinality) — are fully oracle-checked.
 """
 
 from __future__ import annotations
@@ -363,3 +365,108 @@ def _quantile_bins_sql() -> str:
 
 
 ORACLES["mergeable_quantile_bins"] = _quantile_bins_sql()
+
+
+# --- linear counting (deterministic distinct-count sketch) -------------------
+
+LC_M = 1024  # bitmap size
+
+
+def linear_counting_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear counting (Whang et al. 1990, TODS) distinct-vehicle
+    estimate per route with its exact error — the DETERMINISTIC
+    distinct-count sketch completing the portable trio (count-min =
+    frequencies, equi-width histogram = quantiles, linear counting =
+    cardinality): each user_id sets bit md5(id) mod LC_M; the estimate
+    is −m·ln(V) for V = the zero-bit fraction. Mergeable by bitmap OR
+    (here: union of occupied bucket sets), one corpus aggregate of
+    O(m) state per key — the role HLL plays in the rows-only entry
+    above, but md5-deterministic, so the whole sketch sits under the
+    oracle hash gate. Saturated bitmaps (V = 0, estimate diverges)
+    emit NULL — the documented regime where you move to HLL.
+
+    Scale: one (route, bucket) distinct aggregate (map-side combined,
+    ≤ routes×m rows) + the exact countDistinct audit column you drop
+    at 100 TB."""
+    from .dedup import _hash60
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+    )
+    occ = (
+        ev.select(
+            F.col("event_type").alias("route_id"),
+            F.pmod(
+                _hash60(F.concat(F.lit("lc:"), F.col("user_id"))),
+                F.lit(LC_M),
+            ).alias("bucket"),
+        )
+        .groupBy("route_id")
+        .agg(F.countDistinct("bucket").alias("occupied"))
+    )
+    exact = ev.groupBy(F.col("event_type").alias("route_id")).agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    v = (F.lit(LC_M) - F.col("occupied")) / F.lit(float(LC_M))
+    est = F.when(
+        F.col("occupied") < LC_M,
+        pround(-F.lit(float(LC_M)) * F.log(v), 4),
+    )
+    return (
+        occ.join(exact, "route_id")
+        .select(
+            "route_id",
+            "occupied",
+            est.alias("lc_estimate"),
+            "exact_distinct",
+            F.when(
+                F.col("occupied") < LC_M,
+                pround(
+                    (
+                        -F.lit(float(LC_M)) * F.log(v)
+                        - F.col("exact_distinct")
+                    )
+                    / F.col("exact_distinct"),
+                    4,
+                ),
+            ).alias("rel_error"),
+        )
+        .orderBy("route_id")
+    )
+
+
+QUERIES["linear_counting_audit"] = linear_counting_audit
+
+
+def _lc_sql() -> str:
+    h = "((('0x' || substr(md5('lc:' || user_id), 1, 15)))::BIGINT)"
+    v = f"({LC_M} - occupied) / {float(LC_M)}"
+    est = f"-{float(LC_M)} * ln({v})"
+    return f"""
+        WITH ev AS (
+          SELECT event_type AS route_id, user_id FROM events
+          WHERE event_type IS NOT NULL
+        ),
+        occ AS (
+          SELECT route_id,
+                 count(DISTINCT {h} % {LC_M}) AS occupied
+          FROM ev GROUP BY route_id
+        ),
+        exact AS (
+          SELECT route_id, count(DISTINCT user_id) AS exact_distinct
+          FROM ev GROUP BY route_id
+        )
+        SELECT route_id, occupied,
+               CASE WHEN occupied < {LC_M}
+                    THEN {sql_pround(est, 4)} END AS lc_estimate,
+               exact_distinct,
+               CASE WHEN occupied < {LC_M}
+                    THEN {sql_pround(
+                        f'(({est}) - exact_distinct) / exact_distinct', 4
+                    )} END AS rel_error
+        FROM occ JOIN exact USING (route_id)
+        ORDER BY route_id
+    """
+
+
+ORACLES["linear_counting_audit"] = _lc_sql()

@@ -315,3 +315,119 @@ ORACLES = {
         ) t WHERE rn = 1
     """,
 }
+
+
+# --- grid-density clustering (the DBSCAN shape at scale) --------------------
+
+DBSCAN_MIN_PTS = 2  # cell density threshold (core cells)
+
+
+def dbscan_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-density clustering of the stop points — the scale shape of
+    DBSCAN (Ester et al. 1996) a distributed engine actually runs:
+    instead of per-point epsilon neighborhoods (an all-pairs distance
+    join), points bucket into grid cells (one corpus-scale aggregate),
+    cells with ≥ DBSCAN_MIN_PTS points are CORE, and clusters are the
+    4-connected components of core cells. Per-cluster summary: min-
+    cell-key label, cell count, stop mass, bounding box.
+
+    Scale split (the PCA-eigh pattern): the POINT data only ever flows
+    through the per-cell count — one map-side-combined aggregate, no
+    point-point join at any scale; the core-cell graph is bounded by
+    the GRID (≤ 80 cells here, a constant independent of data volume),
+    so its connected components run driver-side union-find, exactly
+    where a constant-sized problem belongs. The DuckDB oracle computes
+    the same components via a recursive min-label closure, so the
+    whole pipeline — synthesis, binning, density cut, CC, summary —
+    sits under the hash gate."""
+    dense = (
+        stops_geo(spark, sf_dir)
+        .groupBy("cell_x", "cell_y")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_stops"))
+        .filter(F.col("n_stops") >= DBSCAN_MIN_PTS)
+    )
+    cells = dense.collect()  # grid-bounded: ≤ (LAT_SPAN/CELL)×(LON_SPAN/CELL)
+    ids = {(r["cell_x"], r["cell_y"]) for r in cells}
+    parent = {c: c for c in ids}
+
+    def find(c):
+        while parent[c] != c:
+            parent[c] = parent[parent[c]]
+            c = parent[c]
+        return c
+
+    for (x, y) in sorted(ids):
+        for nb in ((x + 1, y), (x, y + 1)):
+            if nb in ids:
+                ra, rb = find((x, y)), find(nb)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    label = {
+        c: min(
+            cc[0] * 100 + cc[1]
+            for cc in ids
+            if find(cc) == find(c)
+        )
+        for c in ids
+    }
+    if not cells:
+        return spark.createDataFrame(
+            [],
+            "cluster_id int, n_cells int, n_stops int, "
+            "x_min int, x_max int, y_min int, y_max int",
+        )
+    labeled = spark.createDataFrame(
+        [
+            (int(label[(r["cell_x"], r["cell_y"])]),
+             int(r["cell_x"]), int(r["cell_y"]), int(r["n_stops"]))
+            for r in cells
+        ],
+        "cluster_id int, cell_x int, cell_y int, n_stops int",
+    )
+    return (
+        labeled.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_cells"),
+            F.sum("n_stops").cast("int").alias("n_stops"),
+            F.min("cell_x").cast("int").alias("x_min"),
+            F.max("cell_x").cast("int").alias("x_max"),
+            F.min("cell_y").cast("int").alias("y_min"),
+            F.max("cell_y").cast("int").alias("y_max"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+QUERIES["dbscan_grid_clusters"] = dbscan_grid_clusters
+
+ORACLES["dbscan_grid_clusters"] = f"""
+    WITH RECURSIVE dense AS (
+      SELECT cell_x, cell_y, count(*)::int AS n_stops,
+             cell_x * 100 + cell_y AS ck
+      FROM ({_SQL_STOPS_GEO}) g
+      GROUP BY cell_x, cell_y
+      HAVING count(*) >= {DBSCAN_MIN_PTS}
+    ),
+    edges AS (
+      SELECT a.ck AS src, b.ck AS dst
+      FROM dense a JOIN dense b
+        ON abs(a.cell_x - b.cell_x) + abs(a.cell_y - b.cell_y) = 1
+    ),
+    reach(src, lbl) AS (
+      SELECT ck, ck FROM dense
+      UNION
+      SELECT e.src, r.lbl
+      FROM edges e JOIN reach r ON r.src = e.dst
+    ),
+    labels AS (
+      SELECT src AS ck, min(lbl) AS cluster_id FROM reach GROUP BY src
+    )
+    SELECT cluster_id::int AS cluster_id,
+           count(*)::int AS n_cells,
+           sum(n_stops)::int AS n_stops,
+           min(cell_x)::int AS x_min, max(cell_x)::int AS x_max,
+           min(cell_y)::int AS y_min, max(cell_y)::int AS y_max
+    FROM dense JOIN labels ON dense.ck = labels.ck
+    GROUP BY cluster_id
+    ORDER BY cluster_id
+"""

@@ -143,6 +143,8 @@ _PROMOTED = [
     "conformal_interval_coverage",
     "feature_hash_collision_audit",
     "rho_loss_selection",
+    "dbscan_grid_clusters",
+    "linear_counting_audit",
     # --- the r06/r07 red row, re-evidenced on the BIGINT hash surface ---
     "neardup_triangle_count",
     # --- r03-stale cohort: newest driver evidence is CORRECTNESS_r03 ---

@@ -58,6 +58,14 @@ SHUFFLE_BUDGETS = {
     "token_pmi_bigrams": 6,
     "source_token_kl": 8,
     "bloom_dedup_audit": 7,
+    # round-8 additions (measured cold-plan counts; persisted shared
+    # relations count their full lineage per consumer pre-substitution)
+    "mergeable_quantile_bins": 6,
+    "conformal_interval_coverage": 19,  # rollup lineage × lag self-join
+    "feature_hash_collision_audit": 8,
+    "rho_loss_selection": 12,  # persisted bigram stream × 3 consumers
+    "linear_counting_audit": 5,
+    "ivf_kmeans_cells": 4,  # round-8 fused recompute (was 13)
     "interevent_gap_histogram": 3,  # one event pass: lag window only
     "delay_ewma_24h": 5,
     "demand_trend_line": 5,
@@ -185,11 +193,17 @@ SHUFFLE_BUDGETS = {
     # windows on one Exchange per partitioning side
     "epoch_shard_plan": 4,
     "token_budget_mix": 4,
-    "bm25_retrieval_topk": 7,
+    # +1 analysis-time in round 8: the (doc_id, dl, query-tokens) base
+    # is persisted and its lineage counts once per consumer (tf +
+    # stats) pre-substitution; at runtime this REMOVED a full second
+    # corpus tokenize — the stats aggregate used to re-split every doc
+    "bm25_retrieval_topk": 8,
     "bitext_margin_mining": 4,
     # seed list persisted (feeds centroid + lexical sides once); the
-    # cold plan still inlines the BM25 lineage per consumer
-    "hybrid_prf_retrieval": 14,
+    # cold plan still inlines the BM25 lineage per consumer — so
+    # bm25's round-8 +1 analysis-time persist (a runtime -1: the
+    # second corpus tokenize is gone) shows up here once as well
+    "hybrid_prf_retrieval": 15,
     # cluster relation (persisted lineage) join quality + ONE window
     "dedup_keep_best_quality": 2,
 }

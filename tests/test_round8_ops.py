@@ -279,3 +279,52 @@ def test_streaming_quantile_bins_converges(spark, tmp_path):
     for rid, r in served.items():
         assert r["n_values"] == n_by_route[rid]
         assert lo <= r["est_p50"] <= r["est_p90"] <= r["est_p99"] <= hi
+
+
+def test_dbscan_grid_clusters_invariants(spark):
+    """Cluster summaries recompute from the labeled dense cells: label
+    = min cell key in the component, bounding boxes contain every
+    member cell, stop mass conserves the dense-cell total. Run at
+    sf0.01 (sf0.001 has too few stops to form a dense cell)."""
+    from tests.conftest import SF_DIR_MED
+
+    from big_data_project_spark.operators.spatial import (
+        DBSCAN_MIN_PTS,
+        dbscan_grid_clusters,
+        stop_grid_density,
+    )
+
+    rows = dbscan_grid_clusters(spark, SF_DIR_MED).collect()
+    assert rows
+    dense = [
+        r
+        for r in stop_grid_density(spark, SF_DIR_MED).collect()
+        if r["n_stops"] >= DBSCAN_MIN_PTS
+    ]
+    assert sum(r["n_cells"] for r in rows) == len(dense)
+    assert sum(r["n_stops"] for r in rows) == sum(
+        r["n_stops"] for r in dense
+    )
+    for r in rows:
+        # label is a member cell's key inside its own bounding box
+        x, y = divmod(r["cluster_id"], 100)
+        assert r["x_min"] <= x <= r["x_max"]
+        assert r["y_min"] <= y <= r["y_max"]
+
+
+def test_linear_counting_estimate_quality(spark):
+    """LC estimate within the sketch's standard error envelope of the
+    exact distinct count (load factor here is ≤ 0.2, where linear
+    counting is near-exact), and the saturation guard yields NULL
+    never inf."""
+    from big_data_project_spark.operators.sketches import (
+        linear_counting_audit,
+    )
+
+    rows = linear_counting_audit(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["occupied"] <= r["exact_distinct"]
+        if r["lc_estimate"] is not None:
+            assert abs(r["rel_error"]) <= 0.15
+            assert r["lc_estimate"] >= r["occupied"] - 1e-6

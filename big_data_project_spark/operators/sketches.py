@@ -470,3 +470,203 @@ def _lc_sql() -> str:
 
 
 ORACLES["linear_counting_audit"] = _lc_sql()
+
+
+# --- KMV / theta sketch set intersection -------------------------------------
+
+KMV_K = 64  # minimum-values retained per key
+
+
+def kmv_set_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set algebra (Beyer et al. 2007 KMV; the Apache
+    DataSketches theta family): per route keep the KMV_K smallest
+    md5-uniform hashes of its distinct users, then estimate the
+    USER-SET INTERSECTION of every route pair as
+    |common sample below θ| / θ with θ = min(θ_a, θ_b) — the set
+    operation linear counting and HLL cannot answer without the union
+    trick. Exact intersection and relative error ride along as audit
+    columns.
+
+    Mergeable (union of KMVs re-cut to the k smallest) and fully
+    deterministic: the hash is the shared md5-uniform construction, so
+    the whole sketch — ranking, θ, sample intersection — sits under
+    the oracle hash gate.
+
+    Scale: one distinct (route, user) aggregate, a per-route top-K
+    rank over it, then ALL remaining work on the ≤ routes×K retained
+    rows (the pair join is sketch-sized, never user-sized); the exact
+    column is the audit you drop at 100 TB."""
+    from ..caching import persisted
+    from ..functions.portable import uniform01
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+    )
+    # the one corpus-scale shuffle; persisted — the exact-audit join
+    # and the sketch both read it (2+ consumers each)
+    ur = persisted(
+        ev.select(
+            F.col("event_type").alias("route_id"), "user_id"
+        )
+        .distinct()
+        .select(
+            "route_id",
+            "user_id",
+            uniform01(
+                F.concat(F.lit("kmv:"), F.col("user_id"))
+            ).alias("u"),
+        )
+    )
+    w = Window.partitionBy("route_id").orderBy("u", "user_id")
+    kept = persisted(
+        ur.withColumn("rk", F.row_number().over(w)).filter(
+            F.col("rk") <= KMV_K
+        )
+    )
+    # theta convention (DataSketches): an UNSATURATED sketch is in
+    # exact mode with theta = 1.0 — every retained hash counts; only
+    # an overflowed sketch cuts at the K-th smallest value
+    theta = kept.groupBy("route_id").agg(
+        F.when(F.count(F.lit(1)) < KMV_K, F.lit(1.0))
+        .otherwise(F.max("u"))
+        .alias("theta"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    a, b = "route_a", "route_b"
+    common = (
+        kept.select(F.col("route_id").alias(a), "user_id", F.col("u"))
+        .join(
+            kept.select(F.col("route_id").alias(b), "user_id"),
+            "user_id",
+        )
+        .filter(F.col(a) < F.col(b))
+    )
+    ta = theta.select(
+        F.col("route_id").alias(a), F.col("theta").alias("theta_a")
+    )
+    tb = theta.select(
+        F.col("route_id").alias(b), F.col("theta").alias("theta_b")
+    )
+    pairs = theta.select(F.col("route_id").alias(a)).join(
+        theta.select(F.col("route_id").alias(b))
+    ).filter(F.col(a) < F.col(b))
+    tmin = F.least("theta_a", "theta_b")
+    sample = (
+        common.join(F.broadcast(ta), a)
+        .join(F.broadcast(tb), b)
+        .filter(F.col("u") < tmin)
+        .groupBy(a, b)
+        .agg(F.count(F.lit(1)).alias("n_common_sample"))
+    )
+    exact = (
+        ur.select(F.col("route_id").alias(a), "user_id")
+        .join(ur.select(F.col("route_id").alias(b), "user_id"), "user_id")
+        .filter(F.col(a) < F.col(b))
+        .groupBy(a, b)
+        .agg(F.countDistinct("user_id").alias("exact_common"))
+    )
+    est = F.col("n_common_sample") / tmin
+    return (
+        pairs.join(F.broadcast(ta), a)
+        .join(F.broadcast(tb), b)
+        .join(F.broadcast(sample), [a, b], "left")
+        .join(F.broadcast(exact), [a, b], "left")
+        .select(
+            a,
+            b,
+            F.coalesce("n_common_sample", F.lit(0)).alias(
+                "n_common_sample"
+            ),
+            pround(
+                F.coalesce(est, F.lit(0.0)), 4
+            ).alias("est_common"),
+            F.coalesce("exact_common", F.lit(0)).alias("exact_common"),
+            F.when(
+                F.coalesce("exact_common", F.lit(0)) > 0,
+                pround(
+                    (F.coalesce(est, F.lit(0.0)) - F.col("exact_common"))
+                    / F.col("exact_common"),
+                    4,
+                ),
+            ).alias("rel_error"),
+        )
+        .orderBy(a, b)
+    )
+
+
+QUERIES["kmv_set_intersection"] = kmv_set_intersection
+
+
+def _kmv_sql() -> str:
+    from ..functions.portable import sql_uniform01
+
+    u = sql_uniform01("'kmv:' || user_id")
+    return f"""
+        WITH ur AS (
+          SELECT route_id, user_id, {u} AS u
+          FROM (SELECT DISTINCT event_type AS route_id, user_id
+                FROM events WHERE event_type IS NOT NULL) d
+        ),
+        kept AS (
+          SELECT * FROM (
+            SELECT route_id, user_id, u,
+                   row_number() OVER (
+                     PARTITION BY route_id ORDER BY u, user_id) AS rk
+            FROM ur
+          ) r WHERE rk <= {KMV_K}
+        ),
+        theta AS (
+          -- exact mode below KMV_K distinct: theta stays 1.0
+          SELECT route_id,
+                 CASE WHEN count(*) < {KMV_K} THEN 1.0
+                      ELSE max(u) END AS theta,
+                 count(*) AS n_kept
+          FROM kept GROUP BY route_id
+        ),
+        pairs AS (
+          SELECT a.route_id AS route_a, b.route_id AS route_b,
+                 a.theta AS theta_a, b.theta AS theta_b
+          FROM theta a JOIN theta b ON a.route_id < b.route_id
+        ),
+        sample AS (
+          SELECT ka.route_id AS route_a, kb.route_id AS route_b,
+                 count(*) AS n_common_sample
+          FROM kept ka
+          JOIN kept kb ON ka.user_id = kb.user_id
+                      AND ka.route_id < kb.route_id
+          JOIN pairs p ON p.route_a = ka.route_id
+                      AND p.route_b = kb.route_id
+          WHERE ka.u < least(p.theta_a, p.theta_b)
+          GROUP BY ka.route_id, kb.route_id
+        ),
+        exact AS (
+          SELECT a.route_id AS route_a, b.route_id AS route_b,
+                 count(DISTINCT a.user_id) AS exact_common
+          FROM ur a JOIN ur b ON a.user_id = b.user_id
+                            AND a.route_id < b.route_id
+          GROUP BY a.route_id, b.route_id
+        )
+        SELECT p.route_a, p.route_b,
+               CAST(coalesce(s.n_common_sample, 0) AS BIGINT)
+                 AS n_common_sample,
+               {sql_pround(
+                   'coalesce(s.n_common_sample, 0)::DOUBLE'
+                   ' / least(p.theta_a, p.theta_b)', 4
+               )} AS est_common,
+               CAST(coalesce(e.exact_common, 0) AS BIGINT)
+                 AS exact_common,
+               CASE WHEN coalesce(e.exact_common, 0) > 0 THEN
+                 {sql_pround(
+                     '(coalesce(s.n_common_sample, 0)::DOUBLE'
+                     ' / least(p.theta_a, p.theta_b)'
+                     ' - e.exact_common) / e.exact_common', 4
+                 )}
+               END AS rel_error
+        FROM pairs p
+        LEFT JOIN sample s USING (route_a, route_b)
+        LEFT JOIN exact e USING (route_a, route_b)
+        ORDER BY route_a, route_b
+    """
+
+
+ORACLES["kmv_set_intersection"] = _kmv_sql()

@@ -145,6 +145,7 @@ _PROMOTED = [
     "rho_loss_selection",
     "dbscan_grid_clusters",
     "linear_counting_audit",
+    "kmv_set_intersection",
     # --- the r06/r07 red row, re-evidenced on the BIGINT hash surface ---
     "neardup_triangle_count",
     # --- r03-stale cohort: newest driver evidence is CORRECTNESS_r03 ---

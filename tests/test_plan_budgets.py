@@ -66,6 +66,10 @@ SHUFFLE_BUDGETS = {
     "rho_loss_selection": 12,  # persisted bigram stream × 3 consumers
     "linear_counting_audit": 5,
     "ivf_kmeans_cells": 4,  # round-8 fused recompute (was 13)
+    # persisted ur/kept tiers count full lineage per consumer
+    # pre-substitution; at runtime the corpus distinct runs ONCE
+    "kmv_set_intersection": 20,
+    "dbscan_grid_clusters": 0,  # one agg + driver-side constant CC
     "interevent_gap_histogram": 3,  # one event pass: lag window only
     "delay_ewma_24h": 5,
     "demand_trend_line": 5,
@@ -164,12 +168,12 @@ SHUFFLE_BUDGETS = {
     # real scale), without which the whole per-entity Python pipeline
     # serializes on one core (5.0 s -> 1.4 s steady at sf0.1)
     "proto_feed_entities": 1,
-    # distributed Lloyd: assignment is a map-side broadcast argmin
-    # (zero corpus shuffles); each of the 2 unrolled iterations pays
-    # one corpus x d dims aggregate + cells-sized collects, and the
-    # cold plan inlines the persisted centroid lineage per consumer
-    "ivf_kmeans_cells": 15,
-    "ann_ivf_kmeans_topk": 16,
+    # distributed Lloyd (round-8 rewrite): assignment is a map-side
+    # broadcast argmin (zero corpus shuffles); each unrolled iteration
+    # pays ONE corpus aggregate (d per-dim sum expressions — no
+    # posexplode) and eager localCheckpoints truncate the lineage, so
+    # the static plan collapsed 15/16 -> 4/5
+    "ann_ivf_kmeans_topk": 5,
     # kmeans lineage + the per-cell rank window
     "cluster_balanced_sample": 16,
     # persisted token stream -> one bucket aggregate (256 rows out) +

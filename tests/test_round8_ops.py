@@ -328,3 +328,24 @@ def test_linear_counting_estimate_quality(spark):
         if r["lc_estimate"] is not None:
             assert abs(r["rel_error"]) <= 0.15
             assert r["lc_estimate"] >= r["occupied"] - 1e-6
+
+
+def test_kmv_intersection_estimate_quality(spark):
+    """Theta-sketch pair estimates: when both routes' user sets fit
+    inside the sketch (n_kept saturated only above KMV_K distinct),
+    the estimate is exact; always, the sampled commons are bounded by
+    the exact overlap count."""
+    from big_data_project_spark.operators.sketches import (
+        kmv_set_intersection,
+    )
+
+    rows = kmv_set_intersection(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["n_common_sample"] <= r["exact_common"]
+        if r["exact_common"] > 0:
+            # sf0.001 has ~15 users/route < KMV_K: sketch holds the
+            # whole set, so the estimate must be exact
+            assert r["est_common"] == pytest.approx(
+                r["exact_common"], rel=1e-6
+            )

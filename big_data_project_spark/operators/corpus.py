@@ -463,16 +463,24 @@ _SQL_MINHASH_PAIRS = _dedup.ORACLES["dedup_minhash_lsh"]
 _SQL_SIMHASH_PAIRS = _dedup.ORACLES["dedup_simhash"]
 _SQL_CHUNKS = _textops.ORACLES["doc_chunking"]
 
-_SQL_BIGRAMS = f"""
-    SELECT doc_id,
+def sql_bigrams(extra_cols: str = "") -> str:
+    """The token-bigram stream as SQL, optionally carrying extra
+    document columns (e.g. ``"source, "``) — ONE definition so every
+    bigram-LM oracle (lm_bigram_logprob here, rho_loss_selection in
+    selection.py) derives from the same tokenization."""
+    return f"""
+    SELECT doc_id, {extra_cols}
            unnest(list_transform(
              range(1, greatest(len(toks), 1)),
              i -> toks[i] || ' ' || toks[i+1]
            )) AS bg
-    FROM (SELECT doc_id, string_split({_SQL_NORM}, ' ') AS toks
+    FROM (SELECT doc_id, {extra_cols} string_split({_SQL_NORM}, ' ') AS toks
           FROM documents) d
     WHERE len(toks) >= 2
 """
+
+
+_SQL_BIGRAMS = sql_bigrams()
 
 ORACLES = {
     "lm_bigram_logprob": f"""

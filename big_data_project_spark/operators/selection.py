@@ -797,16 +797,9 @@ def rho_loss_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["rho_loss_selection"] = rho_loss_selection
 
-_SQL_BG_SRC = f"""
-    SELECT doc_id, source,
-           unnest(list_transform(
-             range(1, greatest(len(toks), 1)),
-             i -> toks[i] || ' ' || toks[i+1]
-           )) AS bg
-    FROM (SELECT doc_id, source, string_split({_SQL_NORM}, ' ') AS toks
-          FROM documents) d
-    WHERE len(toks) >= 2
-"""
+from .corpus import sql_bigrams as _sql_bigrams  # noqa: E402
+
+_SQL_BG_SRC = _sql_bigrams("source, ")
 
 
 def _rho_sql() -> str:

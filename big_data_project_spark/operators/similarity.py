@@ -441,8 +441,22 @@ def _km_fit(v: DataFrame) -> tuple[DataFrame, DataFrame]:
         F.col("vec_id").cast("int").alias("cell"), F.col("e").alias("ce")
     )
     # dimensionality is a dataset constant; one first() probe (a
-    # single-partition read) pins it for the d aggregate expressions
-    d = len(v.select("e").first()["e"])
+    # single-partition read) pins it for the d aggregate expressions.
+    # NOTE: this makes fit CONSTRUCTION eager (the probe + the per-
+    # round checkpoints run jobs) — callers that only want a plan get
+    # the fitted lineage; _km_fit_shared memoizes so the cost is paid
+    # once per session.
+    row = v.select("e").first()
+    if row is None:
+        # empty embeddings table: empty fit, correct schemas, no jobs
+        empty_cent = v.sparkSession.createDataFrame(
+            [], "cell int, ce array<double>"
+        )
+        empty_assigned = v.sparkSession.createDataFrame(
+            [], "vec_id bigint, e array<double>, cell int, d2 double"
+        )
+        return empty_cent, empty_assigned
+    d = len(row["e"])
     for _ in range(IVF_KM_ITERS):
         # eager localCheckpoint, not lazy persist: unrolled loops
         # otherwise accumulate ONE giant lineage whose re-expansion

@@ -439,7 +439,9 @@ QUERIES["linear_counting_audit"] = linear_counting_audit
 
 
 def _lc_sql() -> str:
-    h = "((('0x' || substr(md5('lc:' || user_id), 1, 15)))::BIGINT)"
+    from .dedup import _sql_hash60
+
+    h = "(" + _sql_hash60("'lc:' || user_id") + ")"
     v = f"({LC_M} - occupied) / {float(LC_M)}"
     est = f"-{float(LC_M)} * ln({v})"
     return f"""

@@ -274,8 +274,18 @@ def route_export_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = kpi.join(F.broadcast(latest)).filter(
         F.col("hour_ts") == F.col("max_ts")
     )
-    s = _suggestions_full(spark, sf_dir).filter(
-        F.col("action") != "keep"
+    # filter the suggestion relation to the latest hour BEFORE the
+    # broadcast — unfiltered it is routes×hours-sized, and every
+    # non-latest row would ship to all executors just to be dropped
+    # by the join (round-8 review)
+    s = (
+        _suggestions_full(spark, sf_dir)
+        .join(F.broadcast(latest))
+        .filter(
+            (F.col("hour_ts") == F.col("max_ts"))
+            & (F.col("action") != "keep")
+        )
+        .drop("max_ts")
     ).select(
         "route_id",
         "hour_ts",

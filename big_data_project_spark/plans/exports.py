@@ -20,6 +20,7 @@ ordering.
 from __future__ import annotations
 
 import json
+import math
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -50,7 +51,15 @@ def _iso(v):
 
 
 def _f(v):
-    return None if v is None else float(v)
+    """The reference's safe_float (export_suggestions_json.py:171-180):
+    NaN/inf normalize to None BEFORE payload assembly — a single NaN
+    double would otherwise abort every export file at
+    json.dump(allow_nan=False), and a NaN avg_headway_min must
+    classify as missing_headway, not ok."""
+    if v is None:
+        return None
+    v = float(v)
+    return None if (math.isnan(v) or math.isinf(v)) else v
 
 
 def _route_payload(r) -> dict:

@@ -1197,6 +1197,60 @@ DOCS_SCHEMA = (
 )
 
 
+def merge_quantile_bins_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_path: str,
+    lo: float,
+    hi: float,
+) -> bool:
+    """One histogram merge step (module-level so the replay guard is
+    directly testable): bins the batch map-side, ADDS counts into the
+    served state, stamps `last_batch`. Returns False — without
+    touching the state — when batch_id ≤ the state's last applied id
+    (checkpoint replay of an already-merged batch; the double-count
+    the round-8 review caught)."""
+    from ..operators.sketches import QBINS
+    from ..plans.sinks import _read_or_none, stage_swap_parquet
+
+    sess = batch_df.sparkSession
+    width = (hi - lo) / float(QBINS) if hi > lo else 1.0
+    current = _read_or_none(sess, state_path)
+    if current is not None:
+        last = current.agg(F.max("last_batch")).first()[0]
+        if last is not None and batch_id <= last:
+            return False
+    binned = (
+        batch_df.filter(
+            F.col("event_type").isNotNull() & F.col("value").isNotNull()
+        )
+        .select(
+            F.col("event_type").alias("route_id"),
+            F.least(
+                F.lit(QBINS - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor((F.col("value") - F.lit(lo)) / F.lit(width)),
+                ),
+            ).cast("int").alias("bin"),
+        )
+        .groupBy("route_id", "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    if current is not None:
+        binned = (
+            binned.unionByName(current.select("route_id", "bin", "c"))
+            .groupBy("route_id", "bin")
+            .agg(F.sum("c").alias("c"))
+        )
+    stage_swap_parquet(
+        sess,
+        binned.withColumn("last_batch", F.lit(batch_id).cast("long")),
+        state_path,
+    )
+    return True
+
+
 def serve_quantile_bins_foreach_batch(
     spark: SparkSession,
     events_dir: "str | DataFrame",
@@ -1217,47 +1271,21 @@ def serve_quantile_bins_foreach_batch(
     the histogram a sketch: state is O(routes × QBINS) forever,
     quantile read-off happens at serving time from the tiny table.
 
-    NOT redelivery-idempotent by itself (counts are additive, not
-    keyed): exactly-once comes from the checkpoint, as with every
-    aggregate-state stream here; the crash-safe read-merge-swap is
+    Counts are additive, NOT keyed, so foreachBatch's at-least-once
+    redelivery would double-count a replayed batch; the state carries
+    the last applied batch_id (`last_batch`, constant across rows) and
+    :func:`merge_quantile_bins_batch` makes a replay with batch_id ≤
+    last_batch a no-op — monotonic-guard idempotence, sufficient
+    because Structured Streaming only ever replays the newest
+    uncommitted batch. The crash-safe read-merge-swap is
     stage_swap_parquet's."""
-    from ..operators.sketches import QBINS
-    from ..plans.sinks import _read_or_none, stage_swap_parquet
-
     if isinstance(events_dir, DataFrame):
         src = events_dir
     else:
         src = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
-    width = (hi - lo) / float(QBINS) if hi > lo else 1.0
 
-    def _merge(batch_df, _batch_id: int) -> None:
-        sess = batch_df.sparkSession
-        binned = (
-            batch_df.filter(
-                F.col("event_type").isNotNull()
-                & F.col("value").isNotNull()
-            )
-            .select(
-                F.col("event_type").alias("route_id"),
-                F.least(
-                    F.lit(QBINS - 1),
-                    F.greatest(
-                        F.lit(0),
-                        F.floor((F.col("value") - F.lit(lo)) / F.lit(width)),
-                    ),
-                ).cast("int").alias("bin"),
-            )
-            .groupBy("route_id", "bin")
-            .agg(F.count(F.lit(1)).alias("c"))
-        )
-        current = _read_or_none(sess, state_path)
-        if current is not None:
-            binned = (
-                binned.unionByName(current)
-                .groupBy("route_id", "bin")
-                .agg(F.sum("c").alias("c"))
-            )
-        stage_swap_parquet(sess, binned, state_path)
+    def _merge(batch_df, batch_id: int) -> None:
+        merge_quantile_bins_batch(batch_df, batch_id, state_path, lo, hi)
 
     q = (
         src.writeStream.foreachBatch(_merge)

@@ -82,38 +82,57 @@ def test_split_audit_matches_pipeline_split(spark):
     assert 0.6 <= audit["train"]["n_rows"] / n <= 0.95
 
 
-def test_stage_swap_failed_first_write_not_committed(spark, tmp_path):
-    """ADVICE fix: when the swap-in of a FIRST-EVER write fails (no
-    aside to restore), the marked stage must not be silently committed
-    by the next recovery touch."""
+def test_stage_swap_failed_first_write_not_committed(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE fix, exercised through stage_swap_parquet's OWN failure
+    branch: when the swap-in rename of a FIRST-EVER write fails (no
+    aside to restore), the stage must be left UNMARKED so the next
+    recovery touch discards it — never silently commits a write the
+    caller was told failed. The rename failure is injected by wrapping
+    the Hadoop FS so exactly the staging→target rename returns
+    false."""
     from big_data_project_spark.plans import sinks
 
     target = str(tmp_path / "t")
     df = spark.range(5).selectExpr("id", "id * 2 AS v")
 
-    # Simulate rename failure by pre-creating the target as a FILE
-    # after staging: hadoop rename into an existing path fails.
+    real_hadoop_path = sinks._hadoop_path
+
+    class _FailSwapIn:
+        """Delegates to the real FileSystem, failing only the
+        .staging → target rename (the JVM object is final; this is
+        the seam)."""
+
+        def __init__(self, real):
+            self._real = real
+
+        def rename(self, a, b):
+            if str(a).endswith(".staging") and str(b).endswith("/t"):
+                return False
+            return self._real.rename(a, b)
+
+        def __getattr__(self, name):
+            return getattr(self._real, name)
+
+    def patched(spark_, path):
+        fs, hpath = real_hadoop_path(spark_, path)
+        return _FailSwapIn(fs), hpath
+
+    monkeypatch.setattr(sinks, "_hadoop_path", patched)
+    with pytest.raises(IOError, match="swap-in failed"):
+        sinks.stage_swap_parquet(spark, df, target)
+    monkeypatch.setattr(sinks, "_hadoop_path", real_hadoop_path)
+
+    # the staged files survive for inspection but carry NO marker...
     tmp = target + ".staging"
-    df.write.mode("overwrite").parquet(tmp)
-    sinks._touch(spark, tmp + "/" + sinks._SWAP_MARK)
-    # occupy the target path so the stage's swap-in rename fails
-    with open(target, "w") as fh:
-        fh.write("squatter")
-
-    # recover_staging sees a marked stage and tries to commit it; the
-    # squatting FILE makes fs.exists(target) true, so it goes through
-    # the set-aside path and succeeds — that's the normal repair. What
-    # we must test is stage_swap_parquet's own failure branch, so call
-    # the marker-strip logic directly instead: simulate by removing
-    # the marker as the failure branch does and verifying recovery
-    # then DISCARDS rather than commits.
-    sinks._rm_recursive(spark, tmp + "/" + sinks._SWAP_MARK)
-    import os
-
-    os.remove(target)
+    assert sinks._fs_exists(spark, tmp)
+    assert not sinks._fs_exists(spark, tmp + "/" + sinks._SWAP_MARK)
+    # ...so the next recovery DISCARDS the stage instead of committing
     action = sinks.recover_staging(spark, target)
     assert action == "dropped_incomplete_stage"
     assert not sinks._fs_exists(spark, target)
+    assert not sinks._fs_exists(spark, tmp)
 
 
 def test_mergeable_quantile_bins_bounds(spark):
@@ -349,3 +368,43 @@ def test_kmv_intersection_estimate_quality(spark):
             assert r["est_common"] == pytest.approx(
                 r["exact_common"], rel=1e-6
             )
+
+
+def test_quantile_bins_replay_is_noop(spark, tmp_path):
+    """Checkpoint-replay semantics: re-applying an already-merged
+    batch_id must not double-count (foreachBatch is at-least-once;
+    counts are additive — the round-8 review's double-count bug)."""
+    from big_data_project_spark.plans.sinks import read_upsert_table
+    from big_data_project_spark.streaming.pipeline import (
+        merge_quantile_bins_batch,
+    )
+
+    batch = spark.createDataFrame(
+        [(1, "r1", 10.0), (2, "r1", 20.0), (3, "r2", 30.0)],
+        "event_id long, event_type string, value double",
+    )
+    state = str(tmp_path / "hist")
+    assert merge_quantile_bins_batch(batch, 0, state, 0.0, 100.0)
+    first = sorted(
+        tuple(r)
+        for r in read_upsert_table(spark, state)
+        .select("route_id", "bin", "c")
+        .collect()
+    )
+    # replay of batch 0: no-op, state unchanged
+    assert not merge_quantile_bins_batch(batch, 0, state, 0.0, 100.0)
+    assert first == sorted(
+        tuple(r)
+        for r in read_upsert_table(spark, state)
+        .select("route_id", "bin", "c")
+        .collect()
+    )
+    # a NEW batch merges additively
+    assert merge_quantile_bins_batch(batch, 1, state, 0.0, 100.0)
+    doubled = sorted(
+        tuple(r)
+        for r in read_upsert_table(spark, state)
+        .select("route_id", "bin", "c")
+        .collect()
+    )
+    assert doubled == [(rid, b, 2 * c) for (rid, b, c) in first]

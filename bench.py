@@ -109,7 +109,25 @@ R6_HEADLINE = [
     "quality_classifier_score",
     "split_leakage_audit",
 ]
-HEADLINE = R2_HEADLINE + R3_HEADLINE + R4_HEADLINE + R5_HEADLINE + R6_HEADLINE
+R8_HEADLINE = [
+    # round-8: the deterministic sketch tier (mergeable histogram
+    # quantiles + KMV theta intersection — both one corpus aggregate
+    # then sketch-sized work), the RHO bigram-LM selector (persisted
+    # bigram stream, three linear aggregates), and the split-conformal
+    # interval pass over the shared demand rollup
+    "mergeable_quantile_bins",
+    "kmv_set_intersection",
+    "rho_loss_selection",
+    "conformal_interval_coverage",
+]
+HEADLINE = (
+    R2_HEADLINE
+    + R3_HEADLINE
+    + R4_HEADLINE
+    + R5_HEADLINE
+    + R6_HEADLINE
+    + R8_HEADLINE
+)
 _R2_KEYS = frozenset(R2_HEADLINE)
 
 # --- sf1 tier (round-6 verdict item 3) -------------------------------------

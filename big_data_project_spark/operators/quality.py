@@ -341,3 +341,86 @@ ORACLES["epoch_shard_plan"] = f"""
     FROM per
     ORDER BY shard
 """
+
+
+# --- differentially-private release shape ------------------------------------
+
+DP_EPSILON = 1.0  # per-release privacy budget
+DP_SENSITIVITY = 1.0  # count queries: one user contributes ±1 per group
+
+
+def dp_group_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-mechanism release of per-(source, lang) DISTINCT-doc
+    counts — the shape a privacy-gated corpus stats endpoint publishes
+    (Dwork et al. 2006): noisy = true + Lap(sensitivity/epsilon), with
+    the true count and the realized noise kept as AUDIT columns (a real
+    release drops them; publishing both here is what makes the
+    mechanism testable and oracle-checkable).
+
+    The noise draw is the md5-uniform inverse-CDF Laplace
+    −b·sign(u−½)·ln(1−2|u−½|) seeded per group key — DETERMINISTIC, so
+    both engines realize the identical sample. That is deliberately
+    NOT a private RNG (a deterministic seed leaks; a production
+    release swaps in a secure RNG at exactly this one expression) —
+    what the operator owns is the distributed mechanism shape: noise
+    applied per group AFTER the one aggregate, never per row, and the
+    epsilon/sensitivity accounting carried on every row.
+
+    Scale: one corpus distinct aggregate; the noise projection is
+    groups-sized and map-side."""
+    from ..functions.portable import uniform01
+
+    docs = load_table_spread(spark, sf_dir, "documents", "doc_id")
+    counts = docs.groupBy("source", "lang").agg(
+        F.countDistinct("doc_id").alias("true_count")
+    )
+    b = DP_SENSITIVITY / DP_EPSILON
+    u = uniform01(
+        F.concat(F.lit("dp:"), F.col("source"), F.lit("|"), F.col("lang"))
+    )
+    centered = u - F.lit(0.5)
+    noise = (
+        -F.lit(b)
+        * F.signum(centered)
+        * F.log(F.lit(1.0) - 2 * F.abs(centered))
+    )
+    return counts.select(
+        "source",
+        "lang",
+        "true_count",
+        pround(noise, 6).alias("laplace_noise"),
+        pround(F.col("true_count") + noise, 6).alias("released_count"),
+        F.lit(float(DP_EPSILON)).alias("epsilon"),
+        F.lit(float(DP_SENSITIVITY)).alias("sensitivity"),
+    ).orderBy("source", "lang")
+
+
+QUERIES["dp_group_counts"] = dp_group_counts
+
+
+def _dp_sql() -> str:
+    from ..functions.portable import sql_uniform01
+
+    u = sql_uniform01("'dp:' || source || '|' || lang")
+    b = DP_SENSITIVITY / DP_EPSILON
+    noise = (
+        f"-{b} * sign(({u}) - 0.5)"
+        f" * ln(1.0 - 2 * abs(({u}) - 0.5))"
+    )
+    return f"""
+        WITH counts AS (
+          SELECT source, lang, count(DISTINCT doc_id) AS true_count
+          FROM documents GROUP BY source, lang
+        )
+        SELECT source, lang, true_count,
+               {sql_pround(noise, 6)} AS laplace_noise,
+               {sql_pround(f"true_count + ({noise})", 6)}
+                 AS released_count,
+               CAST({float(DP_EPSILON)} AS DOUBLE) AS epsilon,
+               CAST({float(DP_SENSITIVITY)} AS DOUBLE) AS sensitivity
+        FROM counts
+        ORDER BY source, lang
+    """
+
+
+ORACLES["dp_group_counts"] = _dp_sql()

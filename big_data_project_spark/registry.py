@@ -146,57 +146,60 @@ _PROMOTED = [
     "dbscan_grid_clusters",
     "linear_counting_audit",
     "kmv_set_intersection",
+    "dp_group_counts",
     # --- the r06/r07 red row, re-evidenced on the BIGINT hash surface ---
     "neardup_triangle_count",
-    # --- r03-stale cohort: newest driver evidence is CORRECTNESS_r03 ---
-    "lang_id",
-    "lang_confusion",
-    "stops_geo",
-    "stop_grid_density",
-    "nearest_stop",
-    "stops_within_radius",
-    "q2_min_cost_supplier",
-    "q11_part_value_share",
-    "q12_late_priority_lines",
-    "q13_order_count_distribution",
-    "q15_top_revenue_supplier",
-    "q17_small_qty_avg_revenue",
-    "q20_heavy_shipper_suppliers",
-    "demand_range_window",
-    "customer_balance_quartiles",
-    "sales_cube",
-    "route_hour_pivot",
-    "weekday_weekend_routes",
-    "demand_delay_full_outer",
-    "nation_revenue_running",
-    "route_dow_rank_profile",
-    "service_alerts",
-    "alerts_hourly",
-    "kpi_alerts_hourly",
-    "alerts_latest_per_type",
-    "user_sessions",
-    "contamination_check",
-    "repetition_score",
-    "token_frequencies",
-    "doc_length_histogram",
-    "doc_filter_cascade",
-    "source_mixture_weights",
-    "stopword_density_buckets",
-    "lm_bigram_logprob",
-    "shingle_novelty",
-    "tfidf_top_terms",
-    "vocab_coverage",
-    "dedup_incremental",
-    "cross_source_dup_matrix",
-    "chunk_dup_rate",
-    "dedup_method_agreement",
-    "asof_join_weather",
-    "delay_anomaly_hours",
+    # --- r03-stale cohort: newest driver evidence is CORRECTNESS_r03;
+    # ordered CHEAPEST measured sf0.01 wall first, so the driver's
+    # wall-budget cut refreshes the MOST keys (all equally stale) ---
     "demand_rolling_3h",
     "top_stops_per_route",
-    "delay_gap_fill",
+    "stops_geo",
+    "doc_length_histogram",
     "delay_ffill",
+    "demand_range_window",
+    "service_alerts",
+    "delay_gap_fill",
+    "sales_cube",
+    "doc_filter_cascade",
+    "stop_grid_density",
+    "alerts_latest_per_type",
+    "route_hour_pivot",
+    "delay_anomaly_hours",
     "route_delay_quantiles",
+    "source_mixture_weights",
+    "q13_order_count_distribution",
+    "demand_delay_full_outer",
+    "token_frequencies",
+    "route_dow_rank_profile",
+    "alerts_hourly",
+    "user_sessions",
+    "stopword_density_buckets",
+    "q15_top_revenue_supplier",
+    "lang_id",
+    "customer_balance_quartiles",
+    "repetition_score",
+    "asof_join_weather",
+    "lang_confusion",
+    "weekday_weekend_routes",
+    "chunk_dup_rate",
+    "q17_small_qty_avg_revenue",
+    "q12_late_priority_lines",
+    "stops_within_radius",
+    "vocab_coverage",
+    "q20_heavy_shipper_suppliers",
+    "q11_part_value_share",
+    "contamination_check",
+    "nation_revenue_running",
+    "shingle_novelty",
+    "q2_min_cost_supplier",
+    "cross_source_dup_matrix",
+    "nearest_stop",
+    "tfidf_top_terms",
+    "lm_bigram_logprob",
+    "kpi_alerts_hourly",
+    "dedup_incremental",
+    "dedup_method_agreement",
 ]
 _missing = [k for k in _PROMOTED if k not in QUERIES]
 if _missing:

@@ -408,3 +408,24 @@ def test_quantile_bins_replay_is_noop(spark, tmp_path):
         .collect()
     )
     assert doubled == [(rid, b, 2 * c) for (rid, b, c) in first]
+
+
+def test_dp_group_counts_mechanism(spark):
+    """Released = true + noise exactly; accounting columns constant;
+    noise is Laplace-shaped (zero-median across the many groups)."""
+    from big_data_project_spark.operators.quality import (
+        DP_EPSILON,
+        dp_group_counts,
+    )
+
+    rows = dp_group_counts(spark, SF_DIR).collect()
+    assert len(rows) > 10
+    signs = 0
+    for r in rows:
+        assert r["released_count"] == pytest.approx(
+            r["true_count"] + r["laplace_noise"], abs=2e-6
+        )
+        assert r["epsilon"] == DP_EPSILON
+        signs += 1 if r["laplace_noise"] > 0 else -1
+    # md5-uniform seeds: roughly balanced signs (binomial 3-sigma)
+    assert abs(signs) <= 3 * (len(rows) ** 0.5) + 1

@@ -856,3 +856,187 @@ ORACLES["bm25_retrieval_topk"] = f"""
     WHERE rank <= {BM25_TOP_K}
     ORDER BY query_id, rank
 """
+
+
+# --- one distributed NMF multiplicative update (topic model round) ----------
+
+NMF_K = 4  # topics
+NMF_TOP = 5  # reported terms per topic
+NMF_EPS = 1e-9  # divide guard in the multiplicative rule
+
+
+def nmf_topic_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One multiplicative NMF update round (Lee & Seung 2001, NIPS) of
+    the topic-term factor H over the corpus tf matrix V ≈ W·H — topic
+    modeling as the engine runs it: H' = H ⊙ (WᵀV) ⊘ (WᵀW·H + ε),
+    reported as the top NMF_TOP terms per topic after the update.
+    Deterministic md5-uniform init for BOTH factors, so the whole
+    round — init, the two Gram products, the elementwise update, the
+    rank — sits under the oracle hash gate (pyspark.ml's LDA/ALS are
+    rows-only by nature; this is the oracle-checkable factorization
+    slice, the same split the distributed-Lloyd keys make for IVF).
+
+    Scale: V is the one corpus token shuffle (tf counts); W lives in
+    long form (doc, topic, w) and joins V on doc_id — co-partitioned
+    hash joins, never a dense matrix; WᵀV and WᵀW are decimal-exact
+    folds to k×vocab / k×k relations, after which everything is
+    topic-sized. Further rounds = repeat with lineage truncation (the
+    unrolled-loop pattern of BPE/PageRank/Lloyd).
+
+    Portability: every sum that crosses a partition boundary is an
+    exact DECIMAL fold of identically-computed double products; the
+    update quantizes to 9dp before ranking with term tie-break."""
+    from ..functions.portable import dsum_exact, uniform01
+
+    docs = load_table_spread(spark, sf_dir, "documents", "doc_id")
+    v = _persisted(
+        docs.select(
+            "doc_id",
+            F.explode(F.split(_norm(F.col("text")), " ")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("v"))
+    )
+    topics = spark.range(NMF_K).select(F.col("id").cast("int").alias("topic"))
+    w = _persisted(
+        v.select("doc_id")
+        .distinct()
+        .join(F.broadcast(topics))
+        .select(
+            "doc_id",
+            "topic",
+            uniform01(
+                F.concat(
+                    F.lit("nmfw:"),
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.col("topic").cast("string"),
+                )
+            ).alias("w"),
+        )
+    )
+    h = v.select("tok").distinct().join(F.broadcast(topics)).select(
+        "topic",
+        "tok",
+        uniform01(
+            F.concat(
+                F.lit("nmfh:"),
+                F.col("topic").cast("string"),
+                F.lit(":"),
+                F.col("tok"),
+            )
+        ).alias("h"),
+    )
+    wtv = (
+        w.join(v, "doc_id")
+        .groupBy("topic", "tok")
+        .agg(dsum_exact(F.col("w") * F.col("v")).alias("wtv"))
+    )
+    w2 = w.select(
+        "doc_id", F.col("topic").alias("topic2"), F.col("w").alias("w2")
+    )
+    wtw = (
+        w.join(w2, "doc_id")
+        .groupBy("topic", "topic2")
+        .agg(dsum_exact(F.col("w") * F.col("w2")).alias("g"))
+    )
+    wtwh = (
+        F.broadcast(wtw)
+        .join(
+            h.select(
+                F.col("topic").alias("topic2"), "tok", F.col("h").alias("h2")
+            ),
+            "topic2",
+        )
+        .groupBy("topic", "tok")
+        .agg(dsum_exact(F.col("g") * F.col("h2")).alias("den"))
+    )
+    updated = (
+        h.join(wtv, ["topic", "tok"], "left")
+        .join(wtwh, ["topic", "tok"], "left")
+        .select(
+            "topic",
+            "tok",
+            pround(
+                F.col("h")
+                * F.coalesce(F.col("wtv"), F.lit(0.0))
+                / (F.coalesce(F.col("den"), F.lit(0.0)) + F.lit(NMF_EPS)),
+                9,
+            ).alias("h_new"),
+        )
+    )
+    rk = Window.partitionBy("topic").orderBy(F.desc("h_new"), "tok")
+    return (
+        updated.withColumn("rank", F.row_number().over(rk))
+        .filter(F.col("rank") <= NMF_TOP)
+        .select("topic", "rank", "tok", "h_new")
+        .orderBy("topic", "rank")
+    )
+
+
+QUERIES["nmf_topic_round"] = nmf_topic_round
+
+
+def _nmf_sql() -> str:
+    from ..functions.portable import sql_uniform01
+
+    uw = sql_uniform01("'nmfw:' || CAST(doc_id AS VARCHAR) || ':' || CAST(topic AS VARCHAR)")
+    uh = sql_uniform01("'nmfh:' || CAST(topic AS VARCHAR) || ':' || tok")
+    return f"""
+        WITH v AS (
+          SELECT doc_id, tok, count(*)::DOUBLE AS v
+          FROM (SELECT doc_id,
+                       unnest(string_split({_SQL_NORM}, ' ')) AS tok
+                FROM documents) t
+          WHERE tok != ''
+          GROUP BY doc_id, tok
+        ),
+        topics AS (SELECT unnest(range({NMF_K}))::INT AS topic),
+        w AS (
+          SELECT doc_id, topic, {uw} AS w
+          FROM (SELECT DISTINCT doc_id FROM v) d CROSS JOIN topics
+        ),
+        h AS (
+          SELECT topic, tok, {uh} AS h
+          FROM (SELECT DISTINCT tok FROM v) t CROSS JOIN topics
+        ),
+        wtv AS (
+          SELECT topic, tok,
+                 (sum((w.w * v.v)::DECIMAL(28,6)))::DOUBLE AS wtv
+          FROM w JOIN v USING (doc_id)
+          GROUP BY topic, tok
+        ),
+        wtw AS (
+          SELECT a.topic, b.topic AS topic2,
+                 (sum((a.w * b.w)::DECIMAL(28,6)))::DOUBLE AS g
+          FROM w a JOIN w b USING (doc_id)
+          GROUP BY a.topic, b.topic
+        ),
+        wtwh AS (
+          SELECT wtw.topic, h2.tok,
+                 (sum((wtw.g * h2.h)::DECIMAL(28,6)))::DOUBLE AS den
+          FROM wtw JOIN h h2 ON h2.topic = wtw.topic2
+          GROUP BY wtw.topic, h2.tok
+        ),
+        updated AS (
+          SELECT h.topic, h.tok,
+                 {sql_pround(
+                     'h.h * coalesce(wtv.wtv, 0.0)'
+                     f' / (coalesce(wtwh.den, 0.0) + {NMF_EPS})', 9
+                 )} AS h_new
+          FROM h
+          LEFT JOIN wtv ON wtv.topic = h.topic AND wtv.tok = h.tok
+          LEFT JOIN wtwh ON wtwh.topic = h.topic AND wtwh.tok = h.tok
+        )
+        SELECT topic, rank, tok, h_new FROM (
+          SELECT *, CAST(row_number() OVER (
+                   PARTITION BY topic ORDER BY h_new DESC, tok) AS INT)
+                   AS rank
+          FROM updated
+        ) r WHERE rank <= {NMF_TOP}
+        ORDER BY topic, rank
+    """
+
+
+ORACLES["nmf_topic_round"] = _nmf_sql()

@@ -147,6 +147,7 @@ _PROMOTED = [
     "linear_counting_audit",
     "kmv_set_intersection",
     "dp_group_counts",
+    "nmf_topic_round",
     # --- the r06/r07 red row, re-evidenced on the BIGINT hash surface ---
     "neardup_triangle_count",
     # --- r03-stale cohort: newest driver evidence is CORRECTNESS_r03;

@@ -70,6 +70,10 @@ SHUFFLE_BUDGETS = {
     # pre-substitution; at runtime the corpus distinct runs ONCE
     "kmv_set_intersection": 20,
     "dbscan_grid_clusters": 0,  # one agg + driver-side constant CC
+    # persisted V and W tiers each count full lineage per consumer
+    # pre-substitution (V feeds tf/W-init/H-init; W feeds WtV + WtW);
+    # at runtime each materializes ONCE
+    "nmf_topic_round": 17,
     "interevent_gap_histogram": 3,  # one event pass: lag window only
     "delay_ewma_24h": 5,
     "demand_trend_line": 5,

@@ -429,3 +429,72 @@ def test_dp_group_counts_mechanism(spark):
         signs += 1 if r["laplace_noise"] > 0 else -1
     # md5-uniform seeds: roughly balanced signs (binomial 3-sigma)
     assert abs(signs) <= 3 * (len(rows) ** 0.5) + 1
+
+
+def test_nmf_update_decreases_objective(spark):
+    """The Lee-Seung multiplicative rule is non-increasing in the
+    Frobenius objective ||V - W·H||²: one H update from the md5 init
+    must not increase it (checked on the collected small factors —
+    docs×vocab at sf0.001 is tiny; the operator itself never
+    materializes a dense matrix)."""
+    import numpy as np
+
+    from big_data_project_spark.catalog import load_table_spread
+    from big_data_project_spark.operators.corpus import (
+        NMF_K,
+        NMF_TOP,
+        nmf_topic_round,
+        _norm,
+    )
+    from big_data_project_spark.functions.portable import uniform01
+
+    out = nmf_topic_round(spark, SF_DIR).collect()
+    assert len(out) == NMF_K * NMF_TOP
+    for r in out:
+        assert r["h_new"] >= 0
+
+    # rebuild V, W, H init exactly as the operator does, numpy-side
+    docs = load_table_spread(spark, SF_DIR, "documents", "doc_id")
+    v_rows = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(_norm(F.col("text")), " ")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .count()
+        .collect()
+    )
+    doc_ids = sorted({r["doc_id"] for r in v_rows})
+    toks = sorted({r["tok"] for r in v_rows})
+    di = {d: i for i, d in enumerate(doc_ids)}
+    ti = {t: i for i, t in enumerate(toks)}
+    V = np.zeros((len(doc_ids), len(toks)))
+    for r in v_rows:
+        V[di[r["doc_id"]], ti[r["tok"]]] = r["count"]
+
+    def u01(s: str) -> float:
+        import hashlib
+
+        h = int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+        return (h + 1) / float(2**60)
+
+    W = np.array(
+        [[u01(f"nmfw:{d}:{k}") for k in range(NMF_K)] for d in doc_ids]
+    )
+    H0 = np.array(
+        [[u01(f"nmfh:{k}:{t}") for t in toks] for k in range(NMF_K)]
+    )
+    H1 = H0 * (W.T @ V) / (W.T @ W @ H0 + 1e-9)
+    before = np.linalg.norm(V - W @ H0) ** 2
+    after = np.linalg.norm(V - W @ H1) ** 2
+    assert after <= before + 1e-6
+    # and the served top terms agree with the numpy update
+    for r in out[:NMF_TOP]:
+        k = r["topic"]
+        np_top = sorted(
+            zip(H1[k], toks), key=lambda p: (-round(p[0], 9), p[1])
+        )[: NMF_TOP]
+        served = [x for x in out if x["topic"] == k]
+        assert [s["tok"] for s in served] == [t for _, t in np_top]
+        break

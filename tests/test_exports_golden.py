@@ -118,3 +118,41 @@ def test_routes_geo_shape(written):
     golden = _golden("routes_geo_latest.json")
     ours = _load(written["routes_geo_latest.json"])
     assert ours and shape(ours[0]) == shape(golden[0])
+
+
+def test_payload_nan_normalizes_like_reference():
+    """safe_float parity (round-8 review): NaN/inf doubles become None
+    in the payload — never a json.dump crash — and a NaN
+    avg_headway_min classifies missing_headway, not ok."""
+    from big_data_project_spark.plans.exports import _route_payload
+
+    row = {
+        "route_id": 7,
+        "hour_ts": "2026-01-20T18:00:00",
+        "predicted_passengers": float("nan"),
+        "observed_passengers": float("inf"),
+        "active_vehicles": 3,
+        "avg_headway_min": float("nan"),
+        "avg_delay_seconds": float("nan"),
+        "is_peak_hour": 1,
+        "action": "increase_frequency",
+        "current_headway_min": 12.0,
+        "recommended_headway_min": 10.0,
+        "priority_score": 0.8,
+        "confidence": 0.7,
+        "rule": "ppt > cap_target",
+        "trips_per_hour_est": 5.0,
+        "capacity_est_per_hour": 300.0,
+        "load_factor_per_hour": float("nan"),
+        "passengers_per_trip_est": 344.0,
+        "trips_per_hour_target": 38.0,
+        "raw_recommended_headway_min": 3.0,
+    }
+    p = _route_payload(row)
+    assert p["kpi"]["predicted_passengers"] is None
+    assert p["kpi"]["observed_passengers"] is None
+    assert p["kpi"]["avg_headway_min"] is None
+    assert p["suggestion"]["status"] == "missing_headway"
+    import json
+
+    json.dumps(p, allow_nan=False)  # must not raise

@@ -157,6 +157,10 @@ SF1_KEYS = [
     "dsir_importance_weights",
     "quality_classifier_score",
     "dau_rolling_wau",
+    # round-8 sketch additions (replicas value-checked against the
+    # DuckDB oracles; pandas column re-measured once at tile=20)
+    "mergeable_quantile_bins",
+    "kmv_set_intersection",
     "bitext_margin_mining",
     "ivf_kmeans_cells",
     "open_orders_monthly",

@@ -498,3 +498,44 @@ def test_nmf_update_decreases_objective(spark):
         served = [x for x in out if x["topic"] == k]
         assert [s["tok"] for s in served] == [t for _, t in np_top]
         break
+
+
+def test_sf1_replicas_match_oracles(duck):
+    """The two round-8 sf1-tier pandas replicas must reproduce the
+    DuckDB oracle values exactly (same rounding rules) — the property
+    that makes their timing columns a fair baseline."""
+    import importlib
+    import math
+    import os
+    import sys
+
+    import tools.baseline_replica as br
+
+    os.environ["SPARK_GRAFT_SF_DIR"] = SF_DIR
+    old_argv = sys.argv
+    sys.argv = ["x", SF_DIR]
+    try:
+        importlib.reload(br)
+        from big_data_project_spark.registry import ORACLES
+
+        for key, fn in [
+            ("mergeable_quantile_bins", br.mergeable_quantile_bins),
+            ("kmv_set_intersection", br.kmv_set_intersection),
+        ]:
+            rep = fn().reset_index(drop=True)
+            got = duck.execute(ORACLES[key]).fetchdf()
+            assert sorted(rep.columns) == sorted(got.columns), key
+            for c in rep.columns:
+                for x, y in zip(rep[c].tolist(), got[c].tolist()):
+                    if x is None or (
+                        isinstance(x, float) and math.isnan(x)
+                    ):
+                        assert y is None or (
+                            isinstance(y, float) and math.isnan(y)
+                        ), (key, c)
+                    elif isinstance(x, float):
+                        assert abs(x - float(y)) <= 1e-6, (key, c, x, y)
+                    else:
+                        assert str(x) == str(y), (key, c, x, y)
+    finally:
+        sys.argv = old_argv

@@ -670,6 +670,103 @@ def split_leakage_audit() -> pd.DataFrame:
     return pd.DataFrame(out).sort_values("doc_id")
 
 
+def mergeable_quantile_bins() -> pd.DataFrame:
+    """Histogram-quantile sketch replica (vectorized pandas — the
+    reference best case for this shape): per route, a 128-bin
+    histogram + cumulative read-off at p50/p90/p99 midpoints, with the
+    exact percentiles alongside (numpy interpolated, matching
+    percentile/quantile_cont)."""
+    import numpy as np
+
+    QB = 128
+    ev = _read("events")
+    ev = ev[ev["event_type"].notna() & ev["value"].notna()]
+    out = []
+    for rid, g in ev.groupby("event_type"):
+        v = g["value"].to_numpy(dtype=float)
+        mn, mx, n = v.min(), v.max(), len(v)
+        width = (mx - mn) / QB if mx > mn else 1.0
+        bins = np.minimum(QB - 1, np.floor((v - mn) / width)).astype(int)
+        hist = np.bincount(bins, minlength=QB)
+        cum = hist.cumsum()
+
+        def est(p):
+            b = int(np.argmax(cum >= p * n))
+            mid = mn + (b + 0.5) * width if mx > mn else mn
+            return math.floor(mid * 1e6 + 0.5) / 1e6
+
+        e50, e90, e99 = est(0.5), est(0.9), est(0.99)
+        x50 = math.floor(np.quantile(v, 0.5) * 1e4 + 0.5) / 1e4
+        x99 = math.floor(np.quantile(v, 0.99) * 1e4 + 0.5) / 1e4
+        out.append(
+            {
+                "route_id": rid,
+                "n_values": n,
+                "est_p50": e50,
+                "exact_p50": x50,
+                "err_p50": math.floor(abs(e50 - x50) * 1e4 + 0.5) / 1e4,
+                "est_p90": e90,
+                "est_p99": e99,
+                "exact_p99": x99,
+                "err_p99": math.floor(abs(e99 - x99) * 1e4 + 0.5) / 1e4,
+            }
+        )
+    return pd.DataFrame(out).sort_values("route_id")
+
+
+def kmv_set_intersection() -> pd.DataFrame:
+    """KMV theta-sketch replica in the reference idiom: hashlib md5
+    per distinct (route, user) in a Python loop, per-route k smallest,
+    pair loops for the sampled intersection and the exact overlap."""
+    K = 64
+    ev = _read("events")
+    ev = ev[ev["event_type"].notna()]
+    pairs = ev[["event_type", "user_id"]].drop_duplicates()
+    by_route: dict[str, dict] = {}
+    for rid, g in pairs.groupby("event_type"):
+        us = []
+        for u in g["user_id"]:
+            h = int(
+                hashlib.md5(f"kmv:{u}".encode()).hexdigest()[:15], 16
+            )
+            us.append(((h + 1) / float(2**60), u))
+        us.sort()
+        kept = us[:K]
+        theta = 1.0 if len(kept) < K else kept[-1][0]
+        by_route[rid] = {
+            "kept": {u: uu for uu, u in kept},
+            "theta": theta,
+            "users": set(g["user_id"]),
+        }
+    out = []
+    rids = sorted(by_route)
+    for i, a in enumerate(rids):
+        for b in rids[i + 1 :]:
+            ra, rb = by_route[a], by_route[b]
+            tmin = min(ra["theta"], rb["theta"])
+            common = 0
+            for u, uu in ra["kept"].items():
+                if u in rb["kept"] and uu < tmin:
+                    common += 1
+            exact = len(ra["users"] & rb["users"])
+            est = common / tmin
+            out.append(
+                {
+                    "route_a": a,
+                    "route_b": b,
+                    "n_common_sample": common,
+                    "est_common": math.floor(est * 1e4 + 0.5) / 1e4,
+                    "exact_common": exact,
+                    "rel_error": (
+                        math.floor((est - exact) / exact * 1e4 + 0.5) / 1e4
+                        if exact > 0
+                        else None
+                    ),
+                }
+            )
+    return pd.DataFrame(out)
+
+
 def main() -> None:
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
@@ -704,6 +801,8 @@ def main() -> None:
     timed("bitext_margin_mining", bitext_margin_mining)
     timed("quality_classifier_score", quality_classifier_score)
     timed("split_leakage_audit", split_leakage_audit)
+    timed("mergeable_quantile_bins", mergeable_quantile_bins)
+    timed("kmv_set_intersection", kmv_set_intersection)
 
     print(json.dumps({"sf_dir": SF_DIR, "queries": timings, "rows": rows}))
 

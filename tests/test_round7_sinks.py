@@ -277,3 +277,92 @@ def test_snapshot_concurrent_reader_never_sees_partial(spark, tmp_path):
     assert seen, "reader never completed a read"
     bad = [s for s in seen if s not in valid]
     assert not bad, f"partial states observed: {bad[:3]}"
+
+
+# --- round 9: injected swap-in failure on a FIRST-EVER write ----------------
+
+
+class _FailSwapIn:
+    """FileSystem proxy that vetoes the stage→target rename (the swap-in)
+    while letting every other call through — simulates the rename itself
+    failing (permissions, remote-store hiccup) rather than a crash."""
+
+    def __init__(self, fs):
+        self._fs = fs
+        self.vetoed = 0
+
+    def rename(self, src, dst):
+        if str(src).endswith(".staging") and not str(dst).endswith(
+            (".staging", ".old")
+        ):
+            self.vetoed += 1
+            return False
+        return self._fs.rename(src, dst)
+
+    def __getattr__(self, name):
+        return getattr(self._fs, name)
+
+
+def test_failed_first_write_is_not_committed_by_next_read(
+    spark, tmp_path, monkeypatch
+):
+    """Round-8 advice #1 regression test, failure INJECTED (not layout-
+    simulated): first-ever write to the table, the swap-in rename fails
+    AFTER the stage is marked complete. The caller is told the write
+    failed — so the next touch (a plain READ) must NOT silently commit
+    the abandoned batch. The unmarked stage is debris, dropped on the
+    next recovery pass."""
+    target = str(tmp_path / "t")
+    real = sinks._hadoop_path
+    proxies = []
+
+    def patched(sp, path):
+        fs, hpath = real(sp, path)
+        proxy = _FailSwapIn(fs)
+        proxies.append(proxy)
+        return proxy, hpath
+
+    monkeypatch.setattr(sinks, "_hadoop_path", patched)
+    df = spark.createDataFrame([(1, "a", 1)], "k long, v string, ver long")
+    with pytest.raises(IOError, match="swap-in failed"):
+        sinks.stage_swap_parquet(spark, df, target)
+    assert any(p.vetoed for p in proxies)
+    # the failed stage must no longer carry the completeness marker
+    assert os.path.exists(target + ".staging")
+    assert not os.path.exists(
+        os.path.join(target + ".staging", sinks._SWAP_MARK)
+    )
+    monkeypatch.undo()
+
+    # Next READ: must not surface the batch the caller was told failed.
+    assert sinks._read_or_none(spark, target) is None
+    # ...and recovery classified the stage as incomplete debris.
+    assert not os.path.exists(target + ".staging")
+    assert not os.path.exists(target)
+
+
+def test_failed_overwrite_restores_original_and_discards_stage(
+    spark, tmp_path, monkeypatch
+):
+    """Same injection over an EXISTING table: the original is restored,
+    the caller sees the failure, and the next read serves the ORIGINAL
+    rows (never the abandoned batch)."""
+    target = str(tmp_path / "t")
+    _write_table(spark, target, [(1, "orig", 1)])
+    real = sinks._hadoop_path
+
+    def patched(sp, path):
+        fs, hpath = real(sp, path)
+        return _FailSwapIn(fs), hpath
+
+    monkeypatch.setattr(sinks, "_hadoop_path", patched)
+    df = spark.createDataFrame([(1, "new", 2)], "k long, v string, ver long")
+    with pytest.raises(IOError, match="original restored"):
+        sinks.stage_swap_parquet(spark, df, target)
+    monkeypatch.undo()
+
+    assert _rows(spark, target) == {1: ("orig", 1)}
+    # failed-from-caller's-view stage was discarded outright
+    assert not os.path.exists(target + ".staging")
+    got = sinks.read_upsert_table(spark, target)
+    assert {(r["k"], r["v"]) for r in got.collect()} == {(1, "orig")}

@@ -93,7 +93,42 @@ R02_STALE = [
     "multimodal_features",
 ]
 
-COHORT = R01_STALE + R02_STALE
+# Round 9 (round-8 verdict item 1): the nine oracle-backed keys whose
+# newest driver row was CORRECTNESS_r03 lead this round's _PROMOTED
+# rotation, but the verdict asks for them here too so no oracle-backed
+# key can go >4 rounds without driver-SF evidence even if a future
+# wall-budget cut rolls them again.
+R03_STALE = [
+    "shingle_novelty",
+    "q2_min_cost_supplier",
+    "tfidf_top_terms",
+    "nearest_stop",
+    "lm_bigram_logprob",
+    "dedup_incremental",
+    "kpi_alerts_hourly",
+    "dedup_method_agreement",
+    "cross_source_dup_matrix",
+]
+# The r04-stale cohort keys most likely to roll past the driver's ~50-key
+# window this round (the expensive tail of the cheapest-first rotation in
+# registry._PROMOTED): pre-covered here at the driver's SF so a roll-over
+# still leaves current-round sf0.01 evidence.
+R04_ROLLOVER_TAIL = [
+    "funnel_conversion",
+    "delay_headway_corr",
+    "delay_ewma_24h",
+    "token_pmi_bigrams",
+    "source_token_kl",
+    "countmin_heavy_hitters",
+    "bloom_dedup_audit",
+    "dau_rolling_wau",
+    "dedup_cluster_sizes",
+    "multimodal_frame_checksums",
+    "ann_rrf_fusion",
+    "dedup_threshold_sweep",
+]
+
+COHORT = R01_STALE + R02_STALE + R03_STALE + R04_ROLLOVER_TAIL
 
 
 @pytest.fixture(scope="module")

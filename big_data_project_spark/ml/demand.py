@@ -348,12 +348,91 @@ def ml_dataset_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def demand_leaderboard_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Oracle-backed twin of ``demand_model_leaderboard`` (round-8
+    verdict item 8): every DETERMINISTIC column of the 3-arm
+    leaderboard under the full hash gate — per-arm evaluation coverage
+    (n_eval) for all three arms including the RandomForest's, and the
+    MAE of the two baseline arms — leaving exactly one cell
+    (``mae`` of the random_forest row, NULL here) as the rows-only
+    residue that ``demand_model_leaderboard`` carries.
+
+    Same eval frame as the rows-only leaderboard: the held-out test
+    rows (feature hour, next-hour label) left-joined to the demand
+    rollup for the persistence (same-hour) and seasonal (target-24h)
+    predictors, each arm scored on per-arm coverage. Test membership
+    uses the portable cut — smallest hour whose cumulative row share
+    reaches SPLIT_RATIO — which ``ml_dataset_split_audit``'s unit test
+    bounds against ``_split``'s approxQuantile cut, so the coverage
+    columns here are the same numbers the RF leaderboard reports.
+
+    Scale: the cut ranking runs over the distinct-hours relation
+    (days×24 rows), the tag is a broadcast scalar join, the predictor
+    joins are rollup-sized hash equi-joins, and the output is 3 rows."""
+    from ..functions.portable import davg
+    from ..operators.kpi import demand_hourly_cached as demand_hourly
+
+    base = training_frame(spark, sf_dir).select(
+        "route_id",
+        "hour_ts",
+        F.unix_timestamp("hour_ts").alias("t"),
+        F.col("passengers_next_hour").alias("y_true"),
+    )
+    byt = base.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    cum = byt.withColumn("cum_c", F.sum("c").over(w))
+    total = base.agg(F.count(F.lit(1)).alias("n"))
+    cut = (
+        cum.join(F.broadcast(total))
+        .filter(F.col("cum_c") >= F.lit(SPLIT_RATIO) * F.col("n"))
+        .agg(F.min("t").alias("cut_t"))
+    )
+    test = (
+        base.join(F.broadcast(cut))
+        .filter(F.col("t") > F.col("cut_t"))
+        .select("route_id", "hour_ts", "y_true")
+    )
+    d = demand_hourly(spark, sf_dir)
+    persist = d.select(
+        "route_id", "hour_ts", F.col("passengers").alias("yhat_persist")
+    )
+    seasonal = d.select(
+        "route_id",
+        (F.col("hour_ts") + F.expr("INTERVAL 23 HOURS")).alias("hour_ts"),
+        F.col("passengers").alias("yhat_seasonal"),
+    )
+    ev = test.join(persist, ["route_id", "hour_ts"], "left").join(
+        seasonal, ["route_id", "hour_ts"], "left"
+    )
+
+    def arm(name, yhat):
+        scored = ev if yhat is None else ev.filter(yhat.isNotNull())
+        mae = (
+            F.lit(None).cast("double")
+            if yhat is None
+            else davg(F.abs(yhat - F.col("y_true")), 4)
+        )
+        return scored.agg(
+            F.lit(name).alias("model"),
+            F.count(F.lit(1)).alias("n_eval"),
+            mae.alias("mae"),
+        )
+
+    rf = arm("random_forest", None)
+    pe = arm("persistence", F.col("yhat_persist"))
+    se = arm("seasonal_naive", F.col("yhat_seasonal"))
+    return rf.unionByName(pe).unionByName(se).orderBy("model")
+
+
 QUERIES = {
     "rf_demand_model": rf_demand_model,
     "rf_demand_predictions": rf_demand_predictions,
     "demand_model_leaderboard": demand_model_leaderboard,
     "baseline_leaderboard": baseline_leaderboard,
     "ml_dataset_split_audit": ml_dataset_split_audit,
+    "demand_leaderboard_audit": demand_leaderboard_audit,
 }
 
 # rows-only for the RF keys (model output is not SQL-expressible);
@@ -447,3 +526,68 @@ def _split_audit_sql() -> str:
 
 
 ORACLES["ml_dataset_split_audit"] = _split_audit_sql()
+
+
+def _leaderboard_audit_sql() -> str:
+    from ..functions.portable import sql_davg
+    from ..operators.hourly import SQL_DEMAND
+    from ..operators.kpi import SQL_ML_DATASET
+
+    return f"""
+        WITH ds AS ({SQL_ML_DATASET}),
+        lab AS (
+          SELECT route_id, hour_ts,
+                 lead(passengers) OVER (
+                   PARTITION BY route_id ORDER BY hour_ts) AS y_true
+          FROM ds
+        ),
+        base AS (
+          SELECT route_id, hour_ts, epoch(hour_ts) AS t, y_true
+          FROM lab WHERE y_true IS NOT NULL
+        ),
+        byt AS (SELECT t, count(*) AS c FROM base GROUP BY t),
+        cum AS (
+          SELECT t, sum(c) OVER (ORDER BY t) AS cum_c,
+                 (SELECT count(*) FROM base) AS n
+          FROM byt
+        ),
+        cutv AS (
+          SELECT min(t) AS cut_t FROM cum
+          WHERE cum_c >= {SPLIT_RATIO} * n
+        ),
+        test AS (
+          SELECT route_id, hour_ts, y_true
+          FROM base, cutv WHERE t > cut_t
+        ),
+        d AS ({SQL_DEMAND}),
+        p1 AS (
+          SELECT route_id, hour_ts, passengers AS yhat_persist FROM d
+        ),
+        p24 AS (
+          SELECT route_id, hour_ts + INTERVAL 23 HOUR AS hour_ts,
+                 passengers AS yhat_seasonal
+          FROM d
+        ),
+        ev AS (
+          SELECT test.route_id, test.hour_ts, y_true,
+                 yhat_persist, yhat_seasonal
+          FROM test
+          LEFT JOIN p1 USING (route_id, hour_ts)
+          LEFT JOIN p24 USING (route_id, hour_ts)
+        )
+        SELECT 'random_forest' AS model, count(*) AS n_eval,
+               CAST(NULL AS DOUBLE) AS mae
+        FROM ev
+        UNION ALL
+        SELECT 'persistence' AS model, count(*) AS n_eval,
+               {sql_davg('abs(yhat_persist - y_true)', 4)} AS mae
+        FROM ev WHERE yhat_persist IS NOT NULL
+        UNION ALL
+        SELECT 'seasonal_naive' AS model, count(*) AS n_eval,
+               {sql_davg('abs(yhat_seasonal - y_true)', 4)} AS mae
+        FROM ev WHERE yhat_seasonal IS NOT NULL
+        ORDER BY model
+    """
+
+
+ORACLES["demand_leaderboard_audit"] = _leaderboard_audit_sql()

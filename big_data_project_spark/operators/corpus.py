@@ -865,28 +865,12 @@ NMF_TOP = 5  # reported terms per topic
 NMF_EPS = 1e-9  # divide guard in the multiplicative rule
 
 
-def nmf_topic_round(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One multiplicative NMF update round (Lee & Seung 2001, NIPS) of
-    the topic-term factor H over the corpus tf matrix V ≈ W·H — topic
-    modeling as the engine runs it: H' = H ⊙ (WᵀV) ⊘ (WᵀW·H + ε),
-    reported as the top NMF_TOP terms per topic after the update.
-    Deterministic md5-uniform init for BOTH factors, so the whole
-    round — init, the two Gram products, the elementwise update, the
-    rank — sits under the oracle hash gate (pyspark.ml's LDA/ALS are
-    rows-only by nature; this is the oracle-checkable factorization
-    slice, the same split the distributed-Lloyd keys make for IVF).
-
-    Scale: V is the one corpus token shuffle (tf counts); W lives in
-    long form (doc, topic, w) and joins V on doc_id — co-partitioned
-    hash joins, never a dense matrix; WᵀV and WᵀW are decimal-exact
-    folds to k×vocab / k×k relations, after which everything is
-    topic-sized. Further rounds = repeat with lineage truncation (the
-    unrolled-loop pattern of BPE/PageRank/Lloyd).
-
-    Portability: every sum that crosses a partition boundary is an
-    exact DECIMAL fold of identically-computed double products; the
-    update quantizes to 9dp before ranking with term tie-break."""
-    from ..functions.portable import dsum_exact, uniform01
+def _nmf_init(spark: SparkSession, sf_dir: str):
+    """Shared NMF setup: the corpus tf matrix V in long form (one corpus
+    token shuffle) and the md5-uniform deterministic inits of both
+    factors — W (doc × topic) and H (topic × term), both long-form
+    relations, never dense matrices."""
+    from ..functions.portable import uniform01
 
     docs = load_table_spread(spark, sf_dir, "documents", "doc_id")
     v = _persisted(
@@ -928,6 +912,33 @@ def nmf_topic_round(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("h"),
     )
+    return v, w, h
+
+
+def nmf_topic_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One multiplicative NMF update round (Lee & Seung 2001, NIPS) of
+    the topic-term factor H over the corpus tf matrix V ≈ W·H — topic
+    modeling as the engine runs it: H' = H ⊙ (WᵀV) ⊘ (WᵀW·H + ε),
+    reported as the top NMF_TOP terms per topic after the update.
+    Deterministic md5-uniform init for BOTH factors, so the whole
+    round — init, the two Gram products, the elementwise update, the
+    rank — sits under the oracle hash gate (pyspark.ml's LDA/ALS are
+    rows-only by nature; this is the oracle-checkable factorization
+    slice, the same split the distributed-Lloyd keys make for IVF).
+
+    Scale: V is the one corpus token shuffle (tf counts); W lives in
+    long form (doc, topic, w) and joins V on doc_id — co-partitioned
+    hash joins, never a dense matrix; WᵀV and WᵀW are decimal-exact
+    folds to k×vocab / k×k relations, after which everything is
+    topic-sized. Further rounds = repeat with lineage truncation (the
+    unrolled-loop pattern of BPE/PageRank/Lloyd).
+
+    Portability: every sum that crosses a partition boundary is an
+    exact DECIMAL fold of identically-computed double products; the
+    update quantizes to 9dp before ranking with term tie-break."""
+    from ..functions.portable import dsum_exact
+
+    v, w, h = _nmf_init(spark, sf_dir)
     wtv = (
         w.join(v, "doc_id")
         .groupBy("topic", "tok")
@@ -1040,3 +1051,297 @@ def _nmf_sql() -> str:
 
 
 ORACLES["nmf_topic_round"] = _nmf_sql()
+
+
+NMF_ROUNDS = 3  # unrolled alternating (H, W) multiplicative rounds
+
+
+def nmf_topic_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NMF_ROUNDS unrolled alternating multiplicative rounds (Lee &
+    Seung 2001, NIPS — round-8 verdict item 4) with the PER-ROUND
+    reconstruction objective J = ||V − WH||²_F as the oracle-checked
+    convergence evidence: one row per round (round 0 = the md5-uniform
+    init) carrying the objective and the L1 mass of both factors.
+    Theorem 1's guarantee — J non-increasing under each multiplicative
+    update — is asserted over these rows in tests and is visible in the
+    hashed output itself.
+
+    Each round: H ← H ⊙ (WᵀV) ⊘ (WᵀW·H + ε), then
+    W ← W ⊙ (VHᵀ) ⊘ (W·HHᵀ + ε). The objective never materializes the
+    dense doc×term reconstruction: J = ||V||² − 2·Σ(WᵀV ⊙ H)
+    + Σ(WᵀW ⊙ HHᵀ), all three terms folds over relations the updates
+    already compute (k×vocab, k×k) — O(nnz·k) per round, topic-sized
+    after the Gram folds, regardless of corpus size.
+
+    Scale: the same co-partitioned long-form joins as
+    ``nmf_topic_round``; per round the factors are quantized to 9dp
+    (parity) and eagerly localCheckpoint-ed (the BPE/PageRank/Lloyd
+    lineage-truncation pattern), so the plan never grows with the
+    round count."""
+    from ..functions.portable import dsum, dsum_exact
+
+    v, w, h = _nmf_init(spark, sf_dir)
+    v2 = v.agg(dsum_exact(pround(F.col("v") * F.col("v"), 6)).alias("v2"))
+
+    def w_grams(w):
+        wtv = (
+            w.join(v, "doc_id")
+            .groupBy("topic", "tok")
+            .agg(dsum_exact(pround(F.col("w") * F.col("v"), 6)).alias("wtv"))
+        )
+        w2 = w.select(
+            "doc_id", F.col("topic").alias("topic2"), F.col("w").alias("w2")
+        )
+        wtw = (
+            w.join(w2, "doc_id")
+            .groupBy("topic", "topic2")
+            .agg(dsum_exact(pround(F.col("w") * F.col("w2"), 6)).alias("g"))
+        )
+        return wtv, wtw
+
+    def h_gram(h):
+        h2 = h.select(
+            F.col("topic").alias("topic2"), "tok", F.col("h").alias("h2")
+        )
+        return (
+            h.join(h2, "tok")
+            .groupBy("topic", "topic2")
+            .agg(dsum_exact(pround(F.col("h") * F.col("h2"), 6)).alias("hg"))
+        )
+
+    def objective_row(rnd, wtv, wtw, hht, h, w):
+        xh = (
+            wtv.join(h, ["topic", "tok"])
+            .agg(dsum_exact(pround(F.col("wtv") * F.col("h"), 6)).alias("xh"))
+        )
+        gg = (
+            wtw.join(hht, ["topic", "topic2"])
+            .agg(dsum_exact(pround(F.col("g") * F.col("hg"), 6)).alias("gg"))
+        )
+        hm = h.agg(dsum("h", 6).alias("h_l1"))
+        wm = w.agg(dsum("w", 6).alias("w_l1"))
+        return (
+            v2.join(xh)
+            .join(gg)
+            .join(hm)
+            .join(wm)
+            .select(
+                F.lit(rnd).cast("int").alias("round"),
+                pround(
+                    F.col("v2") - F.lit(2.0) * F.col("xh") + F.col("gg"), 6
+                ).alias("objective"),
+                "h_l1",
+                "w_l1",
+            )
+        )
+
+    wtv, wtw = w_grams(w)
+    rows = [objective_row(0, wtv, wtw, h_gram(h), h, w)]
+    for _ in range(NMF_ROUNDS):
+        wtwh = (
+            F.broadcast(wtw)
+            .join(
+                h.select(
+                    F.col("topic").alias("topic2"),
+                    "tok",
+                    F.col("h").alias("h2"),
+                ),
+                "topic2",
+            )
+            .groupBy("topic", "tok")
+            .agg(dsum_exact(pround(F.col("g") * F.col("h2"), 6)).alias("den"))
+        )
+        h = (
+            h.join(wtv, ["topic", "tok"], "left")
+            .join(wtwh, ["topic", "tok"], "left")
+            .select(
+                "topic",
+                "tok",
+                pround(
+                    F.col("h")
+                    * F.coalesce(F.col("wtv"), F.lit(0.0))
+                    / (F.coalesce(F.col("den"), F.lit(0.0)) + F.lit(NMF_EPS)),
+                    9,
+                ).alias("h"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        hht = h_gram(h)
+        vht = (
+            v.join(h, "tok")
+            .groupBy("doc_id", "topic")
+            .agg(dsum_exact(pround(F.col("v") * F.col("h"), 6)).alias("vht"))
+        )
+        whh = (
+            w.select(
+                "doc_id",
+                F.col("topic").alias("topic2"),
+                F.col("w").alias("w2"),
+            )
+            # HHᵀ is symmetric, so joining W's k' against hht.topic2 and
+            # keeping hht.topic as the output index is Σ_{k'} W_{dk'}·
+            # HHᵀ_{k,k'} = (W·HHᵀ)_{dk}
+            .join(F.broadcast(hht), "topic2")
+            .groupBy("doc_id", "topic")
+            .agg(dsum_exact(pround(F.col("w2") * F.col("hg"), 6)).alias("den"))
+        )
+        w = (
+            w.join(vht, ["doc_id", "topic"], "left")
+            .join(whh, ["doc_id", "topic"], "left")
+            .select(
+                "doc_id",
+                "topic",
+                pround(
+                    F.col("w")
+                    * F.coalesce(F.col("vht"), F.lit(0.0))
+                    / (F.coalesce(F.col("den"), F.lit(0.0)) + F.lit(NMF_EPS)),
+                    9,
+                ).alias("w"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        wtv, wtw = w_grams(w)
+        rows.append(objective_row(len(rows), wtv, wtw, hht, h, w))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("round")
+
+
+QUERIES["nmf_topic_rounds"] = nmf_topic_rounds
+
+
+def _nmf_rounds_sql() -> str:
+    """Chained-CTE mirror of the unrolled alternating rounds: per round
+    r the CTEs h{r}/w{r} apply the two multiplicative updates from the
+    round-(r-1) factors and Grams, and obj{r} folds the three
+    objective terms. Generated by the same loop count (NMF_ROUNDS) the
+    Spark side unrolls."""
+    from ..functions.portable import sql_dsum, sql_uniform01
+
+    uw = sql_uniform01(
+        "'nmfw:' || CAST(doc_id AS VARCHAR) || ':' || CAST(topic AS VARCHAR)"
+    )
+    uh = sql_uniform01("'nmfh:' || CAST(topic AS VARCHAR) || ':' || tok")
+    dec = "DECIMAL(28,6)"
+    parts = [
+        f"""
+        WITH v AS MATERIALIZED (
+          SELECT doc_id, tok, count(*)::DOUBLE AS v
+          FROM (SELECT doc_id,
+                       unnest(string_split({_SQL_NORM}, ' ')) AS tok
+                FROM documents) t
+          WHERE tok != ''
+          GROUP BY doc_id, tok
+        ),
+        topics AS MATERIALIZED (SELECT unnest(range({NMF_K}))::INT AS topic),
+        w0 AS MATERIALIZED (
+          SELECT doc_id, topic, {uw} AS w
+          FROM (SELECT DISTINCT doc_id FROM v) d CROSS JOIN topics
+        ),
+        h0 AS MATERIALIZED (
+          SELECT topic, tok, {uh} AS h
+          FROM (SELECT DISTINCT tok FROM v) t CROSS JOIN topics
+        ),
+        v2 AS MATERIALIZED (SELECT (sum(({sql_pround('v * v', 6)})::{dec}))::DOUBLE AS v2 FROM v)"""
+    ]
+
+    def grams(r):
+        return f""",
+        wtv{r} AS MATERIALIZED (
+          SELECT topic, tok, (sum(({sql_pround('w.w * v.v', 6)})::{dec}))::DOUBLE AS wtv
+          FROM w{r} w JOIN v USING (doc_id)
+          GROUP BY topic, tok
+        ),
+        wtw{r} AS MATERIALIZED (
+          SELECT a.topic, b.topic AS topic2,
+                 (sum(({sql_pround('a.w * b.w', 6)})::{dec}))::DOUBLE AS g
+          FROM w{r} a JOIN w{r} b USING (doc_id)
+          GROUP BY a.topic, b.topic
+        )"""
+
+    def obj(r):
+        return f""",
+        obj{r} AS MATERIALIZED (
+          SELECT {r}::INT AS round,
+                 {sql_pround('v2.v2 - 2.0 * xh_t.xh + gg_t.gg', 6)}
+                   AS objective,
+                 hm.h_l1, wm.w_l1
+          FROM v2,
+            (SELECT (sum(({sql_pround('wtv.wtv * h.h', 6)})::{dec}))::DOUBLE AS xh
+             FROM wtv{r} wtv JOIN h{r} h USING (topic, tok)) xh_t,
+            (SELECT (sum(({sql_pround('wtw.g * hht.hg', 6)})::{dec}))::DOUBLE AS gg
+             FROM wtw{r} wtw JOIN hht{r} hht USING (topic, topic2)) gg_t,
+            (SELECT {sql_dsum('h', 6)} AS h_l1 FROM h{r}) hm,
+            (SELECT {sql_dsum('w', 6)} AS w_l1 FROM w{r}) wm
+        )"""
+
+    def hht(r):
+        return f""",
+        hht{r} AS MATERIALIZED (
+          SELECT a.topic, b.topic AS topic2,
+                 (sum(({sql_pround('a.h * b.h', 6)})::{dec}))::DOUBLE AS hg
+          FROM h{r} a JOIN h{r} b USING (tok)
+          GROUP BY a.topic, b.topic
+        )"""
+
+    parts.append(grams(0))
+    parts.append(hht(0))
+    parts.append(obj(0))
+    for r in range(1, NMF_ROUNDS + 1):
+        p = r - 1
+        parts.append(f""",
+        wtwh{r} AS MATERIALIZED (
+          SELECT wtw.topic, h2.tok,
+                 (sum(({sql_pround('wtw.g * h2.h', 6)})::{dec}))::DOUBLE AS den
+          FROM wtw{p} wtw JOIN h{p} h2 ON h2.topic = wtw.topic2
+          GROUP BY wtw.topic, h2.tok
+        ),
+        h{r} AS MATERIALIZED (
+          SELECT h.topic, h.tok,
+                 {sql_pround(
+                     'h.h * coalesce(wtv.wtv, 0.0)'
+                     f' / (coalesce(wtwh.den, 0.0) + {NMF_EPS})', 9
+                 )} AS h
+          FROM h{p} h
+          LEFT JOIN wtv{p} wtv
+            ON wtv.topic = h.topic AND wtv.tok = h.tok
+          LEFT JOIN wtwh{r} wtwh
+            ON wtwh.topic = h.topic AND wtwh.tok = h.tok
+        )""")
+        parts.append(hht(r))
+        parts.append(f""",
+        vht{r} AS MATERIALIZED (
+          SELECT doc_id, topic,
+                 (sum(({sql_pround('v.v * h.h', 6)})::{dec}))::DOUBLE AS vht
+          FROM v JOIN h{r} h USING (tok)
+          GROUP BY doc_id, topic
+        ),
+        whh{r} AS MATERIALIZED (
+          SELECT w.doc_id, hht.topic,
+                 (sum(({sql_pround('w.w * hht.hg', 6)})::{dec}))::DOUBLE AS den
+          FROM w{p} w JOIN hht{r} hht ON hht.topic2 = w.topic
+          GROUP BY w.doc_id, hht.topic
+        ),
+        w{r} AS MATERIALIZED (
+          SELECT w.doc_id, w.topic,
+                 {sql_pround(
+                     'w.w * coalesce(vht.vht, 0.0)'
+                     f' / (coalesce(whh.den, 0.0) + {NMF_EPS})', 9
+                 )} AS w
+          FROM w{p} w
+          LEFT JOIN vht{r} vht
+            ON vht.doc_id = w.doc_id AND vht.topic = w.topic
+          LEFT JOIN whh{r} whh
+            ON whh.doc_id = w.doc_id AND whh.topic = w.topic
+        )""")
+        parts.append(grams(r))
+        parts.append(obj(r))
+    union = "\n        UNION ALL\n        ".join(
+        f"SELECT * FROM obj{r}" for r in range(NMF_ROUNDS + 1)
+    )
+    parts.append(f"\n        {union}\n        ORDER BY round")
+    return "".join(parts)
+
+
+ORACLES["nmf_topic_rounds"] = _nmf_rounds_sql()

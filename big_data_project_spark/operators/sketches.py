@@ -528,11 +528,50 @@ def kmv_set_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     # theta convention (DataSketches): an UNSATURATED sketch is in
     # exact mode with theta = 1.0 — every retained hash counts; only
     # an overflowed sketch cuts at the K-th smallest value
+    a, b = "route_a", "route_b"
+    exact = (
+        ur.select(F.col("route_id").alias(a), "user_id")
+        .join(ur.select(F.col("route_id").alias(b), "user_id"), "user_id")
+        .filter(F.col(a) < F.col(b))
+        .groupBy(a, b)
+        .agg(F.countDistinct("user_id").alias("exact_common"))
+    )
+    est = F.col("n_common_sample") / F.least("theta_a", "theta_b")
+    return (
+        kmv_pair_estimates(kept)
+        .join(F.broadcast(exact), [a, b], "left")
+        .select(
+            a,
+            b,
+            F.col("n_common_sample"),
+            pround(est, 4).alias("est_common"),
+            F.coalesce("exact_common", F.lit(0)).alias("exact_common"),
+            F.when(
+                F.coalesce("exact_common", F.lit(0)) > 0,
+                pround(
+                    (est - F.col("exact_common")) / F.col("exact_common"),
+                    4,
+                ),
+            ).alias("rel_error"),
+        )
+        .orderBy(a, b)
+    )
+
+
+def kmv_pair_estimates(kept: DataFrame) -> DataFrame:
+    """Pair-intersection read-off from a KMV kept-set relation
+    (route_id, user_id, u): per-route θ (DataSketches exact mode —
+    θ = 1.0 while the sketch holds < KMV_K values, else the K-th
+    smallest retained hash), the sub-θ common-sample count for every
+    route pair, and both thetas for the |sample|/θ_min estimator.
+    Shared by the batch operator and the streaming serving read-off
+    (streaming/pipeline.py::read_kmv_intersection) so both read the
+    SAME set algebra; everything here is sketch-sized (≤ routes×K
+    rows in, pairs rows out)."""
     theta = kept.groupBy("route_id").agg(
         F.when(F.count(F.lit(1)) < KMV_K, F.lit(1.0))
         .otherwise(F.max("u"))
         .alias("theta"),
-        F.count(F.lit(1)).alias("n_kept"),
     )
     a, b = "route_a", "route_b"
     common = (
@@ -552,47 +591,26 @@ def kmv_set_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = theta.select(F.col("route_id").alias(a)).join(
         theta.select(F.col("route_id").alias(b))
     ).filter(F.col(a) < F.col(b))
-    tmin = F.least("theta_a", "theta_b")
     sample = (
         common.join(F.broadcast(ta), a)
         .join(F.broadcast(tb), b)
-        .filter(F.col("u") < tmin)
+        .filter(F.col("u") < F.least("theta_a", "theta_b"))
         .groupBy(a, b)
         .agg(F.count(F.lit(1)).alias("n_common_sample"))
     )
-    exact = (
-        ur.select(F.col("route_id").alias(a), "user_id")
-        .join(ur.select(F.col("route_id").alias(b), "user_id"), "user_id")
-        .filter(F.col(a) < F.col(b))
-        .groupBy(a, b)
-        .agg(F.countDistinct("user_id").alias("exact_common"))
-    )
-    est = F.col("n_common_sample") / tmin
     return (
         pairs.join(F.broadcast(ta), a)
         .join(F.broadcast(tb), b)
         .join(F.broadcast(sample), [a, b], "left")
-        .join(F.broadcast(exact), [a, b], "left")
         .select(
             a,
             b,
+            "theta_a",
+            "theta_b",
             F.coalesce("n_common_sample", F.lit(0)).alias(
                 "n_common_sample"
             ),
-            pround(
-                F.coalesce(est, F.lit(0.0)), 4
-            ).alias("est_common"),
-            F.coalesce("exact_common", F.lit(0)).alias("exact_common"),
-            F.when(
-                F.coalesce("exact_common", F.lit(0)) > 0,
-                pround(
-                    (F.coalesce(est, F.lit(0.0)) - F.col("exact_common"))
-                    / F.col("exact_common"),
-                    4,
-                ),
-            ).alias("rel_error"),
         )
-        .orderBy(a, b)
     )
 
 

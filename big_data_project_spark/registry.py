@@ -150,6 +150,7 @@ _PROMOTED = [
     "cross_source_dup_matrix",  # 17.94s
     # --- NEW in round 9 (appended as they land) ---
     "demand_leaderboard_audit",
+    "nmf_topic_rounds",
     # --- r04-stale cohort, cheapest measured sf0.01 wall first ---
     "kpi_hourly",  # 0.11s
     "weather_hourly",  # 0.22s

@@ -1388,3 +1388,128 @@ def serve_weighted_sample_foreach_batch(
         .start()
     )
     q.awaitTermination()
+
+
+# --- streaming KMV theta-sketch maintenance (union-recut mergeability) -----
+
+
+def merge_kmv_batch(
+    batch_df: DataFrame, batch_id: int, state_path: str
+) -> bool:
+    """One KMV union-recut step (module-level so the replay guard is
+    directly testable, like merge_quantile_bins_batch): hash the
+    batch's distinct (route, user) pairs with the SHARED md5-uniform
+    construction (operators/sketches.py::kmv_set_intersection uses the
+    identical 'kmv:'-prefixed hash), union with the served kept-sets,
+    dedupe on (route_id, user_id), and re-cut to the KMV_K smallest
+    per route — the theta-family merge (Beyer et al. 2007): top-k of
+    a union == top-k of per-part top-ks, so state is O(routes × K)
+    forever.
+
+    Doubly idempotent on redelivery: the hash is content-derived, so a
+    replayed row dedupes away on (route_id, user_id) even WITHOUT the
+    guard — but the `last_batch` monotonic guard is kept anyway (the
+    family convention of the histogram twin) so a replay is a cheap
+    no-op rather than a full re-rank + swap. Returns False without
+    touching state when batch_id ≤ the last applied id."""
+    from ..functions.portable import uniform01
+    from ..operators.sketches import KMV_K
+    from ..plans.sinks import _read_or_none, stage_swap_parquet
+    from pyspark.sql.window import Window as W
+
+    sess = batch_df.sparkSession
+    current = _read_or_none(sess, state_path)
+    if current is not None:
+        last = current.agg(F.max("last_batch")).first()[0]
+        if last is not None and batch_id <= last:
+            return False
+    cand = (
+        batch_df.filter(F.col("event_type").isNotNull())
+        .select(F.col("event_type").alias("route_id"), "user_id")
+        .distinct()
+        .select(
+            "route_id",
+            "user_id",
+            uniform01(
+                F.concat(F.lit("kmv:"), F.col("user_id"))
+            ).alias("u"),
+        )
+    )
+    if current is not None:
+        cand = cand.unionByName(
+            current.select("route_id", "user_id", "u")
+        ).dropDuplicates(["route_id", "user_id"])
+    w = W.partitionBy("route_id").orderBy("u", "user_id")
+    kept = (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= KMV_K)
+        .drop("rk")
+    )
+    stage_swap_parquet(
+        sess,
+        kept.withColumn("last_batch", F.lit(batch_id).cast("long")),
+        state_path,
+    )
+    return True
+
+
+def serve_kmv_foreach_batch(
+    spark: SparkSession,
+    events_dir: "str | DataFrame",
+    state_path: str,
+    checkpoint_dir: str,
+) -> None:
+    """Streaming maintenance of the per-route KMV theta sketches — the
+    streaming form of operators/sketches.py::kmv_set_intersection's
+    sketch half (round-8 verdict item 5: the one sketch tier that had
+    no streaming maintenance path). Each micro-batch unions its own
+    distinct (route, user) hashes into the served kept-set table and
+    re-cuts to K; set-INTERSECTION estimates are read off the tiny
+    state at serving time (read_kmv_intersection), the same
+    counts-in-stream / algebra-in-serving split as the histogram twin.
+    The crash-safe read-merge-swap is stage_swap_parquet's; the
+    checkpoint + replay guard make each batch exactly-once."""
+    if isinstance(events_dir, DataFrame):
+        src = events_dir
+    else:
+        src = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
+
+    def _merge(batch_df, batch_id: int) -> None:
+        merge_kmv_batch(batch_df, batch_id, state_path)
+
+    q = (
+        src.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_kmv_intersection(
+    spark: SparkSession, state_path: str
+) -> DataFrame:
+    """Serving-time set-intersection read-off from the streamed KMV
+    state: |common sample below θ_min| / θ_min per route pair, via the
+    SAME kmv_pair_estimates the batch operator uses — so a fully
+    streamed state reproduces the batch sketch columns exactly (the
+    mergeability property, test-asserted). Sketch-sized: state is
+    routes × K rows; this is a tiny batch query."""
+    from ..functions.portable import pround
+    from ..operators.sketches import kmv_pair_estimates
+    from ..plans.sinks import read_upsert_table
+
+    kept = read_upsert_table(spark, state_path).select(
+        "route_id", "user_id", "u"
+    )
+    est = F.col("n_common_sample") / F.least("theta_a", "theta_b")
+    return (
+        kmv_pair_estimates(kept)
+        .select(
+            "route_a",
+            "route_b",
+            "n_common_sample",
+            pround(est, 4).alias("est_common"),
+        )
+        .orderBy("route_a", "route_b")
+    )

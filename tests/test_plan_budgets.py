@@ -74,6 +74,10 @@ SHUFFLE_BUDGETS = {
     # pre-substitution (V feeds tf/W-init/H-init; W feeds WtV + WtW);
     # at runtime each materializes ONCE
     "nmf_topic_round": 17,
+    # per-round factors are eagerly localCheckpoint-ed, so this counts
+    # the FINAL round's lineage + the 4 objective rows' folds — all
+    # topic-sized (k×vocab / k×k / 1-row) relations, never the corpus
+    "nmf_topic_rounds": 54,
     "interevent_gap_histogram": 3,  # one event pass: lag window only
     "delay_ewma_24h": 5,
     "demand_trend_line": 5,

@@ -120,6 +120,16 @@ R8_HEADLINE = [
     "rho_loss_selection",
     "conformal_interval_coverage",
 ]
+R9_HEADLINE = [
+    # round-9: the AMS F2 self-join-size sketch (one (route, user)
+    # aggregate then register-sized work), the edit-distance verify
+    # tier over LSH candidates (candidate-pair-sized O(len^2) work),
+    # and the unrolled alternating NMF rounds (per-round Gram folds,
+    # lineage-truncated factors)
+    "ams_f2_sketch",
+    "dedup_editdist_verify",
+    "nmf_topic_rounds",
+]
 HEADLINE = (
     R2_HEADLINE
     + R3_HEADLINE
@@ -127,6 +137,7 @@ HEADLINE = (
     + R5_HEADLINE
     + R6_HEADLINE
     + R8_HEADLINE
+    + R9_HEADLINE
 )
 _R2_KEYS = frozenset(R2_HEADLINE)
 
@@ -161,6 +172,9 @@ SF1_KEYS = [
     # DuckDB oracles; pandas column re-measured once at tile=20)
     "mergeable_quantile_bins",
     "kmv_set_intersection",
+    # round-9 addition (replica value-checked against the DuckDB
+    # oracle; pandas column measured once at tile=20)
+    "ams_f2_sketch",
     "bitext_margin_mining",
     "ivf_kmeans_cells",
     "open_orders_monthly",
@@ -277,6 +291,145 @@ def _run_sf1_tier(spark) -> tuple[dict | None, dict | None]:
         "truncated": truncated,
     }
     return summary, detail
+
+# --- scale curve (round-8 verdict item 6) ----------------------------------
+# The 100 TB design claim, measured instead of argued: the heaviest
+# keys re-timed at tile ∈ {1, 20, 60} of the sf0.1 world. Near-linear
+# growth is asserted against the work the tiles actually create —
+# input grows tile-x, but OUTPUT can grow faster by construction
+# (tiled embeddings are exact replicas, so a near-dup key's PAIR list
+# grows ~tile²; that is the data's doing, not a plan regression), so
+# the bound normalizes by max(input growth, output-row growth).
+# Measured out-of-band (SPARK_GRAFT_SCALE_CURVE=1 writes
+# tools/scale_curve.json, a committed artifact); every bench run
+# embeds the committed artifact into BENCH_DETAIL.json with its
+# provenance so the driver's artifact of record carries the curve
+# without paying the tile-60 build each round.
+
+SCALE_CURVE_KEYS = [
+    "basket_part_pairs",
+    "exact_substring_spans",
+    "proto_feed_entities",
+    "semdedup_prune",
+    "q21_waiting_suppliers",
+]
+SCALE_CURVE_TILES = [1, 20, 60]
+# steady(t60)/steady(t20) must stay within this slack of the work
+# growth max(3, rows_out growth); a quadratic PLAN would post ~9x on
+# 3x input with linear output and fail loudly
+SCALE_NEAR_LINEAR_SLACK = 1.6
+# Keys whose INTERNAL work unit grows faster than both input and
+# output on the tiled data, with the documented growth between tile
+# 20 and 60. semdedup_prune: tiled embeddings are EXACT replicas, so
+# every LSH bucket holds `tile` copies of each source vector and the
+# candidate-pair relation grows (60/20)² = 9x while the prune-decision
+# output stays linear — the pair workload is the data's doing, not a
+# plan regression (a measured growth at or below this bound shows the
+# plan is pair-linear or better).
+SCALE_CURVE_WORK_OVERRIDE = {"semdedup_prune": 9.0}
+SCALE_CURVE_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "tools", "scale_curve.json"
+)
+
+
+def _measure_scale_curve(spark) -> dict:
+    """Time SCALE_CURVE_KEYS at each tile (cold + best-of-2 steady,
+    noop sink, co-tenant metered) and record output-row counts so the
+    growth bound can normalize by the work actually created."""
+    from tools.make_tiled_sf import build_tiled_sf
+
+    meter = _CoTenantMeter()
+    sf1_tile = int(os.environ.get("SPARK_GRAFT_SF1_TILE", "20"))
+    per_key: dict[str, dict] = {k: {} for k in SCALE_CURVE_KEYS}
+    for tile in SCALE_CURVE_TILES:
+        dst = (
+            "/tmp/spark_graft_sf1"
+            if tile == sf1_tile
+            else f"/tmp/spark_graft_scale_t{tile}"
+        )
+        d = build_tiled_sf(dst=dst, tile=tile)
+        for name in SCALE_CURVE_KEYS:
+
+            def run():
+                QUERIES[name](spark, d).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+
+            meter.start()
+            t0 = time.perf_counter()
+            run()
+            cold = round(time.perf_counter() - t0, 3)
+            rows_out = QUERIES[name](spark, d).count()
+            runs = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                run()
+                runs.append(time.perf_counter() - t0)
+            per_key[name][str(tile)] = {
+                "cold": cold,
+                "steady": round(min(runs), 3),
+                "rows_out": rows_out,
+                "cotenant_cores": round(meter.stop(), 2),
+            }
+            print(
+                f"# scale t{tile} {name}: cold {cold:.3f}s, best "
+                f"{per_key[name][str(tile)]['steady']:.3f}s, "
+                f"rows_out {rows_out}",
+                flush=True,
+            )
+    growth = {}
+    near_linear = {}
+    for name in SCALE_CURVE_KEYS:
+        s20 = per_key[name]["20"]["steady"]
+        s60 = per_key[name]["60"]["steady"]
+        r20 = per_key[name]["20"]["rows_out"]
+        r60 = per_key[name]["60"]["rows_out"]
+        t_growth = round(s60 / s20, 2) if s20 else None
+        work_growth = max(
+            3.0,
+            (r60 / r20) if r20 else 3.0,
+            SCALE_CURVE_WORK_OVERRIDE.get(name, 0.0),
+        )
+        growth[name] = {
+            "steady_60_over_20": t_growth,
+            "rows_60_over_20": round(r60 / r20, 2) if r20 else None,
+            "work_growth": round(work_growth, 2),
+        }
+        if name in SCALE_CURVE_WORK_OVERRIDE:
+            growth[name]["work_override"] = SCALE_CURVE_WORK_OVERRIDE[name]
+        near_linear[name] = bool(
+            t_growth is not None
+            and t_growth <= SCALE_NEAR_LINEAR_SLACK * work_growth
+        )
+    out = {
+        "src_sf": "sf0.1",
+        "tiles": SCALE_CURVE_TILES,
+        "keys": per_key,
+        "growth": growth,
+        "near_linear_slack": SCALE_NEAR_LINEAR_SLACK,
+        "near_linear": near_linear,
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    }
+    with open(SCALE_CURVE_PATH, "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+    print(f"# scale curve written: {SCALE_CURVE_PATH}")
+    return out
+
+
+def _embed_scale_curve(detail: dict) -> None:
+    """Attach the committed curve artifact (if any) to BENCH_DETAIL
+    with provenance — re-measure with SPARK_GRAFT_SCALE_CURVE=1."""
+    try:
+        with open(SCALE_CURVE_PATH) as fh:
+            curve = json.load(fh)
+    except (OSError, ValueError):
+        return
+    curve["source"] = (
+        "tools/scale_curve.json (committed artifact, measured "
+        "out-of-band; SPARK_GRAFT_SCALE_CURVE=1 re-measures)"
+    )
+    detail["scale_curve"] = curve
+
 
 # A steady-state timing more than this factor above the previous
 # round's is stamped into the headline JSON (round-5 verdict item 7:
@@ -662,6 +815,12 @@ def main() -> None:
         }
         if sf1_detail is not None:
             detail["sf1"] = sf1_detail
+        if os.environ.get("SPARK_GRAFT_SCALE_CURVE") == "1":
+            try:
+                _measure_scale_curve(spark)
+            except Exception as exc:  # noqa: BLE001 — degrade, keep headline
+                print(f"# scale curve failed, continuing: {exc!r}", flush=True)
+        _embed_scale_curve(detail)
         detail_path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
         )

@@ -949,3 +949,110 @@ _SQL_CONTAINMENT = f"""
 """
 
 ORACLES["doc_shingle_containment"] = _SQL_CONTAINMENT
+
+
+# --- edit-distance verification tier ---------------------------------------
+
+EDIT_TAU = 0.8  # normalized edit-similarity duplicate threshold
+
+
+def dedup_editdist_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verification of the LSH candidate pairs — the
+    CHARACTER-level duplicate tier between shingle Jaccard (word-set
+    overlap, order-blind) and exact-hash equality: normalized
+    Levenshtein similarity 1 − dist/max(len) over the whitespace-
+    normalized texts, with both verdicts (edit vs Jaccard at their
+    thresholds) and their agreement flag side by side. Pairs where the
+    two disagree are exactly the reorder/near-paraphrase class a
+    production pipeline routes to human review or a stronger model.
+
+    Scale: edit distance is O(len²) per pair, so it NEVER runs on the
+    corpus — only on the LSH candidate list (the same
+    candidates-only contract dedup_minhash_lsh's verify makes); the
+    two text joins are candidate-sized. At 100 TB you additionally
+    band the cost with Spark's bounded form
+    ``levenshtein(l, r, threshold)`` (early-exits past the bound —
+    the SQL oracle has no bounded form, so the checked contract here
+    is the exact distance on the small-SF candidates).
+
+    Parity: Spark ``levenshtein`` and DuckDB ``levenshtein`` are both
+    unit-cost Wagner-Fischer; lengths/distances are exact INTs and the
+    one division prounds at 6dp."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _norm(F.col("text")).alias("nt")
+    )
+    cand = _verified_candidates(spark, sf_dir).select(
+        "a_id", "b_id", "jaccard"
+    )
+    ta = docs.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("nt").alias("nt_a"),
+        F.length("nt").alias("len_a"),
+    )
+    tb = docs.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("nt").alias("nt_b"),
+        F.length("nt").alias("len_b"),
+    )
+    dist = F.levenshtein("nt_a", "nt_b")
+    sim = F.lit(1.0) - dist.cast("double") / F.greatest(
+        F.greatest("len_a", "len_b").cast("double"), F.lit(1.0)
+    )
+    return (
+        cand.join(ta, "a_id")
+        .join(tb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            "len_a",
+            "len_b",
+            dist.alias("edit_dist"),
+            pround(sim, 6).alias("edit_sim"),
+            pround(F.col("jaccard"), 6).alias("jaccard"),
+            (pround(sim, 6) >= EDIT_TAU).cast("int").alias("edit_dup"),
+            (pround(F.col("jaccard"), 6) >= TAU)
+            .cast("int")
+            .alias("jaccard_dup"),
+        )
+        .withColumn(
+            "verdicts_agree",
+            (F.col("edit_dup") == F.col("jaccard_dup")).cast("int"),
+        )
+        .orderBy("a_id", "b_id")
+    )
+
+
+QUERIES["dedup_editdist_verify"] = dedup_editdist_verify
+
+_SQL_EDITDIST = f"""
+    WITH pairs AS ({_SQL_MINHASH_VERIFIED}),
+    nt AS (SELECT doc_id, {_SQL_NORM} AS nt FROM documents),
+    scored AS (
+      SELECT p.a_id, p.b_id,
+             length(a.nt) AS len_a, length(b.nt) AS len_b,
+             levenshtein(a.nt, b.nt) AS edit_dist,
+             1.0 - levenshtein(a.nt, b.nt)::DOUBLE
+                   / greatest(greatest(length(a.nt), length(b.nt))::DOUBLE,
+                              1.0) AS sim,
+             p.jaccard
+      FROM pairs p
+      JOIN nt a ON a.doc_id = p.a_id
+      JOIN nt b ON b.doc_id = p.b_id
+    )
+    SELECT a_id, b_id, len_a, len_b, edit_dist,
+           {sql_pround("sim", 6)} AS edit_sim,
+           {sql_pround("jaccard", 6)} AS jaccard,
+           (CASE WHEN {sql_pround("sim", 6)} >= {EDIT_TAU}
+                 THEN 1 ELSE 0 END)::INT AS edit_dup,
+           (CASE WHEN {sql_pround("jaccard", 6)} >= {TAU}
+                 THEN 1 ELSE 0 END)::INT AS jaccard_dup,
+           (CASE WHEN (CASE WHEN {sql_pround("sim", 6)} >= {EDIT_TAU}
+                            THEN 1 ELSE 0 END)
+                    = (CASE WHEN {sql_pround("jaccard", 6)} >= {TAU}
+                            THEN 1 ELSE 0 END)
+                 THEN 1 ELSE 0 END)::INT AS verdicts_agree
+    FROM scored
+    ORDER BY a_id, b_id
+"""
+
+ORACLES["dedup_editdist_verify"] = _SQL_EDITDIST

@@ -76,6 +76,26 @@ CM_WIDTH = 16  # buckets per row — below vocab size so collisions occur
 CM_TOPK = 20  # heavy hitters audited against the sketch
 
 
+def cm_bucket_rows(tok):
+    """The CM_DEPTH (row, bucket) coordinates of one token — the
+    SHARED md5 bucket hashing of the count-min family (batch audit +
+    streaming maintenance twin read the same cells)."""
+    from .dedup import _hash60
+
+    return F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                F.pmod(
+                    _hash60(F.concat(F.lit(f"{d}|"), tok)),
+                    F.lit(CM_WIDTH),
+                ).alias("bucket"),
+            )
+            for d in range(CM_DEPTH)
+        ]
+    )
+
+
 def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch heavy-hitter audit over the corpus token
     stream: build a CM_DEPTH x CM_WIDTH sketch with md5-derived row
@@ -93,23 +113,9 @@ def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     single corpus-scale shuffle token_frequencies pays.
     """
     from .corpus import _tokens
-    from .dedup import _hash60
-
-    def _rows(tok):
-        return F.array(
-            *[
-                F.struct(
-                    F.lit(d).alias("d"),
-                    F.pmod(
-                        _hash60(F.concat(F.lit(f"{d}|"), tok)),
-                        F.lit(CM_WIDTH),
-                    ).alias("bucket"),
-                )
-                for d in range(CM_DEPTH)
-            ]
-        )
 
     toks = _tokens(spark, sf_dir).select("tok")
+    _rows = cm_bucket_rows
     cm = (
         toks.select(F.explode(_rows(F.col("tok"))).alias("rb"))
         .groupBy(F.col("rb.d").alias("d"), F.col("rb.bucket").alias("bucket"))
@@ -690,3 +696,155 @@ def _kmv_sql() -> str:
 
 
 ORACLES["kmv_set_intersection"] = _kmv_sql()
+
+
+# --- AMS F2 (second moment / self-join size) sketch -------------------------
+
+AMS_R = 64  # sketch registers
+AMS_G = 8  # median-of-means groups (8 registers averaged per group)
+
+
+def ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS second-moment sketch (Alon, Matias & Szegedy 1996, STOC —
+    the tug-of-war estimator): per route, estimate the SELF-JOIN SIZE
+    F2 = Σ_u f_u² of the per-user activity counts from AMS_R
+    ±1-signed register sums Z_r = Σ_u s_r(u)·f_u, combined
+    median-of-means (AMS_G groups of AMS_R/AMS_G registers — the
+    variance/confidence split of the original paper). F2 is what
+    join planners need to size a self-join's output and what skew
+    detection reads as a concentration scalar; HLL (F0) and count-min
+    (point f_u) cannot answer it.
+
+    The sign hash is the shared md5-uniform construction
+    (s_r(u) = −1 iff u01('ams:' r ':' u) < 0.5), so registers,
+    group means, the median, and the estimate are all deterministic
+    and the WHOLE sketch sits under the oracle hash gate; exact F2
+    rides along as the audit column you drop at 100 TB.
+
+    Scale: ONE corpus shuffle (the (route, user) count aggregate),
+    then the ×AMS_R register expansion runs on the distinct-pair
+    relation (the sketch's honest cost, map-side expand + one
+    routes×AMS_R-sized aggregate); everything after is routes-sized.
+    Z_r is an exact BIGINT fold of signed integer counts (no float
+    drift — the neardup_triangle_count lesson), and the group mean
+    divides a BIGINT by the dyadic 8.0, exact in doubles on both
+    engines."""
+    from ..caching import persisted
+    from ..functions.portable import uniform01
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+    )
+    f = persisted(
+        ev.groupBy(
+            F.col("event_type").alias("route_id"), "user_id"
+        ).agg(F.count(F.lit(1)).alias("fu"))
+    )
+    exact = f.groupBy("route_id").agg(
+        F.sum(
+            (F.col("fu") * F.col("fu")).cast("bigint")
+        ).alias("exact_f2"),
+        F.count(F.lit(1)).alias("n_users"),
+    )
+    regs = spark.range(AMS_R).select(F.col("id").cast("int").alias("r"))
+    sign = F.when(
+        uniform01(
+            F.concat(
+                F.lit("ams:"),
+                F.col("r").cast("string"),
+                F.lit(":"),
+                F.col("user_id").cast("string"),
+            )
+        )
+        < 0.5,
+        F.lit(-1),
+    ).otherwise(F.lit(1))
+    z = (
+        f.join(F.broadcast(regs))
+        .groupBy("route_id", "r")
+        .agg(F.sum((sign * F.col("fu")).cast("bigint")).alias("z"))
+    )
+    means = (
+        z.withColumn("g", (F.col("r") / F.lit(AMS_R // AMS_G)).cast("int"))
+        .groupBy("route_id", "g")
+        .agg(
+            (
+                F.sum((F.col("z") * F.col("z")).cast("bigint"))
+                / F.lit(float(AMS_R // AMS_G))
+            ).alias("mean_zz")
+        )
+    )
+    est = means.groupBy("route_id").agg(
+        F.percentile("mean_zz", F.lit(0.5)).alias("est_f2_raw")
+    )
+    return (
+        exact.join(est, "route_id")
+        .select(
+            "route_id",
+            "n_users",
+            "exact_f2",
+            pround(F.col("est_f2_raw"), 4).alias("est_f2"),
+            F.when(
+                F.col("exact_f2") > 0,
+                pround(
+                    (F.col("est_f2_raw") - F.col("exact_f2"))
+                    / F.col("exact_f2"),
+                    4,
+                ),
+            ).alias("rel_error"),
+        )
+        .orderBy("route_id")
+    )
+
+
+QUERIES["ams_f2_sketch"] = ams_f2_sketch
+
+
+def _ams_sql() -> str:
+    from ..functions.portable import sql_uniform01
+
+    u = sql_uniform01(
+        "'ams:' || CAST(r AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)"
+    )
+    return f"""
+        WITH f AS (
+          SELECT event_type AS route_id, user_id, count(*) AS fu
+          FROM events WHERE event_type IS NOT NULL
+          GROUP BY event_type, user_id
+        ),
+        exact AS (
+          SELECT route_id, CAST(sum(fu * fu) AS BIGINT) AS exact_f2,
+                 count(*) AS n_users
+          FROM f GROUP BY route_id
+        ),
+        regs AS (SELECT unnest(range({AMS_R}))::INT AS r),
+        z AS (
+          SELECT route_id, r,
+                 CAST(sum(CASE WHEN {u} < 0.5 THEN -fu ELSE fu END)
+                      AS BIGINT) AS z
+          FROM f, regs
+          GROUP BY route_id, r
+        ),
+        means AS (
+          SELECT route_id, (r // {AMS_R // AMS_G})::INT AS g,
+                 CAST(sum(z * z) AS BIGINT)
+                   / {float(AMS_R // AMS_G)} AS mean_zz
+          FROM z GROUP BY route_id, (r // {AMS_R // AMS_G})::INT
+        ),
+        est AS (
+          SELECT route_id, quantile_cont(mean_zz, 0.5) AS est_f2_raw
+          FROM means GROUP BY route_id
+        )
+        SELECT e.route_id, e.n_users, e.exact_f2,
+               {sql_pround('est.est_f2_raw', 4)} AS est_f2,
+               CASE WHEN e.exact_f2 > 0 THEN
+                 {sql_pround(
+                     '(est.est_f2_raw - e.exact_f2) / e.exact_f2', 4
+                 )}
+               END AS rel_error
+        FROM exact e JOIN est USING (route_id)
+        ORDER BY e.route_id
+    """
+
+
+ORACLES["ams_f2_sketch"] = _ams_sql()

@@ -151,6 +151,8 @@ _PROMOTED = [
     # --- NEW in round 9 (appended as they land) ---
     "demand_leaderboard_audit",
     "nmf_topic_rounds",
+    "ams_f2_sketch",
+    "dedup_editdist_verify",
     # --- r04-stale cohort, cheapest measured sf0.01 wall first ---
     "kpi_hourly",  # 0.11s
     "weather_hourly",  # 0.22s

@@ -1513,3 +1513,115 @@ def read_kmv_intersection(
         )
         .orderBy("route_a", "route_b")
     )
+
+
+# --- streaming count-min maintenance (additive cell counts) ----------------
+
+
+def merge_countmin_batch(
+    batch_df: DataFrame, batch_id: int, state_path: str
+) -> bool:
+    """One count-min merge step: tokenize the batch's documents with
+    the SHARED normalization (operators/dedup.py::_norm — the same
+    split every corpus operator uses), bin each token into its
+    CM_DEPTH (row, bucket) cells via the SHARED md5 hashing
+    (operators/sketches.py::cm_bucket_rows), and ADD the cell counts
+    into the served DEPTH×WIDTH table. Cell counts are additive like
+    the histogram twin's — the mergeability that makes CM a sketch —
+    and like them NOT keyed by content, so the `last_batch` monotonic
+    guard makes a checkpoint replay a no-op instead of a
+    double-count. Returns False without touching state on replay."""
+    from ..operators.dedup import _norm
+    from ..operators.sketches import cm_bucket_rows
+    from ..plans.sinks import _read_or_none, stage_swap_parquet
+
+    sess = batch_df.sparkSession
+    current = _read_or_none(sess, state_path)
+    if current is not None:
+        last = current.agg(F.max("last_batch")).first()[0]
+        if last is not None and batch_id <= last:
+            return False
+    binned = (
+        batch_df.select(
+            F.explode(F.split(_norm(F.col("text")), " ")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .select(F.explode(cm_bucket_rows(F.col("tok"))).alias("rb"))
+        .groupBy(
+            F.col("rb.d").alias("d"), F.col("rb.bucket").alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    if current is not None:
+        binned = (
+            binned.unionByName(current.select("d", "bucket", "c"))
+            .groupBy("d", "bucket")
+            .agg(F.sum("c").alias("c"))
+        )
+    stage_swap_parquet(
+        sess,
+        binned.withColumn("last_batch", F.lit(batch_id).cast("long")),
+        state_path,
+    )
+    return True
+
+
+def serve_countmin_foreach_batch(
+    spark: SparkSession,
+    docs_dir: "str | DataFrame",
+    state_path: str,
+    checkpoint_dir: str,
+) -> None:
+    """Streaming maintenance of the count-min token-frequency sketch —
+    the streaming form of operators/sketches.py::countmin_heavy_hitters'
+    sketch half, completing the sketch tier's streaming story
+    (histogram → quantiles, KMV → set intersection, CM → point
+    frequencies). State is the DEPTH×WIDTH cell table forever,
+    regardless of how much corpus has streamed past; point-frequency
+    estimates are read off at serving time (read_countmin_estimates),
+    the same counts-in-stream / read-off-in-serving split as the other
+    twins. Crash-safe swap + checkpoint + replay guard = exactly-once
+    per batch."""
+    if isinstance(docs_dir, DataFrame):
+        src = docs_dir
+    else:
+        src = spark.readStream.schema(DOCS_SCHEMA).parquet(docs_dir)
+
+    def _merge(batch_df, batch_id: int) -> None:
+        merge_countmin_batch(batch_df, batch_id, state_path)
+
+    q = (
+        src.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_countmin_estimates(
+    spark: SparkSession, state_path: str, tokens: list[str]
+) -> DataFrame:
+    """Serving-time point-frequency read-off: min over the CM_DEPTH
+    probed cells per queried token (the count-min upper-bound
+    estimator), against the streamed cell table. Probe list is
+    caller-sized, the sketch is DEPTH×WIDTH — both tiny; the probe
+    join broadcasts the sketch exactly like the batch audit does."""
+    from ..operators.sketches import cm_bucket_rows
+    from ..plans.sinks import read_upsert_table
+
+    cm = read_upsert_table(spark, state_path).select("d", "bucket", "c")
+    probes = (
+        spark.createDataFrame([(t,) for t in tokens], "tok string")
+        .select("tok", F.explode(cm_bucket_rows(F.col("tok"))).alias("rb"))
+    )
+    return (
+        probes.join(
+            F.broadcast(cm),
+            (F.col("rb.d") == F.col("d"))
+            & (F.col("rb.bucket") == F.col("bucket")),
+        )
+        .groupBy("tok")
+        .agg(F.min("c").alias("cm_est"))
+        .orderBy("tok")
+    )

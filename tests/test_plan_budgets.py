@@ -78,6 +78,11 @@ SHUFFLE_BUDGETS = {
     # the FINAL round's lineage + the 4 objective rows' folds — all
     # topic-sized (k×vocab / k×k / 1-row) relations, never the corpus
     "nmf_topic_rounds": 54,
+    # persisted (route, user) count tier counts its lineage per
+    # consumer (exact + register expand); at runtime it materializes
+    # once, then everything is routes×64-sized
+    "ams_f2_sketch": 6,
+    "dedup_editdist_verify": 3,  # candidate-pair-sized text joins
     "interevent_gap_histogram": 3,  # one event pass: lag window only
     "delay_ewma_24h": 5,
     "demand_trend_line": 5,

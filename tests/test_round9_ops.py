@@ -137,3 +137,149 @@ def test_nmf_rounds_objective_monotone(spark):
     assert objs[1] < objs[0]
     for r in rows:
         assert r["h_l1"] > 0 and r["w_l1"] > 0
+
+
+def test_ams_f2_estimator_bounded(spark):
+    """AMS median-of-means sanity at sf0.001: the estimate is
+    nonnegative and within the loose concentration bound of the exact
+    self-join size (8 groups of 8 registers put the group-mean std at
+    0.5*F2; the median of 8 such means landing past 1x exact would
+    mean the sign hash is broken, not unlucky — it is deterministic)."""
+    from big_data_project_spark.operators.sketches import ams_f2_sketch
+
+    rows = ams_f2_sketch(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["exact_f2"] >= r["n_users"] >= 1
+        assert r["est_f2"] >= 0.0
+        assert abs(r["rel_error"]) <= 1.0, (r["route_id"], r["rel_error"])
+
+
+def test_editdist_verify_separates_repeat_from_copy(spark, tmp_path):
+    """Planted disagreement class: doc 2 = doc 1 concatenated with
+    itself — distinct word shingles barely change (high Jaccard, an
+    LSH candidate) but HALF the characters are an insertion (edit_sim
+    ~0.5), exactly the repetition class shingle dedup cannot see.
+    Docs 3/4 are byte-identical: both verdicts dup, zero distance."""
+    from big_data_project_spark.operators.dedup import (
+        dedup_editdist_verify,
+    )
+
+    a = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    docs = spark.createDataFrame(
+        [
+            (1, a, "en", "s", len(a)),
+            (2, a + " " + a, "en", "s", 2 * len(a) + 1),
+            (3, "the quick brown fox jumps over the lazy dog again", "en", "s", 49),
+            (4, "the quick brown fox jumps over the lazy dog again", "en", "s", 49),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = tmp_path / "sf"
+    docs.write.parquet(str(d / "documents.parquet"))
+    out = {
+        (r["a_id"], r["b_id"]): r
+        for r in dedup_editdist_verify(spark, str(d)).collect()
+    }
+    rep = out[(1, 2)]
+    assert rep["jaccard_dup"] == 1 and rep["edit_dup"] == 0
+    assert rep["verdicts_agree"] == 0
+    assert abs(rep["edit_sim"] - 0.5) < 0.02
+    dup = out[(3, 4)]
+    assert dup["edit_dist"] == 0 and dup["edit_sim"] == 1.0
+    assert dup["edit_dup"] == 1 == dup["jaccard_dup"]
+    assert dup["verdicts_agree"] == 1
+
+
+def test_ams_replica_matches_oracle(duck):
+    """The round-9 pandas replica must reproduce the DuckDB oracle
+    values exactly (same rounding rules) — the property that makes its
+    sf1 timing column a fair baseline."""
+    import importlib
+    import math
+    import os
+    import sys
+
+    import tools.baseline_replica as br
+
+    os.environ["SPARK_GRAFT_SF_DIR"] = SF_DIR
+    old_argv = sys.argv
+    sys.argv = ["x", SF_DIR]
+    try:
+        importlib.reload(br)
+        from big_data_project_spark.registry import ORACLES
+
+        rep = br.ams_f2_sketch().reset_index(drop=True)
+        got = duck.execute(ORACLES["ams_f2_sketch"]).fetchdf()
+        assert sorted(rep.columns) == sorted(got.columns)
+        assert len(rep) == len(got)
+        for c in rep.columns:
+            for x, y in zip(rep[c].tolist(), got[c].tolist()):
+                if x is None or (isinstance(x, float) and math.isnan(x)):
+                    assert y is None or (
+                        isinstance(y, float) and math.isnan(y)
+                    ), c
+                elif isinstance(x, float):
+                    assert abs(x - float(y)) <= 1e-6, (c, x, y)
+                else:
+                    assert str(x) == str(y), (c, x, y)
+    finally:
+        sys.argv = old_argv
+
+
+def test_streaming_countmin_converges_to_batch_sketch(spark, tmp_path):
+    """Three micro-batches of additive count-min merges reproduce the
+    single-shot sketch cells exactly, and the serving-time probe
+    estimates match the batch audit's cm_est column for the same
+    tokens — CM's mergeability exercised through the streaming twin."""
+    from pyspark.sql import functions as F
+
+    from big_data_project_spark.catalog import load_table
+    from big_data_project_spark.operators.corpus import _tokens
+    from big_data_project_spark.operators.sketches import (
+        cm_bucket_rows,
+        countmin_heavy_hitters,
+    )
+    from big_data_project_spark.streaming.pipeline import (
+        DOCS_SCHEMA,
+        read_countmin_estimates,
+        serve_countmin_foreach_batch,
+    )
+    from big_data_project_spark.plans.sinks import read_upsert_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    src = str(tmp_path / "docs_stream")
+    docs.repartition(3).write.parquet(src)
+    state = str(tmp_path / "cm_state")
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    serve_countmin_foreach_batch(
+        spark, stream, state, str(tmp_path / "ckpt")
+    )
+    served = {
+        (r["d"], r["bucket"]): r["c"]
+        for r in read_upsert_table(spark, state).collect()
+    }
+    batch_cells = {
+        (r["d"], r["bucket"]): r["c"]
+        for r in _tokens(spark, SF_DIR)
+        .select(F.explode(cm_bucket_rows(F.col("tok"))).alias("rb"))
+        .groupBy(F.col("rb.d").alias("d"), F.col("rb.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    assert served == batch_cells and batch_cells
+    audit = {
+        r["tok"]: r["cm_est"]
+        for r in countmin_heavy_hitters(spark, SF_DIR).collect()
+    }
+    probed = {
+        r["tok"]: r["cm_est"]
+        for r in read_countmin_estimates(
+            spark, state, sorted(audit)
+        ).collect()
+    }
+    assert probed == audit

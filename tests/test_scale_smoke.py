@@ -745,3 +745,44 @@ def test_leakage_audit_replication_makes_everything_leak(spark, scaled_docs_dir)
         b = base[doc_id // SCALE]
         assert r["n_shingles"] == b["n_shingles"]
         assert r["n_leaked"] >= b["n_leaked"]
+
+
+def test_scale_curve_artifact_near_linear():
+    """The committed scale-curve artifact (tools/scale_curve.json —
+    round-8 verdict item 6) must show near-linear growth for every
+    curve key: steady(t60)/steady(t20) within the slack of the work
+    growth max(3x input, output-row growth). The bound is RECOMPUTED
+    from the raw per-tile numbers here, so a hand-edited near_linear
+    flag cannot pass."""
+    import json
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools",
+        "scale_curve.json",
+    )
+    if not os.path.exists(path):
+        import pytest as _pytest
+
+        _pytest.skip("scale curve not yet measured")
+    with open(path) as fh:
+        curve = json.load(fh)
+    slack = curve["near_linear_slack"]
+    assert curve["tiles"] == [1, 20, 60]
+    for name, tiles in curve["keys"].items():
+        s20, s60 = tiles["20"]["steady"], tiles["60"]["steady"]
+        r20, r60 = tiles["20"]["rows_out"], tiles["60"]["rows_out"]
+        assert s20 > 0 and r20 > 0, name
+        import bench as _bench
+
+        work = max(
+            3.0,
+            r60 / r20,
+            _bench.SCALE_CURVE_WORK_OVERRIDE.get(name, 0.0),
+        )
+        assert s60 / s20 <= slack * work, (
+            f"{name}: t60/t20 steady {s60 / s20:.2f} exceeds "
+            f"{slack} x work growth {work:.2f}"
+        )
+        assert curve["near_linear"][name] is True, name

@@ -767,6 +767,58 @@ def kmv_set_intersection() -> pd.DataFrame:
     return pd.DataFrame(out)
 
 
+def ams_f2_sketch() -> pd.DataFrame:
+    """AMS F2 tug-of-war replica in the reference idiom: hashlib md5
+    per (register, user) in Python loops — 64 sign draws per distinct
+    (route, user) pair — then per-route register sums, group means,
+    and the median of means."""
+    R, G = 64, 8
+    ev = _read("events")
+    ev = ev[ev["event_type"].notna()]
+    f = (
+        ev.groupby(["event_type", "user_id"])
+        .size()
+        .reset_index(name="fu")
+    )
+    out = []
+    for rid, g in f.groupby("event_type"):
+        z = [0] * R
+        exact = 0
+        for _, row in g.iterrows():
+            fu = int(row["fu"])
+            exact += fu * fu
+            u = row["user_id"]
+            for r in range(R):
+                h = int(
+                    hashlib.md5(f"ams:{r}:{u}".encode()).hexdigest()[:15],
+                    16,
+                )
+                if (h + 1) / float(2**60) < 0.5:
+                    z[r] -= fu
+                else:
+                    z[r] += fu
+        means = sorted(
+            sum(zz * zz for zz in z[gi * (R // G):(gi + 1) * (R // G)])
+            / float(R // G)
+            for gi in range(G)
+        )
+        est = (means[G // 2 - 1] + means[G // 2]) / 2.0
+        out.append(
+            {
+                "route_id": rid,
+                "n_users": len(g),
+                "exact_f2": exact,
+                "est_f2": math.floor(est * 1e4 + 0.5) / 1e4,
+                "rel_error": (
+                    math.floor((est - exact) / exact * 1e4 + 0.5) / 1e4
+                    if exact > 0
+                    else None
+                ),
+            }
+        )
+    return pd.DataFrame(out).sort_values("route_id").reset_index(drop=True)
+
+
 def main() -> None:
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
@@ -803,6 +855,7 @@ def main() -> None:
     timed("split_leakage_audit", split_leakage_audit)
     timed("mergeable_quantile_bins", mergeable_quantile_bins)
     timed("kmv_set_intersection", kmv_set_intersection)
+    timed("ams_f2_sketch", ams_f2_sketch)
 
     print(json.dumps({"sf_dir": SF_DIR, "queries": timings, "rows": rows}))
 

@@ -103,6 +103,62 @@ def render_sf1_table(head: dict, detail: dict, bench_name: str) -> str:
     return "\n".join(lines)
 
 
+def render_scale_curve() -> str | None:
+    """BASELINE.md's scale-curve table from tools/scale_curve.json —
+    the committed out-of-band artifact bench.py also embeds into
+    BENCH_DETAIL.json (round-8 verdict item 6)."""
+    path = os.path.join(REPO, "tools", "scale_curve.json")
+    try:
+        with open(path) as f:
+            curve = json.load(f)
+    except (OSError, ValueError):
+        return None
+    keys = curve.get("keys") or {}
+    growth = curve.get("growth") or {}
+    nl = curve.get("near_linear") or {}
+    tiles = [str(t) for t in curve.get("tiles") or []]
+    lines = [
+        "<!-- rendered:scale-curve:begin -->",
+        "Rendered by `tools/render_baseline.py` from "
+        "`tools/scale_curve.json` (measured out-of-band with "
+        "`SPARK_GRAFT_SCALE_CURVE=1`; bench.py embeds the same artifact "
+        "into `BENCH_DETAIL.json` each run). Steady best-of-2 seconds "
+        "on tiled copies of sf0.1; `work growth` = max(input growth 3x, "
+        "output-row growth) between tile 20 and 60 — tiled embeddings "
+        "are exact replicas, so near-dup PAIR outputs grow ~tile^2 by "
+        "construction and the bound normalizes for it. Do not hand-edit "
+        "numbers inside this block.",
+        "",
+        "| query | "
+        + " | ".join(f"t{t} steady (s)" for t in tiles)
+        + " | t60/t20 | rows t60/t20 | work growth | near-linear |",
+        "|---|" + "---|" * (len(tiles) + 4),
+    ]
+    for k in sorted(keys):
+        g = growth.get(k) or {}
+        cells = " | ".join(
+            f"{keys[k].get(t, {}).get('steady', float('nan')):.3f}"
+            for t in tiles
+        )
+        wg = f"{g.get('work_growth')}×"
+        if "work_override" in g:
+            wg += " (pair-bound, documented)"
+        lines.append(
+            f"| {k} | {cells} | {g.get('steady_60_over_20')}× "
+            f"| {g.get('rows_60_over_20')}× | {wg} "
+            f"| {'yes' if nl.get(k) else 'NO'} |"
+        )
+    slack = curve.get("near_linear_slack")
+    lines.append("")
+    lines.append(
+        f"Near-linear = t60/t20 steady growth ≤ {slack}× the work "
+        "growth; a quadratic plan on 3× input with linear output would "
+        "post ~9× and fail."
+    )
+    lines.append("<!-- rendered:scale-curve:end -->")
+    return "\n".join(lines)
+
+
 def render_headline(head: dict, bench_name: str) -> str:
     q = head.get("queries") or {}
     sf1 = head.get("sf1") or {}
@@ -150,10 +206,14 @@ def main() -> int:
         detail = json.load(f)
     bench_name = os.path.basename(bench_path)
 
+    baseline_blocks = [
+        ("sf1-table", render_sf1_table(head, detail, bench_name)),
+    ]
+    curve_block = render_scale_curve()
+    if curve_block is not None:
+        baseline_blocks.append(("scale-curve", curve_block))
     targets = {
-        os.path.join(REPO, "BASELINE.md"): [
-            ("sf1-table", render_sf1_table(head, detail, bench_name)),
-        ],
+        os.path.join(REPO, "BASELINE.md"): baseline_blocks,
         os.path.join(REPO, "SURVEY.md"): [
             ("bench-headline", render_headline(head, bench_name)),
         ],

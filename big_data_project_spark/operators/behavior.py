@@ -1618,3 +1618,153 @@ ORACLES["event_graph_khop"] = f"""
     WHERE hops > 0
     ORDER BY from_type, to_type
 """
+
+
+# --- HITS (hubs & authorities) over the user-route bipartite graph ---------
+
+HITS_ROUNDS = 2  # unrolled mutual-reinforcement rounds
+
+
+def route_hits_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg 1999, JACM — hubs and authorities) over the
+    user↔route bipartite activity graph: routes are authorities (drawn
+    on by many well-travelled users), users are hubs (touching many
+    authoritative routes), iterated HITS_ROUNDS mutually-reinforcing
+    rounds from the uniform start — the link-analysis companion of
+    `event_pagerank` (which ranks the TRANSITION graph; this ranks the
+    AFFILIATION graph, the bipartite structure PageRank's row-normalized
+    walk erases). Output = per-route degree + authority after the final
+    round, with the final-round HUB MASS concentration (share of total
+    hub weight held by the route's top user) as the skew audit.
+
+    Normalization is L1 per round (any norm fixes only the scale of
+    the principal eigenvector HITS converges to; L1 keeps every value
+    an exact 9dp-quantized ratio — the sqrt of the textbook L2 norm
+    is not portably roundable). Determinism: edges are 0/1 (distinct
+    user-route pairs), every cross-partition sum folds DECIMAL(28,9)
+    — the 9dp grid the per-round pround quantizes to, so the decimal
+    cast is boundary-free on both engines (the NMF 6dp-fold lesson,
+    at the scale this operator's values live on); the oracle unrolls
+    the IDENTICAL rounds as chained MATERIALIZED CTEs.
+
+    Scale: ONE corpus shuffle (the distinct (user, route) edge list,
+    persisted — every round joins against it); each round is two
+    hash aggregates on the edge relation + two 1-row norm broadcasts;
+    factors are users-/routes-sized and localCheckpoint-truncated per
+    round (the PageRank/BPE/Lloyd pattern)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+    )
+    edges = persisted(
+        ev.select(
+            F.col("event_type").alias("route_id"), "user_id"
+        ).distinct()
+    )
+    routes = persisted(edges.select("route_id").distinct())
+    nr = routes.agg(F.count(F.lit(1)).alias("n_routes"))
+    a = routes.crossJoin(F.broadcast(nr)).select(
+        "route_id",
+        pround(F.lit(1.0) / F.col("n_routes"), 9).alias("a"),
+    )
+
+    def d9sum(c):
+        return F.sum(c.cast("decimal(28,9)")).cast("double")
+
+    for _ in range(HITS_ROUNDS):
+        h_raw = (
+            edges.join(F.broadcast(a), "route_id")
+            .groupBy("user_id")
+            .agg(d9sum(F.col("a")).alias("h_raw"))
+        )
+        nh = h_raw.agg(d9sum(F.col("h_raw")).alias("nh"))
+        h = h_raw.crossJoin(F.broadcast(nh)).select(
+            "user_id", pround(F.col("h_raw") / F.col("nh"), 9).alias("h")
+        ).localCheckpoint(eager=True)
+        a_raw = (
+            edges.join(h, "user_id")
+            .groupBy("route_id")
+            .agg(
+                d9sum(F.col("h")).alias("a_raw"),
+                F.max("h").alias("top_hub"),
+            )
+        )
+        na = a_raw.agg(d9sum(F.col("a_raw")).alias("na"))
+        a = a_raw.crossJoin(F.broadcast(na)).select(
+            "route_id",
+            pround(F.col("a_raw") / F.col("na"), 9).alias("a"),
+            pround(F.col("top_hub") / F.col("a_raw"), 9).alias(
+                "top_hub_share"
+            ),
+        ).localCheckpoint(eager=True)
+    deg = edges.groupBy("route_id").agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    return (
+        deg.join(a, "route_id")
+        .select(
+            "route_id",
+            "degree",
+            F.col("a").alias("authority"),
+            "top_hub_share",
+        )
+        .orderBy(F.desc("authority"), "route_id")
+    )
+
+
+QUERIES["route_hits_authority"] = route_hits_authority
+
+
+def _hits_sql() -> str:
+    """Unrolled HITS rounds as chained MATERIALIZED CTEs (DuckDB 1.0
+    inlines multi-referenced CTEs — the nmf_topic_rounds lesson)."""
+    dec = "DECIMAL(28,9)"
+    cte = f"""
+    edges AS MATERIALIZED (
+      SELECT DISTINCT event_type AS route_id, user_id
+      FROM events WHERE event_type IS NOT NULL
+    ),
+    routes AS MATERIALIZED (SELECT DISTINCT route_id FROM edges),
+    nr AS MATERIALIZED (SELECT count(*) AS n_routes FROM routes),
+    a0 AS MATERIALIZED (
+      SELECT route_id, {sql_pround('1.0 / n_routes', 9)} AS a
+      FROM routes CROSS JOIN nr
+    )"""
+    for k in range(HITS_ROUNDS):
+        cte += f""",
+    hraw{k} AS MATERIALIZED (
+      SELECT user_id, (sum(a::{dec}))::DOUBLE AS h_raw
+      FROM edges JOIN a{k} USING (route_id)
+      GROUP BY user_id
+    ),
+    nh{k} AS MATERIALIZED (
+      SELECT (sum(h_raw::{dec}))::DOUBLE AS nh FROM hraw{k}
+    ),
+    h{k} AS MATERIALIZED (
+      SELECT user_id, {sql_pround('h_raw / nh', 9)} AS h
+      FROM hraw{k} CROSS JOIN nh{k}
+    ),
+    araw{k} AS MATERIALIZED (
+      SELECT route_id, (sum(h::{dec}))::DOUBLE AS a_raw,
+             max(h) AS top_hub
+      FROM edges JOIN h{k} USING (user_id)
+      GROUP BY route_id
+    ),
+    na{k} AS MATERIALIZED (
+      SELECT (sum(a_raw::{dec}))::DOUBLE AS na FROM araw{k}
+    ),
+    a{k + 1} AS MATERIALIZED (
+      SELECT route_id, {sql_pround('a_raw / na', 9)} AS a,
+             {sql_pround('top_hub / a_raw', 9)} AS top_hub_share
+      FROM araw{k} CROSS JOIN na{k}
+    )"""
+    return f"""
+    WITH {cte}
+    SELECT d.route_id, d.degree, a.a AS authority, a.top_hub_share
+    FROM (SELECT route_id, count(*) AS degree FROM edges
+          GROUP BY route_id) d
+    JOIN a{HITS_ROUNDS} a USING (route_id)
+    ORDER BY authority DESC, d.route_id
+    """
+
+
+ORACLES["route_hits_authority"] = _hits_sql()

@@ -1056,3 +1056,118 @@ _SQL_EDITDIST = f"""
 """
 
 ORACLES["dedup_editdist_verify"] = _SQL_EDITDIST
+
+
+def blocking_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-quality metrics for the MinHash-LSH candidate
+    generation (Christen 2012, "A Survey of Indexing Techniques for
+    Scalable Record Linkage and Deduplication", TKDE — the standard
+    three): REDUCTION RATIO (share of the n·(n−1)/2 comparison space
+    the blocking prunes), PAIRS COMPLETENESS (recall: share of true
+    ≥ TAU Jaccard duplicates the candidate list retains) and PAIRS
+    QUALITY (precision: share of candidates that are true duplicates)
+    — one audit row deciding whether the band parameters (BANDS ×
+    ROWS_PER_BAND) are spending comparisons where the duplicates are.
+
+    Ground truth is the brute-force shingle-Jaccard pass, so this is a
+    small-SF / SAMPLED audit by construction (it inherits
+    dedup_ngram_jaccard's scale guard); reduction ratio itself —
+    candidates over possible pairs — is cheap at any scale and is the
+    column a production run keeps while sampling the recall columns.
+
+    Scale shape: counts over the candidate and true-pair relations the
+    LSH family already builds; everything after is 1-row arithmetic."""
+    n_docs = (
+        load_table(spark, sf_dir, "documents")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    cand = _verified_candidates(spark, sf_dir)
+    cand_counts = cand.agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum(
+            (pround(F.col("jaccard"), 6) >= TAU).cast("bigint")
+        ).alias("n_true_in_candidates"),
+    )
+    true_n = dedup_ngram_jaccard(spark, sf_dir).agg(
+        F.count(F.lit(1)).alias("n_true_dups")
+    )
+    possible = (
+        F.col("n_docs").cast("bigint")
+        * (F.col("n_docs") - F.lit(1)).cast("bigint")
+        / F.lit(2)
+    ).cast("bigint")
+    return (
+        n_docs.join(cand_counts)
+        .join(true_n)
+        .select(
+            "n_docs",
+            possible.alias("n_possible_pairs"),
+            "n_candidates",
+            F.coalesce("n_true_in_candidates", F.lit(0)).alias(
+                "n_true_in_candidates"
+            ),
+            "n_true_dups",
+            pround(
+                F.lit(1.0)
+                - F.col("n_candidates") / possible.cast("double"),
+                6,
+            ).alias("reduction_ratio"),
+            F.when(
+                F.col("n_true_dups") > 0,
+                pround(
+                    F.coalesce("n_true_in_candidates", F.lit(0))
+                    / F.col("n_true_dups").cast("double"),
+                    6,
+                ),
+            ).alias("pairs_completeness"),
+            F.when(
+                F.col("n_candidates") > 0,
+                pround(
+                    F.coalesce("n_true_in_candidates", F.lit(0))
+                    / F.col("n_candidates").cast("double"),
+                    6,
+                ),
+            ).alias("pairs_quality"),
+        )
+    )
+
+
+QUERIES["blocking_quality_audit"] = blocking_quality_audit
+
+_SQL_BLOCKING_AUDIT = f"""
+    WITH cand AS MATERIALIZED ({_SQL_MINHASH_VERIFIED}),
+    brute AS MATERIALIZED (
+      SELECT a_id, b_id FROM ({_SQL_JACCARD_PAIRS}) p
+      WHERE jaccard >= {TAU}
+    ),
+    nd AS (SELECT count(*) AS n_docs FROM documents),
+    cc AS (
+      SELECT count(*) AS n_candidates,
+             CAST(coalesce(sum(CASE WHEN {sql_pround("jaccard", 6)}
+                                         >= {TAU}
+                                    THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS n_true_in_candidates
+      FROM cand
+    ),
+    tn AS (SELECT count(*) AS n_true_dups FROM brute)
+    SELECT n_docs,
+           CAST(n_docs * (n_docs - 1) / 2 AS BIGINT) AS n_possible_pairs,
+           n_candidates, n_true_in_candidates, n_true_dups,
+           {sql_pround(
+               '1.0 - n_candidates'
+               ' / (n_docs * (n_docs - 1) / 2)::DOUBLE', 6
+           )} AS reduction_ratio,
+           CASE WHEN n_true_dups > 0 THEN
+             {sql_pround(
+                 'n_true_in_candidates / n_true_dups::DOUBLE', 6
+             )}
+           END AS pairs_completeness,
+           CASE WHEN n_candidates > 0 THEN
+             {sql_pround(
+                 'n_true_in_candidates / n_candidates::DOUBLE', 6
+             )}
+           END AS pairs_quality
+    FROM nd CROSS JOIN cc CROSS JOIN tn
+"""
+
+ORACLES["blocking_quality_audit"] = _SQL_BLOCKING_AUDIT

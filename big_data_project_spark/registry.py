@@ -153,6 +153,8 @@ _PROMOTED = [
     "nmf_topic_rounds",
     "ams_f2_sketch",
     "dedup_editdist_verify",
+    "route_hits_authority",
+    "blocking_quality_audit",
     # --- r04-stale cohort, cheapest measured sf0.01 wall first ---
     "kpi_hourly",  # 0.11s
     "weather_hourly",  # 0.22s

@@ -83,6 +83,10 @@ SHUFFLE_BUDGETS = {
     # once, then everything is routes×64-sized
     "ams_f2_sketch": 6,
     "dedup_editdist_verify": 3,  # candidate-pair-sized text joins
+    # final round's lineage only (per-round factors localCheckpoint);
+    # one persisted edge shuffle + routes/users-sized aggregates
+    "route_hits_authority": 4,
+    "blocking_quality_audit": 9,  # counts over the LSH family relations
     "interevent_gap_histogram": 3,  # one event pass: lag window only
     "delay_ewma_24h": 5,
     "demand_trend_line": 5,

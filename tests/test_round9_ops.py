@@ -283,3 +283,68 @@ def test_streaming_countmin_converges_to_batch_sketch(spark, tmp_path):
         ).collect()
     }
     assert probed == audit
+
+
+def test_hits_authority_invariants(spark):
+    """HITS sanity at sf0.001: authorities are a 9dp-quantized L1
+    distribution (sum ~1 over routes), every route with edges appears,
+    degree recomputes from the raw edge list, and top_hub_share is a
+    valid share in (0, 1]."""
+    from pyspark.sql import functions as F
+
+    from big_data_project_spark.catalog import load_table
+    from big_data_project_spark.operators.behavior import (
+        route_hits_authority,
+    )
+
+    rows = route_hits_authority(spark, SF_DIR).collect()
+    assert rows
+    total = sum(r["authority"] for r in rows)
+    assert abs(total - 1.0) < 1e-6 * len(rows)
+    ev = load_table(spark, SF_DIR, "events").filter(
+        F.col("event_type").isNotNull()
+    )
+    deg = {
+        r["route_id"]: r["n"]
+        for r in ev.select(
+            F.col("event_type").alias("route_id"), "user_id"
+        )
+        .distinct()
+        .groupBy("route_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert {r["route_id"] for r in rows} == set(deg)
+    for r in rows:
+        assert r["degree"] == deg[r["route_id"]]
+        assert r["authority"] > 0
+        assert 0 < r["top_hub_share"] <= 1.0
+    # ordering contract: authority descending
+    auths = [r["authority"] for r in rows]
+    assert auths == sorted(auths, reverse=True)
+
+
+def test_blocking_audit_recomputes(spark):
+    """The audit's three metrics recompute from the relations they
+    summarize: completeness is the LSH family's tested recall (1.0 at
+    sf0.001), reduction ratio matches the candidate count, and the
+    counts agree with dedup_minhash_lsh / dedup_ngram_jaccard."""
+    from big_data_project_spark.operators.dedup import (
+        _verified_candidates,
+        blocking_quality_audit,
+        dedup_ngram_jaccard,
+    )
+
+    row = blocking_quality_audit(spark, SF_DIR).collect()[0]
+    n_cand = _verified_candidates(spark, SF_DIR).count()
+    n_true = dedup_ngram_jaccard(spark, SF_DIR).count()
+    assert row["n_candidates"] == n_cand
+    assert row["n_true_dups"] == n_true
+    assert row["n_possible_pairs"] == (
+        row["n_docs"] * (row["n_docs"] - 1) // 2
+    )
+    assert row["pairs_completeness"] == 1.0  # LSH recall contract
+    expected_rr = 1.0 - n_cand / float(row["n_possible_pairs"])
+    assert abs(row["reduction_ratio"] - expected_rr) < 1e-6
+    assert row["reduction_ratio"] > 0.99  # blocking must actually block
+    assert 0 < row["pairs_quality"] <= 1.0

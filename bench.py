@@ -880,7 +880,11 @@ def main() -> None:
                     # dispatch floor, decides
                     **({"sf1": sf1_summary} if sf1_summary else {}),
                     "sf": sf,
-                }
+                },
+                # compact separators: 50+ headline keys at default
+                # ", "/": " spacing overflow the driver's ~2 KB stdout
+                # tail (test_bench_final_line_fits_driver_capture)
+                separators=(",", ":"),
             )
         )
     finally:

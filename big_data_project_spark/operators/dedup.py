@@ -1171,3 +1171,130 @@ _SQL_BLOCKING_AUDIT = f"""
 """
 
 ORACLES["blocking_quality_audit"] = _SQL_BLOCKING_AUDIT
+
+
+def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join by prefix filtering — the
+    AllPairs/PPJoin family (Bayardo, Ma & Srikant 2007 WWW; Xiao et
+    al. 2008 WWW): order each doc's shingle set by ascending global
+    document frequency (rarest first) and keep only the PREFIX of
+    length |s| − ⌈TAU·|s|⌉ + 1; any pair with Jaccard ≥ TAU must
+    share a prefix token (pigeonhole on the ⌈TAU·|s|⌉ overlap bound),
+    so the prefix equi-join is a COMPLETE candidate generator — the
+    deterministic-recall alternative to MinHash banding (LSH trades
+    recall for candidate volume probabilistically; prefix filtering
+    guarantees recall 1.0 and prunes by frequency instead). Verified
+    by exact Jaccard ≥ TAU, same output contract as
+    ``dedup_minhash_lsh`` — equality with the brute-force pass is
+    test-asserted, making the completeness theorem an executable
+    check.
+
+    The ceiling is computed in INTEGER arithmetic ((4n + 4) // 5 for
+    TAU = 4/5): a float ⌈0.8·n⌉ rounds UP on exact multiples
+    (0.8·5 → 4.000000000000000222 → 5), silently shortening the
+    prefix below the completeness bound — the same class of
+    float-boundary bug the portable-rounding layer exists for.
+
+    Scale: one exploded (doc, shingle) shuffle for document
+    frequencies + one per-doc rank window (both the LSH path's cost
+    class); the candidate join touches only prefix tokens — by
+    construction the RAREST fraction of each set, the AllPairs
+    heuristic that keeps the equi-join's per-key fan-out bounded where
+    a naive same-shingle join explodes on stop-shingles."""
+    if abs(TAU - 0.8) > 1e-12:  # pragma: no cover — guard the 4/5 form
+        raise ValueError("integer prefix bound below is TAU=4/5-specific")
+    docs_arr = _persisted(_doc_hash_arrays(spark, sf_dir))
+    sized = docs_arr.select("doc_id", "hs", F.size("hs").alias("n"))
+    ex = sized.select("doc_id", "n", F.explode("hs").alias("h31"))
+    dfreq = ex.groupBy("h31").agg(F.count(F.lit(1)).alias("df"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy("df", "h31")
+    pref = (
+        ex.join(dfreq, "h31")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(
+            F.col("rk")
+            <= F.col("n")
+            - ((F.col("n") * 4 + 4) / 5).cast("long")
+            + 1
+        )
+        .select("doc_id", "h31")
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.h31") == F.col("b.h31"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+        )
+        .distinct()
+    )
+    za = sized.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("hs").alias("hs_a"),
+        F.col("n").alias("na"),
+    )
+    zb = sized.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("hs").alias("hs_b"),
+        F.col("n").alias("nb"),
+    )
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    jac = inter.cast("double") / (F.col("na") + F.col("nb") - inter)
+    return (
+        cand.join(za, "a_id")
+        .join(zb, "b_id")
+        .filter(jac >= TAU)
+        .select("a_id", "b_id", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+QUERIES["dedup_prefix_filter"] = dedup_prefix_filter
+
+_SQL_PREFIX_FILTER = f"""
+    WITH hashed AS MATERIALIZED (
+      {_SQL_SHINGLE_HASHES.format(h=_sql_hash60("sh"))}
+    ),
+    sz AS MATERIALIZED (
+      SELECT doc_id, count(*) AS n FROM hashed GROUP BY doc_id
+    ),
+    dfreq AS MATERIALIZED (
+      SELECT h31, count(*) AS df FROM hashed GROUP BY h31
+    ),
+    pref AS MATERIALIZED (
+      SELECT doc_id, h31 FROM (
+        SELECT h.doc_id, h.h31, s.n,
+               row_number() OVER (
+                 PARTITION BY h.doc_id ORDER BY d.df, h.h31
+               ) AS rk
+        FROM hashed h
+        JOIN dfreq d USING (h31)
+        JOIN sz s USING (doc_id)
+      ) r WHERE rk <= n - ((4 * n + 4) // 5) + 1
+    ),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM pref a JOIN pref b
+        ON a.h31 = b.h31 AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+      SELECT c.a_id, c.b_id, count(*) AS i
+      FROM cand c
+      JOIN hashed a ON a.doc_id = c.a_id
+      JOIN hashed b ON b.doc_id = c.b_id AND b.h31 = a.h31
+      GROUP BY c.a_id, c.b_id
+    )
+    SELECT i.a_id, i.b_id,
+           round(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 6) AS jaccard
+    FROM inter i
+    JOIN sz sa ON sa.doc_id = i.a_id
+    JOIN sz sb ON sb.doc_id = i.b_id
+    WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= {TAU}
+"""
+
+ORACLES["dedup_prefix_filter"] = _SQL_PREFIX_FILTER

@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table_spread
-from ..functions.portable import pround, sql_pround
+from ..functions.portable import davg, pround, sql_davg, sql_pround
 from .dedup import _SQL_NORM, _hash60, _norm, _sql_hash60
 from .quality import SPLIT_MOD, TEST_BUCKETS
 
@@ -843,3 +843,128 @@ def _rho_sql() -> str:
 
 
 ORACLES["rho_loss_selection"] = _rho_sql()
+
+
+# --- classifier calibration (reliability diagram + ECE) --------------------
+
+CAL_BINS = 10  # equal-width confidence bins over [0, 1]
+
+
+def classifier_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + expected calibration error (Guo et al.
+    2017, ICML — "On Calibration of Modern Neural Networks") for the
+    linear quality classifier, scored against the Gopher rule gate as
+    the reference label — the distillation audit a curation pipeline
+    runs before swapping the expensive rule cascade for the cheap
+    learned gate: per confidence bin, how often does "score ≈ 0.8"
+    actually mean "80% of these docs pass the rules"? One row per
+    occupied bin (confidence = mean score, accuracy = rule-pass rate,
+    gap = |acc − conf|) with the n-weighted ECE repeated on every row.
+
+    Determinism: scores are the 6dp-quantized sigmoid the classifier
+    key already hash-checks; bin = floor(score·10) of identical
+    doubles; per-bin means are decimal folds (davg); the ECE fold
+    prounds each weight·gap term to 9dp BEFORE its DECIMAL(28,9) cast
+    (boundary-free — the NMF fold lesson).
+
+    Scale: the classifier pass is map-side; the rule flags are
+    map-side; one doc-keyed join + a CAL_BINS-sized aggregate + a
+    CAL_BINS-row window. Nothing after the join exceeds 10 rows."""
+    from pyspark.sql.window import Window as W
+
+    from .quality import _rule_flags
+
+    scored = quality_classifier_score(spark, sf_dir).select(
+        "doc_id", "score"
+    )
+    docs = load_table_spread(spark, sf_dir, "documents", "doc_id")
+    fail_any = (
+        F.col("fail_word_count")
+        | F.col("fail_mean_word_len")
+        | F.col("fail_stopwords")
+        | F.col("fail_repetition")
+    )
+    labeled = _rule_flags(docs).select(
+        "doc_id", (~fail_any).cast("int").alias("label")
+    )
+    b = F.least(
+        F.lit(CAL_BINS - 1), F.floor(F.col("score") * CAL_BINS)
+    ).cast("int")
+    bins = (
+        scored.join(labeled, "doc_id")
+        .groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            davg("score", 6).alias("avg_score"),
+            davg("label", 6).alias("pass_rate"),
+        )
+    )
+    w = W.partitionBy()
+    gap = pround(F.abs(F.col("avg_score") - F.col("pass_rate")), 6)
+    withgap = bins.select(
+        "bin",
+        "n_docs",
+        "avg_score",
+        "pass_rate",
+        gap.alias("gap"),
+        F.sum("n_docs").over(w).alias("total"),
+    )
+    term = pround(
+        F.col("gap") * F.col("n_docs") / F.col("total"), 9
+    )
+    ece = F.sum(term.cast("decimal(28,9)")).over(w).cast("double")
+    return (
+        withgap.select(
+            "bin",
+            "n_docs",
+            "avg_score",
+            "pass_rate",
+            "gap",
+            pround(ece, 6).alias("ece"),
+        )
+        .orderBy("bin")
+    )
+
+
+QUERIES["classifier_calibration_bins"] = classifier_calibration_bins
+
+
+def _calibration_sql() -> str:
+    from .quality import _SQL_FLAGS
+
+    return f"""
+    WITH scored AS MATERIALIZED ({_SQL_QC_FULL}),
+    labeled AS MATERIALIZED (
+      SELECT doc_id,
+             (CASE WHEN NOT (fail_word_count OR fail_mean_word_len
+                             OR fail_stopwords OR fail_repetition)
+                   THEN 1 ELSE 0 END) AS label
+      FROM ({_SQL_FLAGS}) f
+    ),
+    bins AS MATERIALIZED (
+      SELECT least({CAL_BINS - 1}, floor(score * {CAL_BINS}))::INT
+               AS bin,
+             count(*) AS n_docs,
+             {sql_davg('score', 6)} AS avg_score,
+             {sql_davg('label', 6)} AS pass_rate
+      FROM scored JOIN labeled USING (doc_id)
+      GROUP BY 1
+    ),
+    withgap AS MATERIALIZED (
+      SELECT bin, n_docs, avg_score, pass_rate,
+             {sql_pround('abs(avg_score - pass_rate)', 6)} AS gap,
+             (sum(n_docs) OVER ()) AS total
+      FROM bins
+    )
+    SELECT bin, n_docs, avg_score, pass_rate, gap,
+           {sql_pround(
+               "(sum(({p})::DECIMAL(28,9)) OVER ())::DOUBLE".format(
+                   p=sql_pround('gap * n_docs / total', 9)
+               ), 6
+           )} AS ece
+    FROM withgap
+    ORDER BY bin
+    """
+
+
+ORACLES["classifier_calibration_bins"] = _calibration_sql()

@@ -155,6 +155,8 @@ _PROMOTED = [
     "dedup_editdist_verify",
     "route_hits_authority",
     "blocking_quality_audit",
+    "dedup_prefix_filter",
+    "classifier_calibration_bins",
     # --- r04-stale cohort, cheapest measured sf0.01 wall first ---
     "kpi_hourly",  # 0.11s
     "weather_hourly",  # 0.22s

@@ -87,6 +87,10 @@ SHUFFLE_BUDGETS = {
     # one persisted edge shuffle + routes/users-sized aggregates
     "route_hits_authority": 4,
     "blocking_quality_audit": 9,  # counts over the LSH family relations
+    # exploded df shuffle + per-doc rank window + prefix equi-join
+    "dedup_prefix_filter": 5,
+    # two map-side passes joined on doc_id + 10-row bin agg/window
+    "classifier_calibration_bins": 4,
     "interevent_gap_histogram": 3,  # one event pass: lag window only
     "delay_ewma_24h": 5,
     "demand_trend_line": 5,

@@ -172,7 +172,7 @@ def test_bench_final_line_fits_driver_capture():
         },
         "sf": 0.1,
     }
-    line = json.dumps(payload)
+    line = json.dumps(payload, separators=(",", ":"))
     assert len(line) < 1900, (
         f"final bench line would be {len(line)} bytes — trim HEADLINE "
         "or move more fields to BENCH_DETAIL.json"

@@ -348,3 +348,51 @@ def test_blocking_audit_recomputes(spark):
     assert abs(row["reduction_ratio"] - expected_rr) < 1e-6
     assert row["reduction_ratio"] > 0.99  # blocking must actually block
     assert 0 < row["pairs_quality"] <= 1.0
+
+
+def test_prefix_filter_equals_bruteforce(spark):
+    """The prefix-filter completeness theorem, executed: the exact
+    set-similarity join returns EXACTLY the brute-force ≥ TAU pair set
+    (LSH's recall contract is probabilistic and tested separately;
+    this one is a guarantee)."""
+    from big_data_project_spark.operators.dedup import (
+        dedup_ngram_jaccard,
+        dedup_prefix_filter,
+    )
+
+    brute = {
+        (r["a_id"], r["b_id"], r["jaccard"])
+        for r in dedup_ngram_jaccard(spark, SF_DIR).collect()
+    }
+    pf = {
+        (r["a_id"], r["b_id"], r["jaccard"])
+        for r in dedup_prefix_filter(spark, SF_DIR).collect()
+    }
+    assert pf == brute and brute
+
+
+def test_calibration_bins_recompute(spark):
+    """ECE recomputes from the per-bin rows (Σ n_b/N·gap_b), the bins
+    partition the scored corpus, and every gap is |avg − pass| of its
+    own row — the reliability-diagram identities."""
+    import math
+
+    from big_data_project_spark.operators.selection import (
+        classifier_calibration_bins,
+        quality_classifier_score,
+    )
+
+    rows = classifier_calibration_bins(spark, SF_DIR).collect()
+    assert rows
+    n_total = sum(r["n_docs"] for r in rows)
+    assert n_total == quality_classifier_score(spark, SF_DIR).count()
+    ece = rows[0]["ece"]
+    assert all(r["ece"] == ece for r in rows)
+    recomputed = sum(r["n_docs"] / n_total * r["gap"] for r in rows)
+    assert abs(ece - recomputed) < 1e-6
+    for r in rows:
+        assert 0 <= r["avg_score"] <= 1 and 0 <= r["pass_rate"] <= 1
+        assert abs(
+            r["gap"] - round(abs(r["avg_score"] - r["pass_rate"]), 6)
+        ) < 1e-9
+        assert r["bin"] * 0.1 <= r["avg_score"] < r["bin"] * 0.1 + 0.1 + 1e-9

@@ -1625,3 +1625,229 @@ def read_countmin_estimates(
         .agg(F.min("c").alias("cm_est"))
         .orderBy("tok")
     )
+
+
+# --- streaming AMS F2 maintenance (signed register sums are linear) --------
+
+
+def merge_ams_batch(
+    batch_df: DataFrame, batch_id: int, state_path: str
+) -> bool:
+    """One AMS merge step: the tug-of-war registers are LINEAR in the
+    frequency vector (Z_r = Σ_u s_r(u)·f_u), so a micro-batch's own
+    signed count contributions simply ADD into the served
+    (route, r, z) table — the F2 sketch's mergeability. Signs come
+    from the SHARED md5 construction (operators/sketches.py::
+    ams_f2_sketch), so a fully streamed state equals the batch
+    registers exactly. Additive ⇒ NOT content-idempotent — the
+    `last_batch` monotonic guard absorbs checkpoint replays (the
+    histogram/CM convention). Returns False without touching state on
+    replay."""
+    from ..functions.portable import uniform01
+    from ..operators.sketches import AMS_R
+    from ..plans.sinks import _read_or_none, stage_swap_parquet
+
+    sess = batch_df.sparkSession
+    current = _read_or_none(sess, state_path)
+    if current is not None:
+        last = current.agg(F.max("last_batch")).first()[0]
+        if last is not None and batch_id <= last:
+            return False
+    f = (
+        batch_df.filter(F.col("event_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("route_id"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("fu"))
+    )
+    regs = sess.range(AMS_R).select(F.col("id").cast("int").alias("r"))
+    sign = F.when(
+        uniform01(
+            F.concat(
+                F.lit("ams:"),
+                F.col("r").cast("string"),
+                F.lit(":"),
+                F.col("user_id").cast("string"),
+            )
+        )
+        < 0.5,
+        F.lit(-1),
+    ).otherwise(F.lit(1))
+    z = (
+        f.join(F.broadcast(regs))
+        .groupBy("route_id", "r")
+        .agg(F.sum((sign * F.col("fu")).cast("bigint")).alias("z"))
+    )
+    if current is not None:
+        z = (
+            z.unionByName(current.select("route_id", "r", "z"))
+            .groupBy("route_id", "r")
+            .agg(F.sum("z").alias("z"))
+        )
+    stage_swap_parquet(
+        sess,
+        z.withColumn("last_batch", F.lit(batch_id).cast("long")),
+        state_path,
+    )
+    return True
+
+
+def serve_ams_foreach_batch(
+    spark: SparkSession,
+    events_dir: "str | DataFrame",
+    state_path: str,
+    checkpoint_dir: str,
+) -> None:
+    """Streaming maintenance of the AMS F2 registers — with this the
+    ENTIRE deterministic sketch tier has a streaming path (histogram →
+    quantiles, KMV → set intersection, CM → frequencies, linear
+    counting → cardinality, AMS → second moment). State is
+    routes × AMS_R rows forever; the median-of-means estimate reads
+    off the tiny state at serving time (read_ams_f2)."""
+    if isinstance(events_dir, DataFrame):
+        src = events_dir
+    else:
+        src = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
+
+    def _merge(batch_df, batch_id: int) -> None:
+        merge_ams_batch(batch_df, batch_id, state_path)
+
+    q = (
+        src.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_ams_f2(spark: SparkSession, state_path: str) -> DataFrame:
+    """Serving-time F2 read-off from the streamed registers: the SAME
+    median-of-means combine the batch operator applies (8 groups of 8,
+    exact BIGINT z², dyadic group-mean division, exact percentile) —
+    so a fully streamed state reproduces the batch est_f2 column
+    exactly, test-asserted."""
+    from ..functions.portable import pround
+    from ..operators.sketches import AMS_G, AMS_R
+    from ..plans.sinks import read_upsert_table
+
+    z = read_upsert_table(spark, state_path).select("route_id", "r", "z")
+    means = (
+        z.withColumn("g", (F.col("r") / F.lit(AMS_R // AMS_G)).cast("int"))
+        .groupBy("route_id", "g")
+        .agg(
+            (
+                F.sum((F.col("z") * F.col("z")).cast("bigint"))
+                / F.lit(float(AMS_R // AMS_G))
+            ).alias("mean_zz")
+        )
+    )
+    return (
+        means.groupBy("route_id")
+        .agg(
+            pround(
+                F.percentile("mean_zz", F.lit(0.5)), 4
+            ).alias("est_f2")
+        )
+        .orderBy("route_id")
+    )
+
+
+# --- streaming linear-counting maintenance (bitmap OR merge) ---------------
+
+
+def merge_linear_counting_batch(
+    batch_df: DataFrame, batch_id: int, state_path: str
+) -> bool:
+    """One linear-counting merge step: the sketch state is the set of
+    OCCUPIED (route, bucket) cells — bitmap OR across batches is just
+    a distinct union (Whang et al. 1990's mergeability), and the
+    bucket hash is content-derived (shared 'lc:' md5), so the merge is
+    doubly idempotent like the KMV twin: replays dedupe away on
+    (route_id, bucket) even without the `last_batch` guard, which is
+    kept as the family convention."""
+    from ..operators.sketches import LC_M
+    from ..operators.dedup import _hash60
+    from ..plans.sinks import _read_or_none, stage_swap_parquet
+
+    sess = batch_df.sparkSession
+    current = _read_or_none(sess, state_path)
+    if current is not None:
+        last = current.agg(F.max("last_batch")).first()[0]
+        if last is not None and batch_id <= last:
+            return False
+    occ = (
+        batch_df.filter(F.col("event_type").isNotNull())
+        .select(
+            F.col("event_type").alias("route_id"),
+            F.pmod(
+                _hash60(F.concat(F.lit("lc:"), F.col("user_id"))),
+                F.lit(LC_M),
+            ).alias("bucket"),
+        )
+        .distinct()
+    )
+    if current is not None:
+        occ = occ.unionByName(
+            current.select("route_id", "bucket")
+        ).distinct()
+    stage_swap_parquet(
+        sess,
+        occ.withColumn("last_batch", F.lit(batch_id).cast("long")),
+        state_path,
+    )
+    return True
+
+
+def serve_linear_counting_foreach_batch(
+    spark: SparkSession,
+    events_dir: "str | DataFrame",
+    state_path: str,
+    checkpoint_dir: str,
+) -> None:
+    """Streaming maintenance of the linear-counting occupied-cell
+    state (streaming form of operators/sketches.py::
+    linear_counting_audit's sketch half). State ≤ routes × LC_M rows
+    forever; the −m·ln(V) estimate reads off at serving time
+    (read_linear_counting)."""
+    if isinstance(events_dir, DataFrame):
+        src = events_dir
+    else:
+        src = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
+
+    def _merge(batch_df, batch_id: int) -> None:
+        merge_linear_counting_batch(batch_df, batch_id, state_path)
+
+    q = (
+        src.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_linear_counting(
+    spark: SparkSession, state_path: str
+) -> DataFrame:
+    """Serving-time cardinality read-off: −m·ln(V) over the streamed
+    occupied-cell counts, NULL on saturation — the same estimator the
+    batch audit applies, so streamed ≡ batch est, test-asserted."""
+    from ..functions.portable import pround
+    from ..operators.sketches import LC_M
+    from ..plans.sinks import read_upsert_table
+
+    occ = (
+        read_upsert_table(spark, state_path)
+        .groupBy("route_id")
+        .agg(F.countDistinct("bucket").alias("occupied"))
+    )
+    v = (F.lit(LC_M) - F.col("occupied")) / F.lit(float(LC_M))
+    return occ.select(
+        "route_id",
+        "occupied",
+        F.when(
+            F.col("occupied") < LC_M,
+            pround(-F.lit(float(LC_M)) * F.log(v), 4),
+        ).alias("est_distinct"),
+    ).orderBy("route_id")

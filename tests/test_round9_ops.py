@@ -396,3 +396,79 @@ def test_calibration_bins_recompute(spark):
             r["gap"] - round(abs(r["avg_score"] - r["pass_rate"]), 6)
         ) < 1e-9
         assert r["bin"] * 0.1 <= r["avg_score"] < r["bin"] * 0.1 + 0.1 + 1e-9
+
+
+def test_streaming_ams_converges_to_batch(spark, tmp_path):
+    """Three micro-batches of additive AMS register merges reproduce
+    the batch operator's est_f2 exactly — register linearity
+    (Z is linear in the frequency vector) exercised end to end."""
+    from big_data_project_spark.catalog import load_table
+    from big_data_project_spark.operators.sketches import ams_f2_sketch
+    from big_data_project_spark.streaming.pipeline import (
+        EVENTS_SCHEMA,
+        read_ams_f2,
+        serve_ams_foreach_batch,
+    )
+
+    ev = load_table(spark, SF_DIR, "events")
+    src = str(tmp_path / "events_stream")
+    ev.repartition(3).write.parquet(src)
+    state = str(tmp_path / "ams_state")
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    serve_ams_foreach_batch(spark, stream, state, str(tmp_path / "ckpt"))
+    served = {
+        r["route_id"]: r["est_f2"]
+        for r in read_ams_f2(spark, state).collect()
+    }
+    batch = {
+        r["route_id"]: r["est_f2"]
+        for r in ams_f2_sketch(spark, SF_DIR).collect()
+    }
+    assert served == batch and batch
+
+
+def test_streaming_linear_counting_converges_to_batch(spark, tmp_path):
+    """Three micro-batches of occupied-cell unions reproduce the batch
+    audit's estimate exactly (bitmap-OR mergeability), and a replayed
+    batch is a no-op."""
+    from pyspark.sql import functions as F
+
+    from big_data_project_spark.catalog import load_table
+    from big_data_project_spark.operators.sketches import (
+        linear_counting_audit,
+    )
+    from big_data_project_spark.streaming.pipeline import (
+        EVENTS_SCHEMA,
+        merge_linear_counting_batch,
+        read_linear_counting,
+        serve_linear_counting_foreach_batch,
+    )
+
+    ev = load_table(spark, SF_DIR, "events")
+    src = str(tmp_path / "events_stream")
+    ev.repartition(3).write.parquet(src)
+    state = str(tmp_path / "lc_state")
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    serve_linear_counting_foreach_batch(
+        spark, stream, state, str(tmp_path / "ckpt")
+    )
+    served = {
+        r["route_id"]: (r["occupied"], r["est_distinct"])
+        for r in read_linear_counting(spark, state).collect()
+    }
+    batch = {
+        r["route_id"]: (r["occupied"], r["lc_estimate"])
+        for r in linear_counting_audit(spark, SF_DIR)
+        .select("route_id", "occupied", "lc_estimate")
+        .collect()
+    }
+    assert served == batch and batch
+    assert not merge_linear_counting_batch(ev, 2, state)

@@ -276,11 +276,14 @@ def _run_sf1_tier(spark) -> tuple[dict | None, dict | None]:
     if not shared:
         summary["baseline_mismatch"] = True
     if sf1_contended:
-        summary["contended_keys"] = sf1_contended
+        # count only on the headline line (key-name lists overflow
+        # the driver capture); names in the detail block
+        summary["n_contended"] = len(sf1_contended)
     detail = {
         "tile": tile,
         "build_sec": build_sec,
         "dir": sf1_dir,
+        "contended_keys": sf1_contended,
         "spark_steady": steady,
         "spark_cold": cold,
         "cotenant_cores": cotenant,
@@ -799,6 +802,13 @@ def main() -> None:
             "queries_cold": cold,
             "prior_round": prior_name,
             "vs_prior_ratio": ratios,
+            "regressed_vs_prior": regressed,
+            # steady reads of the persisted shared rollup tier (cold
+            # pass builds it); their full-pipeline cost is queries_cold
+            "amortized": ["kpi_hourly", "suggestions"],
+            "ambient_load_frac": round(
+                ambient["load_1m"] / ambient["cpus"], 3
+            ),
             # Host-contention evidence (round-3 verdict item 1): ambient
             # load was sampled before Spark started; per-query
             # [before, after] 1-min load averages let a reader attribute
@@ -809,6 +819,7 @@ def main() -> None:
             # per-key co-tenant busy cores averaged over the (quietest)
             # measurement window — the in-run contention evidence
             "query_cotenant_cores": cotenant_cores,
+            "contended_keys": contended_keys,
             "contention_retries": retries,
             "min_repeats": min_repeats,
             "max_repeats": max_repeats,
@@ -840,11 +851,6 @@ def main() -> None:
                     ),
                     "queries": timings,
                     "total_cold_sec": round(sum(cold.values()), 3),
-                    # These read the persisted shared rollup tier after the
-                    # cold pass builds it — their steady number is an
-                    # amortized read, not the full pipeline (that cost is in
-                    # BENCH_DETAIL.json's queries_cold).
-                    "amortized": ["kpi_hourly", "suggestions"],
                     # `contended` means the bench STARTED on a busy host
                     # (ambient 1-min load above 25% of the CPU quota) and
                     # absolute numbers should not be compared across rounds
@@ -857,22 +863,27 @@ def main() -> None:
                     # the pre-flight flag alone let a mid-run load
                     # spike publish noise as regression signal)
                     "contended_during_run": bool(contended_keys),
+                    # count only — the key-name list overflows the
+                    # driver capture; names in BENCH_DETAIL.json
+                    "n_contended": len(contended_keys),
+                    # regression summary only — the full >1.25x map and
+                    # per-key ratios live in BENCH_DETAIL.json
+                    # (`regressed_vs_prior` / `vs_prior_ratio`); a
+                    # populated map on THIS line overflowed the
+                    # driver's ~2 KB stdout tail at 53 headline keys
+                    # (ambient_load_frac and the amortized-keys note
+                    # moved there too, same reason)
+                    "prior_round": prior_name,
+                    "n_regressed": len(regressed),
                     **(
-                        {"contended_keys": contended_keys}
-                        if contended_keys
+                        {
+                            "worst_regression": list(
+                                max(regressed.items(), key=lambda kv: kv[1])
+                            )
+                        }
+                        if regressed
                         else {}
                     ),
-                    # fraction of the CPU quota the ambient 1-min load
-                    # was eating when the bench started — readers judge
-                    # sub-threshold contention without BENCH_DETAIL
-                    "ambient_load_frac": round(
-                        ambient["load_1m"] / ambient["cpus"], 3
-                    ),
-                    # steady keys >1.25x slower than the prior round's
-                    # artifact (empty = no regressions); full per-key
-                    # ratios in BENCH_DETAIL.json
-                    "prior_round": prior_name,
-                    "regressed_vs_prior": regressed,
                     # compact sf1-tier summary (per-key numbers in
                     # BENCH_DETAIL.json's `sf1` block): Spark steady vs
                     # the measured-once pandas replica on the tiled

@@ -157,11 +157,12 @@ def test_bench_final_line_fits_driver_capture():
         "total_r2_keys_sec": 99999.999,
         "queries": worst,
         "total_cold_sec": 99999.999,
-        "amortized": ["kpi_hourly", "suggestions"],
         "contended": False,
-        "ambient_load_frac": 0.999,
+        "contended_during_run": False,
+        "n_contended": 99,
         "prior_round": "BENCH_r99.json",
-        "regressed_vs_prior": {},
+        "n_regressed": 99,
+        "worst_regression": ["session_concurrency_hourly", 99.99],
         # worst-case shape of the compact sf1-tier summary (round-7)
         "sf1": {
             "tile": 10,
@@ -169,6 +170,7 @@ def test_bench_final_line_fits_driver_capture():
             "total_pandas_sec": 99999.999,
             "keys_spark_le_pandas": "19/19",
             "truncated": False,
+            "n_contended": 99,
         },
         "sf": 0.1,
     }

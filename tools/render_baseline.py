@@ -97,7 +97,8 @@ def render_sf1_table(head: dict, detail: dict, bench_name: str) -> str:
         f"Spark is ≤1× pandas on **{le} of {len(keys)}** keys and "
         f"**{tp / ts:.0f}× faster on the total** (tile "
         f"{sf1.get('tile', head_sf1.get('tile', '?'))}; keys flagged "
-        f"contended in-run: {head_sf1.get('contended_keys', [])})."
+        f"contended in-run: "
+        f"{sf1.get('contended_keys', head_sf1.get('contended_keys', []))})."
     )
     lines.append("<!-- rendered:sf1-table:end -->")
     return "\n".join(lines)
@@ -193,6 +194,24 @@ def splice(text: str, tag: str, block: str) -> str:
     return pat.sub(lambda _m: block, text, count=1)
 
 
+DETAIL_SNAPSHOT = os.path.join(REPO, "tools", "bench_detail_rendered.json")
+
+
+def declared_bench() -> str | None:
+    """The artifact name the committed BASELINE.md sf1 block declares —
+    what --check verifies against. The declared artifact may be one
+    round older than the newest (the driver lands BENCH_r{N}.json AFTER
+    the round's last commit; the next round's render catches up) — the
+    invariant enforced is "no number disagrees with the declared
+    artifact", not "docs predate nothing"."""
+    try:
+        with open(os.path.join(REPO, "BASELINE.md")) as f:
+            m = re.search(r"headline `(BENCH_r\d+\.json)`", f.read())
+        return m.group(1) if m else None
+    except OSError:
+        return None
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--bench", default=None)
@@ -200,9 +219,25 @@ def main() -> int:
     ap.add_argument("--check", action="store_true")
     args = ap.parse_args()
 
-    bench_path = args.bench or newest_bench()
+    if args.check and args.bench is None:
+        # verify against the artifact the docs DECLARE, from the
+        # committed detail snapshot — reproducible regardless of what
+        # newer artifacts have landed in the worktree since
+        name = declared_bench()
+        if name is None:
+            print("STALE: no declared bench artifact in BASELINE.md")
+            return 1
+        bench_path = os.path.join(REPO, name)
+        detail_path = (
+            DETAIL_SNAPSHOT
+            if os.path.exists(DETAIL_SNAPSHOT)
+            else args.detail
+        )
+    else:
+        bench_path = args.bench or newest_bench()
+        detail_path = args.detail
     head = load_headline(bench_path)
-    with open(args.detail) as f:
+    with open(detail_path) as f:
         detail = json.load(f)
     bench_name = os.path.basename(bench_path)
 
@@ -237,6 +272,13 @@ def main() -> int:
             print(f"STALE: {stale} disagree with {bench_name}")
             return 1
         print(f"docs match {bench_name}")
+    elif os.path.abspath(detail_path) != os.path.abspath(DETAIL_SNAPSHOT):
+        # snapshot the detail actually rendered so --check can
+        # re-render this exact table after BENCH_DETAIL.json is
+        # overwritten by a newer run (skip when rendering FROM the
+        # snapshot — open-for-write would truncate it first)
+        with open(DETAIL_SNAPSHOT, "w") as g:
+            json.dump(detail, g, indent=1, sort_keys=True)
     return 0
 
 

@@ -856,3 +856,109 @@ ORACLES["neardup_triangle_count"] = f"""
            END AS global_clustering
     FROM nodes, edges, wedges, tri
 """
+
+
+# --- k-core decomposition of the near-dup graph ----------------------------
+
+KCORE_K = 2  # minimum degree retained
+KCORE_PEELS = 4  # unrolled peel rounds (fixpoint asserted in tests)
+
+
+def neardup_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-core of the verified near-duplicate graph (Seidman 1983,
+    Social Networks — "Network structure and minimum degree"):
+    KCORE_PEELS unrolled peel rounds, each dropping nodes whose degree
+    in the SURVIVING graph is < KCORE_K and their incident edges. What
+    survives is the densely-mutually-similar template skeleton — the
+    doc clusters where one representative should replace the whole
+    family — separated from the chain/pendant periphery the triangle
+    census (`neardup_triangle_count`) can only report in aggregate:
+    k-core NAMES the member docs. Output = surviving docs with their
+    in-core degree.
+
+    The peel is the canonical iterate-to-fixpoint graph kernel the
+    unrolled-loop pattern handles (BPE/PageRank/Lloyd/BFS/HITS):
+    each round is one degree aggregate + one semi-join, BOTH on the
+    output-sized LSH pair list — never the corpus; KCORE_PEELS rounds
+    reach the fixpoint on any graph whose peel sequence is that short
+    (test-asserted: a further peel is a no-op at test SF; at 100 TB
+    you either raise the constant or loop `while peeled > 0` — the
+    per-round plan is identical).
+
+    Determinism: pure integer degrees and anti-joins — no floats
+    anywhere, so the oracle (chained MATERIALIZED CTEs, the DuckDB 1.0
+    inlining lesson) is exact by construction."""
+    from ..caching import persisted
+    from .dedup import dedup_minhash_lsh
+
+    edges = persisted(
+        dedup_minhash_lsh(spark, sf_dir).select("a_id", "b_id")
+    )
+    for _ in range(KCORE_PEELS):
+        deg = (
+            edges.select(F.col("a_id").alias("node"))
+            .unionAll(edges.select(F.col("b_id").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        alive = deg.filter(F.col("deg") >= KCORE_K).select("node")
+        edges = (
+            edges.join(
+                alive.select(F.col("node").alias("a_id")), "a_id", "semi"
+            )
+            .join(
+                alive.select(F.col("node").alias("b_id")), "b_id", "semi"
+            )
+            .localCheckpoint(eager=True)
+        )
+    final_deg = (
+        edges.select(F.col("a_id").alias("doc_id"))
+        .unionAll(edges.select(F.col("b_id").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+    )
+    return final_deg.filter(
+        F.col("core_degree") >= KCORE_K
+    ).orderBy("doc_id")
+
+
+QUERIES["neardup_kcore"] = neardup_kcore
+
+
+def _kcore_sql() -> str:
+    cte = f"""
+    e0 AS MATERIALIZED (
+      SELECT a_id, b_id FROM ({_SQL_PAIRS}) p
+    )"""
+    for r in range(KCORE_PEELS):
+        cte += f""",
+    deg{r} AS MATERIALIZED (
+      SELECT node, count(*) AS deg FROM (
+        SELECT a_id AS node FROM e{r}
+        UNION ALL
+        SELECT b_id FROM e{r}
+      ) n GROUP BY node
+    ),
+    alive{r} AS MATERIALIZED (
+      SELECT node FROM deg{r} WHERE deg >= {KCORE_K}
+    ),
+    e{r + 1} AS MATERIALIZED (
+      SELECT e.a_id, e.b_id FROM e{r} e
+      WHERE e.a_id IN (SELECT node FROM alive{r})
+        AND e.b_id IN (SELECT node FROM alive{r})
+    )"""
+    return f"""
+    WITH {cte}
+    SELECT doc_id, core_degree FROM (
+      SELECT node AS doc_id, count(*) AS core_degree FROM (
+        SELECT a_id AS node FROM e{KCORE_PEELS}
+        UNION ALL
+        SELECT b_id FROM e{KCORE_PEELS}
+      ) n GROUP BY node
+    ) d
+    WHERE core_degree >= {KCORE_K}
+    ORDER BY doc_id
+    """
+
+
+ORACLES["neardup_kcore"] = _kcore_sql()

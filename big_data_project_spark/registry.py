@@ -157,6 +157,7 @@ _PROMOTED = [
     "blocking_quality_audit",
     "dedup_prefix_filter",
     "classifier_calibration_bins",
+    "neardup_kcore",
     # --- r04-stale cohort, cheapest measured sf0.01 wall first ---
     "kpi_hourly",  # 0.11s
     "weather_hourly",  # 0.22s

@@ -91,6 +91,8 @@ SHUFFLE_BUDGETS = {
     "dedup_prefix_filter": 5,
     # two map-side passes joined on doc_id + 10-row bin agg/window
     "classifier_calibration_bins": 4,
+    # final peel lineage only (per-round edges localCheckpoint-ed)
+    "neardup_kcore": 2,
     "interevent_gap_histogram": 3,  # one event pass: lag window only
     "delay_ewma_24h": 5,
     "demand_trend_line": 5,

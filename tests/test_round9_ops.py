@@ -472,3 +472,43 @@ def test_streaming_linear_counting_converges_to_batch(spark, tmp_path):
     }
     assert served == batch and batch
     assert not merge_linear_counting_batch(ev, 2, state)
+
+
+def test_kcore_fixpoint_and_invariants(spark):
+    """The unrolled peel count reaches the fixpoint at test SF (one
+    more peel is a no-op), every surviving doc has core degree ≥ K
+    within the SURVIVORS-induced subgraph, and the core is a subset of
+    the LSH dup-graph nodes."""
+    from pyspark.sql import functions as F
+
+    from big_data_project_spark.operators.corpus_stats import (
+        KCORE_K,
+        neardup_kcore,
+    )
+    from big_data_project_spark.operators.dedup import dedup_minhash_lsh
+
+    core = {r["doc_id"]: r["core_degree"] for r in neardup_kcore(spark, SF_DIR).collect()}
+    assert core
+    pairs = [
+        (r["a_id"], r["b_id"])
+        for r in dedup_minhash_lsh(spark, SF_DIR).collect()
+    ]
+    nodes = {a for a, _ in pairs} | {b for _, b in pairs}
+    assert set(core) <= nodes
+    # python replica peel to fixpoint — must agree with the unrolled form
+    edges = set(pairs)
+    while True:
+        deg: dict[int, int] = {}
+        for a, b in edges:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        alive = {n for n, d in deg.items() if d >= KCORE_K}
+        kept = {(a, b) for a, b in edges if a in alive and b in alive}
+        if kept == edges:
+            break
+        edges = kept
+    final: dict[int, int] = {}
+    for a, b in edges:
+        final[a] = final.get(a, 0) + 1
+        final[b] = final.get(b, 0) + 1
+    assert core == {n: d for n, d in final.items() if d >= KCORE_K}

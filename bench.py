@@ -592,6 +592,28 @@ def _stream_events_hourly_bench(spark, events_dir: str):
     return sdf
 
 
+def _cpu_ref_sec() -> float:
+    """Fixed single-thread reference workload (md5 over a constant
+    buffer) timed best-of-3 — the host-speed yardstick. The co-tenant
+    meter catches VISIBLE competing load; a uniformly slower host
+    (hypervisor scheduling, frequency scaling) inflates every key by
+    the same factor while the meter reads quiet. Comparing this scalar
+    across rounds' BENCH_DETAIL.json attributes exactly that case:
+    uniform key regressions at a proportionally larger cpu_ref_sec are
+    the host, not the plans."""
+    import hashlib
+
+    buf = b"spark-graft-cpu-ref" * 64
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        h = b""
+        for _i in range(60000):
+            h = hashlib.md5(buf + h).digest()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -602,6 +624,7 @@ def main() -> None:
     # load the bench is about to compete with (our own executor threads
     # haven't spun up yet).
     ambient = _load_snapshot()
+    cpu_ref = _cpu_ref_sec()
     contended = ambient["load_1m"] > CONTENTION_LOAD_FRACTION * ambient["cpus"]
     if contended:
         print(
@@ -809,6 +832,9 @@ def main() -> None:
             "ambient_load_frac": round(
                 ambient["load_1m"] / ambient["cpus"], 3
             ),
+            # host-speed yardstick (see _cpu_ref_sec) — compare across
+            # rounds' detail artifacts to attribute uniform drift
+            "cpu_ref_sec": cpu_ref,
             # Host-contention evidence (round-3 verdict item 1): ambient
             # load was sampled before Spark started; per-query
             # [before, after] 1-min load averages let a reader attribute

@@ -362,17 +362,21 @@ def _measure_scale_curve(spark) -> dict:
             t0 = time.perf_counter()
             run()
             cold = round(time.perf_counter() - t0, 3)
-            rows_out = QUERIES[name](spark, d).count()
             runs = []
             for _ in range(2):
                 t0 = time.perf_counter()
                 run()
                 runs.append(time.perf_counter() - t0)
+            cotenant = round(meter.stop(), 2)
+            # rows_out AFTER the meter window: the count is a fourth
+            # execution and must pollute neither the steady timings'
+            # co-tenant attribution nor sit between cold and steady
+            rows_out = QUERIES[name](spark, d).count()
             per_key[name][str(tile)] = {
                 "cold": cold,
                 "steady": round(min(runs), 3),
                 "rows_out": rows_out,
-                "cotenant_cores": round(meter.stop(), 2),
+                "cotenant_cores": cotenant,
             }
             print(
                 f"# scale t{tile} {name}: cold {cold:.3f}s, best "

@@ -1085,7 +1085,7 @@ def blocking_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand_counts = cand.agg(
         F.count(F.lit(1)).alias("n_candidates"),
         F.sum(
-            (pround(F.col("jaccard"), 6) >= TAU).cast("bigint")
+            (F.col("jaccard") >= TAU).cast("bigint")
         ).alias("n_true_in_candidates"),
     )
     true_n = dedup_ngram_jaccard(spark, sf_dir).agg(
@@ -1143,8 +1143,7 @@ _SQL_BLOCKING_AUDIT = f"""
     nd AS (SELECT count(*) AS n_docs FROM documents),
     cc AS (
       SELECT count(*) AS n_candidates,
-             CAST(coalesce(sum(CASE WHEN {sql_pround("jaccard", 6)}
-                                         >= {TAU}
+             CAST(coalesce(sum(CASE WHEN jaccard >= {TAU}
                                     THEN 1 ELSE 0 END), 0) AS BIGINT)
                AS n_true_in_candidates
       FROM cand

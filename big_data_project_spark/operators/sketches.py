@@ -378,6 +378,16 @@ ORACLES["mergeable_quantile_bins"] = _quantile_bins_sql()
 LC_M = 1024  # bitmap size
 
 
+def lc_bucket(user_col):
+    """The linear-counting bucket of one user id — SHARED by the batch
+    audit and the streaming occupied-cell twin."""
+    from .dedup import _hash60
+
+    return F.pmod(
+        _hash60(F.concat(F.lit("lc:"), user_col)), F.lit(LC_M)
+    )
+
+
 def linear_counting_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear counting (Whang et al. 1990, TODS) distinct-vehicle
     estimate per route with its exact error — the DETERMINISTIC
@@ -394,7 +404,6 @@ def linear_counting_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one (route, bucket) distinct aggregate (map-side combined,
     ≤ routes×m rows) + the exact countDistinct audit column you drop
     at 100 TB."""
-    from .dedup import _hash60
 
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isNotNull()
@@ -402,10 +411,7 @@ def linear_counting_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     occ = (
         ev.select(
             F.col("event_type").alias("route_id"),
-            F.pmod(
-                _hash60(F.concat(F.lit("lc:"), F.col("user_id"))),
-                F.lit(LC_M),
-            ).alias("bucket"),
+            lc_bucket(F.col("user_id")).alias("bucket"),
         )
         .groupBy("route_id")
         .agg(F.countDistinct("bucket").alias("occupied"))
@@ -485,6 +491,16 @@ ORACLES["linear_counting_audit"] = _lc_sql()
 KMV_K = 64  # minimum-values retained per key
 
 
+def kmv_hash(user_col):
+    """The KMV uniform hash of one user id — the SHARED construction
+    the batch operator and the streaming twin must agree on (a drift
+    here silently diverges the streamed kept-sets from the batch
+    sketch)."""
+    from ..functions.portable import uniform01
+
+    return uniform01(F.concat(F.lit("kmv:"), user_col))
+
+
 def kmv_set_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theta-sketch set algebra (Beyer et al. 2007 KMV; the Apache
     DataSketches theta family): per route keep the KMV_K smallest
@@ -505,7 +521,6 @@ def kmv_set_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows (the pair join is sketch-sized, never user-sized); the exact
     column is the audit you drop at 100 TB."""
     from ..caching import persisted
-    from ..functions.portable import uniform01
 
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isNotNull()
@@ -520,9 +535,7 @@ def kmv_set_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "route_id",
             "user_id",
-            uniform01(
-                F.concat(F.lit("kmv:"), F.col("user_id"))
-            ).alias("u"),
+            kmv_hash(F.col("user_id")).alias("u"),
         )
     )
     w = Window.partitionBy("route_id").orderBy("u", "user_id")
@@ -704,6 +717,26 @@ AMS_R = 64  # sketch registers
 AMS_G = 8  # median-of-means groups (8 registers averaged per group)
 
 
+def ams_sign(r_col, user_col):
+    """The ±1 register sign s_r(u) — the SHARED md5 construction of
+    the AMS family (batch estimate + streaming register maintenance
+    read the same signs)."""
+    from ..functions.portable import uniform01
+
+    return F.when(
+        uniform01(
+            F.concat(
+                F.lit("ams:"),
+                r_col.cast("string"),
+                F.lit(":"),
+                user_col.cast("string"),
+            )
+        )
+        < 0.5,
+        F.lit(-1),
+    ).otherwise(F.lit(1))
+
+
 def ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AMS second-moment sketch (Alon, Matias & Szegedy 1996, STOC —
     the tug-of-war estimator): per route, estimate the SELF-JOIN SIZE
@@ -730,7 +763,6 @@ def ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     divides a BIGINT by the dyadic 8.0, exact in doubles on both
     engines."""
     from ..caching import persisted
-    from ..functions.portable import uniform01
 
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isNotNull()
@@ -747,18 +779,7 @@ def ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_users"),
     )
     regs = spark.range(AMS_R).select(F.col("id").cast("int").alias("r"))
-    sign = F.when(
-        uniform01(
-            F.concat(
-                F.lit("ams:"),
-                F.col("r").cast("string"),
-                F.lit(":"),
-                F.col("user_id").cast("string"),
-            )
-        )
-        < 0.5,
-        F.lit(-1),
-    ).otherwise(F.lit(1))
+    sign = ams_sign(F.col("r"), F.col("user_id"))
     z = (
         f.join(F.broadcast(regs))
         .groupBy("route_id", "r")

@@ -1412,8 +1412,7 @@ def merge_kmv_batch(
     family convention of the histogram twin) so a replay is a cheap
     no-op rather than a full re-rank + swap. Returns False without
     touching state when batch_id ≤ the last applied id."""
-    from ..functions.portable import uniform01
-    from ..operators.sketches import KMV_K
+    from ..operators.sketches import KMV_K, kmv_hash
     from ..plans.sinks import _read_or_none, stage_swap_parquet
     from pyspark.sql.window import Window as W
 
@@ -1430,9 +1429,7 @@ def merge_kmv_batch(
         .select(
             "route_id",
             "user_id",
-            uniform01(
-                F.concat(F.lit("kmv:"), F.col("user_id"))
-            ).alias("u"),
+            kmv_hash(F.col("user_id")).alias("u"),
         )
     )
     if current is not None:
@@ -1615,14 +1612,20 @@ def read_countmin_estimates(
         spark.createDataFrame([(t,) for t in tokens], "tok string")
         .select("tok", F.explode(cm_bucket_rows(F.col("tok"))).alias("rb"))
     )
+    # LEFT join + 0 default: a probed cell with no stored row means
+    # nothing ever hashed there — the count-min estimate is the MIN
+    # over ALL depth cells, and a missing cell is 0, so an unseen
+    # token must estimate 0 (an inner join would drop it or inflate
+    # the min over only the occupied cells)
     return (
         probes.join(
             F.broadcast(cm),
             (F.col("rb.d") == F.col("d"))
             & (F.col("rb.bucket") == F.col("bucket")),
+            "left",
         )
         .groupBy("tok")
-        .agg(F.min("c").alias("cm_est"))
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cm_est"))
         .orderBy("tok")
     )
 
@@ -1643,8 +1646,7 @@ def merge_ams_batch(
     `last_batch` monotonic guard absorbs checkpoint replays (the
     histogram/CM convention). Returns False without touching state on
     replay."""
-    from ..functions.portable import uniform01
-    from ..operators.sketches import AMS_R
+    from ..operators.sketches import AMS_R, ams_sign
     from ..plans.sinks import _read_or_none, stage_swap_parquet
 
     sess = batch_df.sparkSession
@@ -1661,18 +1663,7 @@ def merge_ams_batch(
         .agg(F.count(F.lit(1)).alias("fu"))
     )
     regs = sess.range(AMS_R).select(F.col("id").cast("int").alias("r"))
-    sign = F.when(
-        uniform01(
-            F.concat(
-                F.lit("ams:"),
-                F.col("r").cast("string"),
-                F.lit(":"),
-                F.col("user_id").cast("string"),
-            )
-        )
-        < 0.5,
-        F.lit(-1),
-    ).otherwise(F.lit(1))
+    sign = ams_sign(F.col("r"), F.col("user_id"))
     z = (
         f.join(F.broadcast(regs))
         .groupBy("route_id", "r")
@@ -1766,8 +1757,7 @@ def merge_linear_counting_batch(
     doubly idempotent like the KMV twin: replays dedupe away on
     (route_id, bucket) even without the `last_batch` guard, which is
     kept as the family convention."""
-    from ..operators.sketches import LC_M
-    from ..operators.dedup import _hash60
+    from ..operators.sketches import lc_bucket
     from ..plans.sinks import _read_or_none, stage_swap_parquet
 
     sess = batch_df.sparkSession
@@ -1780,10 +1770,7 @@ def merge_linear_counting_batch(
         batch_df.filter(F.col("event_type").isNotNull())
         .select(
             F.col("event_type").alias("route_id"),
-            F.pmod(
-                _hash60(F.concat(F.lit("lc:"), F.col("user_id"))),
-                F.lit(LC_M),
-            ).alias("bucket"),
+            lc_bucket(F.col("user_id")).alias("bucket"),
         )
         .distinct()
     )

@@ -279,10 +279,38 @@ def test_streaming_countmin_converges_to_batch_sketch(spark, tmp_path):
     probed = {
         r["tok"]: r["cm_est"]
         for r in read_countmin_estimates(
-            spark, state, sorted(audit)
+            spark, state, sorted(audit) + ["zz-never-streamed-zz"]
         ).collect()
     }
+    # the unseen token's estimate must be min over ITS cells with
+    # missing-cell-is-0 semantics (review finding: an inner probe join
+    # dropped the token or inflated the min over only occupied cells);
+    # on this saturated 4x16 sketch that is the collision overestimate,
+    # recomputed here cell-by-cell — and a probe into an EMPTY state
+    # must return 0 for every cell
+    unseen_cells = [
+        r["rb"]
+        for r in spark.range(1)
+        .select(
+            F.explode(
+                cm_bucket_rows(F.lit("zz-never-streamed-zz"))
+            ).alias("rb")
+        )
+        .collect()
+    ]
+    expected = min(
+        batch_cells.get((c["d"], c["bucket"]), 0) for c in unseen_cells
+    )
+    assert probed.pop("zz-never-streamed-zz") == expected
     assert probed == audit
+    empty_state = str(tmp_path / "cm_state_empty")
+    spark.createDataFrame(
+        [], "d int, bucket int, c long, last_batch long"
+    ).write.parquet(empty_state)
+    zero = read_countmin_estimates(spark, empty_state, ["anything"])
+    assert [(r["tok"], r["cm_est"]) for r in zero.collect()] == [
+        ("anything", 0)
+    ]
 
 
 def test_hits_authority_invariants(spark):

@@ -78,6 +78,18 @@ def render_sf1_table(head: dict, detail: dict, bench_name: str) -> str:
         "| query | pandas sf1 (s) | spark sf1 steady (s) | ratio | co-tenant cores |",
         "|---|---|---|---|---|",
     ]
+    if not keys:
+        return "\n".join(
+            lines[:2]
+            + [
+                "",
+                "(no comparable sf1 data in this artifact — tier "
+                "failed, truncated to zero keys, or the pandas "
+                "baseline mismatched its tile; per-key evidence, if "
+                "any, is in BENCH_DETAIL.json's `sf1` block)",
+                "<!-- rendered:sf1-table:end -->",
+            ]
+        )
     tp = ts = 0.0
     for k in keys:
         tp += pandas[k]
@@ -160,6 +172,23 @@ def render_scale_curve() -> str | None:
     return "\n".join(lines)
 
 
+def _regression_phrase(head: dict) -> str:
+    """Works on BOTH artifact formats: r08-and-earlier carried the full
+    `regressed_vs_prior` map on the line; r09+ carries n_regressed +
+    worst_regression (the map moved to BENCH_DETAIL — a populated map
+    on the line overflowed the driver capture)."""
+    if "n_regressed" in head:
+        n = head.get("n_regressed") or 0
+        if not n:
+            return "none"
+        worst = head.get("worst_regression") or ["?", "?"]
+        return (
+            f"{n} (worst {worst[0]} {worst[1]}×; "
+            "full map in BENCH_DETAIL.json)"
+        )
+    return str(sorted(head.get("regressed_vs_prior") or {}) or "none")
+
+
 def render_headline(head: dict, bench_name: str) -> str:
     q = head.get("queries") or {}
     sf1 = head.get("sf1") or {}
@@ -173,12 +202,18 @@ def render_headline(head: dict, bench_name: str) -> str:
         f"(cold total {head.get('total_cold_sec')} s; "
         f"contended_during_run={head.get('contended_during_run')}; "
         f"regressions vs {head.get('prior_round')}: "
-        f"{sorted(head.get('regressed_vs_prior') or {}) or 'none'}).",
-        f"- sf1 tier (tile {sf1.get('tile')}): Spark "
-        f"**{sf1.get('total_spark_sec')} s** vs pandas "
-        f"**{sf1.get('total_pandas_sec')} s** "
-        f"({(sf1.get('total_spark_sec') or 0) / (sf1.get('total_pandas_sec') or 1):.3f}×, "
-        f"{sf1.get('keys_spark_le_pandas')} keys ≤1× pandas).",
+        f"{_regression_phrase(head)}).",
+        (
+            f"- sf1 tier (tile {sf1.get('tile')}): Spark "
+            f"**{sf1.get('total_spark_sec')} s** vs pandas "
+            f"**{sf1.get('total_pandas_sec')} s** "
+            f"({sf1['total_spark_sec'] / sf1['total_pandas_sec']:.3f}×, "
+            f"{sf1.get('keys_spark_le_pandas')} keys ≤1× pandas)."
+            if sf1.get("total_spark_sec") and sf1.get("total_pandas_sec")
+            else "- sf1 tier: not comparable in this artifact (tier "
+            "failed, truncated, or pandas baseline mismatched its "
+            "tile)."
+        ),
         "<!-- rendered:bench-headline:end -->",
     ]
     return "\n".join(lines)

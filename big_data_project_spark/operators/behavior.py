@@ -1768,3 +1768,242 @@ def _hits_sql() -> str:
 
 
 ORACLES["route_hits_authority"] = _hits_sql()
+
+
+# --- sequential pattern support (non-contiguous a-then-b) ------------------
+
+
+def sequential_pair_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Support/confidence of the sequential pattern ⟨a … b⟩ per ordered
+    event-type pair (Agrawal & Srikant 1995, ICDE — sequential pattern
+    mining, the 2-pattern tier): a user SUPPORTS ⟨a, b⟩ when some
+    a-event strictly precedes some b-event anywhere in their stream —
+    the NON-contiguous subsequence class `event_path_trigrams`'
+    adjacent n-grams cannot see (a user who views, wanders, and later
+    purchases supports ⟨view, purchase⟩ with no view→purchase
+    adjacency). Per pair: users with a, with b, with the sequence,
+    support = seq-users / all users, confidence = seq-users / a-users.
+
+    The subsequence test reduces to first(a) < last(b) per user —
+    exists i<j with types (a, b) ⇔ the user's earliest a precedes
+    their latest b. Ties at identical timestamps are broken strictly
+    by ts alone (microsecond event time makes equal-ts cross-type
+    pairs measure-zero; documented, identical on both engines).
+
+    Scale: ONE corpus shuffle (the (user, type) min/max aggregate, a
+    users×types relation), then a user-co-partitioned self-join whose
+    output is bounded by users×types² with types ~10 — aggregated
+    straight down to the types²-sized report."""
+    from ..caching import persisted
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+    )
+    ut = persisted(
+        ev.groupBy("user_id", F.col("event_type").alias("etype")).agg(
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+    )
+    n_users = ut.select("user_id").distinct().count()
+    per_type = ut.groupBy("etype").agg(
+        F.count(F.lit(1)).alias("n_users_t")
+    )
+    a = ut.select(
+        "user_id",
+        F.col("etype").alias("type_a"),
+        F.col("first_ts").alias("a_first"),
+    )
+    b = ut.select(
+        "user_id",
+        F.col("etype").alias("type_b"),
+        F.col("last_ts").alias("b_last"),
+    )
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") != F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_users_both"),
+            F.sum(
+                (F.col("a_first") < F.col("b_last")).cast("bigint")
+            ).alias("n_users_seq"),
+        )
+    )
+    na = per_type.select(
+        F.col("etype").alias("type_a"), F.col("n_users_t").alias("n_users_a")
+    )
+    nb = per_type.select(
+        F.col("etype").alias("type_b"), F.col("n_users_t").alias("n_users_b")
+    )
+    return (
+        pairs.join(F.broadcast(na), "type_a")
+        .join(F.broadcast(nb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_users_a",
+            "n_users_b",
+            "n_users_both",
+            "n_users_seq",
+            pround(
+                F.col("n_users_seq") / F.lit(float(n_users)), 6
+            ).alias("support"),
+            pround(
+                F.col("n_users_seq") / F.col("n_users_a"), 6
+            ).alias("confidence"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+QUERIES["sequential_pair_support"] = sequential_pair_support
+
+_SQL_SEQ_SUPPORT = f"""
+    WITH ut AS MATERIALIZED (
+      SELECT user_id, event_type AS etype,
+             min(ts) AS first_ts, max(ts) AS last_ts
+      FROM events WHERE event_type IS NOT NULL
+      GROUP BY user_id, event_type
+    ),
+    nu AS (SELECT count(DISTINCT user_id) AS n_users FROM ut),
+    per_type AS MATERIALIZED (
+      SELECT etype, count(*) AS n_users_t FROM ut GROUP BY etype
+    ),
+    pairs AS (
+      SELECT a.etype AS type_a, b.etype AS type_b,
+             count(*) AS n_users_both,
+             CAST(sum(CASE WHEN a.first_ts < b.last_ts
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_users_seq
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.etype <> b.etype
+      GROUP BY a.etype, b.etype
+    )
+    SELECT p.type_a, p.type_b,
+           na.n_users_t AS n_users_a,
+           nb.n_users_t AS n_users_b,
+           p.n_users_both, p.n_users_seq,
+           {sql_pround('p.n_users_seq / nu.n_users::DOUBLE', 6)}
+             AS support,
+           {sql_pround('p.n_users_seq / na.n_users_t::DOUBLE', 6)}
+             AS confidence
+    FROM pairs p
+    JOIN per_type na ON na.etype = p.type_a
+    JOIN per_type nb ON nb.etype = p.type_b
+    CROSS JOIN nu
+    ORDER BY p.type_a, p.type_b
+"""
+
+ORACLES["sequential_pair_support"] = _SQL_SEQ_SUPPORT
+
+
+# --- Markov entropy rate of the event stream -------------------------------
+
+
+def transition_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-state conditional entropy of the first-order event Markov
+    chain (Shannon 1948 §7 — the entropy of a Markov source): for each
+    from_type, H(next | from) = −Σ p·ln(p) over its observed
+    transition row, its perplexity exp(H) ("effectively how many
+    next-states"), and the corpus ENTROPY RATE Σ p̂(from)·H(from)
+    under the empirical state frequencies repeated on every row — the
+    single scalar separating habitual populations (low rate: streams
+    are predictable, sessionization and next-event models will be
+    accurate) from exploratory ones. Companion of
+    `event_transition_matrix`, which reports the probabilities this
+    compresses.
+
+    Determinism: p = n / rowsum is a ratio of exact integers
+    (identical doubles), ln is the repo-wide shared-libm contract,
+    each −p·ln(p) term prounds to 9dp before its DECIMAL(28,9) fold
+    (boundary-free), and the rate's weight·H terms fold the same way.
+
+    Scale: reuses the transition matrix's one user-window shuffle;
+    everything after is |event_types|²-sized."""
+    counts = event_transition_matrix(spark, sf_dir).select(
+        "from_type", "to_type", "n"
+    )
+    wrow = Window.partitionBy("from_type")
+    p = F.col("n") / F.sum("n").over(wrow)
+    term = pround(-p * F.log(p), 9)
+    per_state = (
+        counts.withColumn("term", term)
+        .withColumn("rowsum", F.sum("n").over(wrow))
+        .groupBy("from_type")
+        .agg(
+            F.max("rowsum").alias("n_out"),
+            F.count(F.lit(1)).alias("n_branches"),
+            F.sum(F.col("term").cast("decimal(28,9)"))
+            .cast("double")
+            .alias("h_raw"),
+        )
+    )
+    wall = Window.partitionBy()
+    with_tot = per_state.withColumn("tot", F.sum("n_out").over(wall))
+    rate_term = pround(
+        F.col("n_out") / F.col("tot") * F.col("h_raw"), 9
+    )
+    rated = with_tot.withColumn(
+        "rate_raw",
+        F.sum(rate_term.cast("decimal(28,9)")).over(wall).cast("double"),
+    )
+    return (
+        rated.select(
+            "from_type",
+            "n_out",
+            "n_branches",
+            pround(F.col("h_raw"), 6).alias("entropy_nats"),
+            pround(F.exp(F.col("h_raw")), 4).alias("perplexity"),
+            pround(F.col("rate_raw"), 6).alias("entropy_rate"),
+        )
+        .orderBy("from_type")
+    )
+
+
+QUERIES["transition_entropy_rate"] = transition_entropy_rate
+
+_SQL_ENTROPY_RATE = f"""
+    WITH counts AS MATERIALIZED (
+      SELECT from_type, to_type, count(*) AS n FROM (
+        SELECT event_type AS from_type,
+               lead(event_type) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+               ) AS to_type
+        FROM events
+      ) t WHERE to_type IS NOT NULL
+      GROUP BY from_type, to_type
+    ),
+    terms AS MATERIALIZED (
+      SELECT from_type, n,
+             sum(n) OVER (PARTITION BY from_type) AS rowsum,
+             {sql_pround(
+                 '-(n / (sum(n) OVER (PARTITION BY from_type)))'
+                 ' * ln(n / (sum(n) OVER (PARTITION BY from_type)))', 9
+             )} AS term
+      FROM counts
+    ),
+    per_state AS MATERIALIZED (
+      SELECT from_type, max(rowsum) AS n_out, count(*) AS n_branches,
+             (sum(term::DECIMAL(28,9)))::DOUBLE AS h_raw
+      FROM terms GROUP BY from_type
+    ),
+    rated AS MATERIALIZED (
+      SELECT *,
+             (sum(({sql_pround(
+                 '(n_out / tot) * h_raw', 9
+             )})::DECIMAL(28,9)) OVER ())::DOUBLE AS rate_raw
+      FROM (
+        SELECT from_type, n_out, n_branches, h_raw,
+               sum(n_out) OVER () AS tot
+        FROM per_state
+      ) s
+    )
+    SELECT from_type, n_out, n_branches,
+           {sql_pround('h_raw', 6)} AS entropy_nats,
+           {sql_pround('exp(h_raw)', 4)} AS perplexity,
+           {sql_pround('rate_raw', 6)} AS entropy_rate
+    FROM rated
+    ORDER BY from_type
+"""
+
+ORACLES["transition_entropy_rate"] = _SQL_ENTROPY_RATE

@@ -158,6 +158,8 @@ _PROMOTED = [
     "dedup_prefix_filter",
     "classifier_calibration_bins",
     "neardup_kcore",
+    "sequential_pair_support",
+    "transition_entropy_rate",
     # --- r04-stale cohort, cheapest measured sf0.01 wall first ---
     "kpi_hourly",  # 0.11s
     "weather_hourly",  # 0.22s

@@ -93,6 +93,9 @@ SHUFFLE_BUDGETS = {
     "classifier_calibration_bins": 4,
     # final peel lineage only (per-round edges localCheckpoint-ed)
     "neardup_kcore": 2,
+    # one (user, type) agg + user-co-partitioned self-join
+    "sequential_pair_support": 6,
+    "transition_entropy_rate": 5,  # reuses the transition shuffle
     "interevent_gap_histogram": 3,  # one event pass: lag window only
     "delay_ewma_24h": 5,
     "demand_trend_line": 5,

@@ -540,3 +540,72 @@ def test_kcore_fixpoint_and_invariants(spark):
         final[a] = final.get(a, 0) + 1
         final[b] = final.get(b, 0) + 1
     assert core == {n: d for n, d in final.items() if d >= KCORE_K}
+
+
+def test_sequential_support_identities(spark):
+    """Support/confidence identities recompute from the per-user
+    streams: the ⟨view, purchase⟩ row counts exactly the users whose
+    earliest view precedes their latest purchase, support is that
+    count over all users, and confidence over view-users."""
+    from pyspark.sql import functions as F
+
+    from big_data_project_spark.catalog import load_table
+    from big_data_project_spark.operators.behavior import (
+        sequential_pair_support,
+    )
+
+    rows = {
+        (r["type_a"], r["type_b"]): r
+        for r in sequential_pair_support(spark, SF_DIR).collect()
+    }
+    assert rows
+    ev = load_table(spark, SF_DIR, "events").filter(
+        F.col("event_type").isNotNull()
+    )
+    per_user: dict = {}
+    for r in ev.select("user_id", "event_type", "ts").collect():
+        d = per_user.setdefault(r["user_id"], {})
+        lo, hi = d.get(r["event_type"], (r["ts"], r["ts"]))
+        d[r["event_type"]] = (min(lo, r["ts"]), max(hi, r["ts"]))
+    n_users = len(per_user)
+    for (a, b), row in rows.items():
+        n_seq = sum(
+            1
+            for d in per_user.values()
+            if a in d and b in d and d[a][0] < d[b][1]
+        )
+        assert row["n_users_seq"] == n_seq, (a, b)
+        assert abs(row["support"] - round(n_seq / n_users, 6)) < 1e-9
+        assert 0 <= row["confidence"] <= 1
+
+
+def test_entropy_rate_identities(spark):
+    """Per-state entropies recompute from the transition matrix rows,
+    the rate is their frequency-weighted mean, and perplexity is
+    bounded by the branch count (uniform case)."""
+    import math
+
+    from big_data_project_spark.operators.behavior import (
+        event_transition_matrix,
+        transition_entropy_rate,
+    )
+
+    ent = {
+        r["from_type"]: r
+        for r in transition_entropy_rate(spark, SF_DIR).collect()
+    }
+    counts: dict = {}
+    for r in event_transition_matrix(spark, SF_DIR).collect():
+        counts.setdefault(r["from_type"], []).append(r["n"])
+    assert set(ent) == set(counts)
+    tot = sum(sum(v) for v in counts.values())
+    rate = 0.0
+    for ft, ns in counts.items():
+        s = sum(ns)
+        h = -sum(n / s * math.log(n / s) for n in ns)
+        assert abs(ent[ft]["entropy_nats"] - h) < 1e-5, ft
+        assert ent[ft]["n_out"] == s
+        assert ent[ft]["perplexity"] <= ent[ft]["n_branches"] + 1e-9
+        rate += s / tot * h
+    for r in ent.values():
+        assert abs(r["entropy_rate"] - rate) < 1e-5

@@ -1983,7 +1983,8 @@ _SQL_ENTROPY_RATE = f"""
       FROM counts
     ),
     per_state AS MATERIALIZED (
-      SELECT from_type, max(rowsum) AS n_out, count(*) AS n_branches,
+      SELECT from_type, CAST(max(rowsum) AS BIGINT) AS n_out,
+             count(*) AS n_branches,
              (sum(term::DECIMAL(28,9)))::DOUBLE AS h_raw
       FROM terms GROUP BY from_type
     ),

@@ -114,6 +114,16 @@ R03_STALE = [
 # registry._PROMOTED): pre-covered here at the driver's SF so a roll-over
 # still leaves current-round sf0.01 evidence.
 R04_ROLLOVER_TAIL = [
+    # round-9 extension: 11 new keys lead _PROMOTED this round, so the
+    # window cut moves ~8 keys deeper into the cheapest-first r04 list
+    "demand_hourly",
+    "suggestion_stability",
+    "label_centroid_similarity",
+    "train_test_split",
+    "retention_cohorts",
+    "delay_cusum_changepoint",
+    "near_dup_degree_histogram",
+    "minhash_band_analysis",
     "funnel_conversion",
     "delay_headway_corr",
     "delay_ewma_24h",

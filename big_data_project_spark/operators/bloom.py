@@ -69,7 +69,10 @@ def bloom_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = hashed.filter(is_batch)
 
     pos = F.explode(_probe_positions(F.col("h"))).alias("pos")
-    base_bits = base.select(pos).distinct()
+    # ≤ M_BITS rows, but derived from a corpus-scale explode+distinct
+    # — persisted so its two consumers (the fill count and the
+    # broadcast probe join) run that distinct once
+    base_bits = persisted(base.select(pos).distinct())
     n_bits = base_bits.agg(F.count(F.lit(1)).alias("n_bits_set"))
 
     probes = batch.select("doc_id", "h", pos)

@@ -165,35 +165,71 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     gives statistically dense pairs where raw partkey pairs are almost
     all support-1 (and p_type has only 6 values -- degenerate).
 
-    Scale: part is broadcast; ONE corpus-scale shuffle builds the
-    per-order brand set (collect_set — baskets are ~4 lines), the
-    pair expansion is a map-side array comprehension over the sorted
-    set (fan-out bounded by brands-per-order squared, never a
-    self-join re-shuffle), and the pair aggregate is
-    |brands|^2-bounded."""
+    Scale: part is broadcast (carrying a dense 0-based brand id from a
+    25-row dim, so brand sets become BIT MASKS in one long); ONE
+    corpus-scale shuffle builds the per-order mask with a bit_or
+    aggregate — 8 fixed bytes per partial instead of a
+    variable-length string-set buffer — then a second aggregate
+    collapses orders to DISTINCT masks (map-side partials shrink it
+    to ≤ 2^|brands| rows), and the i<j pair expansion runs over
+    those masks weighted by their order counts — fan-out bounded by
+    distinct-brand-sets × pairs-per-set, never a self-join
+    re-shuffle. The pair aggregate is |brands|²-bounded."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    baskets = (
-        li.join(
-            F.broadcast(part),
-            li.l_partkey == part.p_partkey,
-        )
-        .groupBy("l_orderkey")
-        .agg(F.array_sort(F.collect_set("p_brand")).alias("brands"))
+    # the brand dim (bid, p_brand) from ONE collect_set aggregate
+    # over part, posexploded in sorted order — bid = 0-based
+    # lexicographic rank with no window and no distinct exchange;
+    # every attach below is a ≤|brands|-row broadcast equi-join
+    # (BroadcastHashJoin — the NO_NESTED_LOOP contract holds)
+    bdim = part.agg(
+        F.array_sort(F.collect_set("p_brand")).alias("brands")
+    ).select(F.posexplode("brands").alias("bid", "p_brand"))
+    bpart = part.join(F.broadcast(bdim), "p_brand").select(
+        "p_partkey", "bid"
     )
-    # all i<j pairs of the sorted brand set, generated map-side
+    masks = (
+        li.join(F.broadcast(bpart), li.l_partkey == bpart.p_partkey)
+        .groupBy("l_orderkey")
+        .agg(F.expr("bit_or(shiftleft(1L, bid))").alias("mask"))
+    )
+    mc = masks.groupBy("mask").agg(F.count(F.lit(1)).alias("n_orders_m"))
+    # set bits of the mask, ascending == p_brand lexicographic order
+    bits = F.expr(
+        "filter(sequence(0, 63), b -> (shiftright(mask, b) & 1) = 1)"
+    )
+    # all i<j pairs of the set-bit list, generated map-side
     pair_expr = F.expr(
-        "flatten(transform(brands, (x, i) -> "
-        "transform(slice(brands, i + 2, size(brands)), "
-        "y -> struct(x AS brand_a, y AS brand_b))))"
+        "flatten(transform(bits, (x, i) -> "
+        "transform(slice(bits, i + 2, size(bits)), "
+        "y -> struct(x AS ba, y AS bb))))"
     )
     counted = (
-        baskets.select(F.explode(pair_expr).alias("p"))
+        mc.withColumn("bits", bits)
+        .select(F.explode(pair_expr).alias("p"), "n_orders_m")
         .groupBy(
-            F.col("p.brand_a").alias("brand_a"),
-            F.col("p.brand_b").alias("brand_b"),
+            F.col("p.ba").alias("ba"), F.col("p.bb").alias("bb")
         )
-        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .agg(F.sum("n_orders_m").alias("n_orders"))
+        .join(
+            F.broadcast(
+                bdim.select(
+                    F.col("bid").alias("ba"),
+                    F.col("p_brand").alias("brand_a"),
+                )
+            ),
+            "ba",
+        )
+        .join(
+            F.broadcast(
+                bdim.select(
+                    F.col("bid").alias("bb"),
+                    F.col("p_brand").alias("brand_b"),
+                )
+            ),
+            "bb",
+        )
+        .select("brand_a", "brand_b", "n_orders")
     )
     rank = F.row_number().over(
         Window.orderBy(

@@ -900,17 +900,22 @@ def _nmf_init(spark: SparkSession, sf_dir: str):
             ).alias("w"),
         )
     )
-    h = v.select("tok").distinct().join(F.broadcast(topics)).select(
-        "topic",
-        "tok",
-        uniform01(
-            F.concat(
-                F.lit("nmfh:"),
-                F.col("topic").cast("string"),
-                F.lit(":"),
-                F.col("tok"),
-            )
-        ).alias("h"),
+    # persisted like W: every consumer of the init H (the update
+    # joins, the Gram folds, the objective's L1 fold) otherwise
+    # re-runs the vocabulary distinct + one md5 per (topic, tok)
+    h = _persisted(
+        v.select("tok").distinct().join(F.broadcast(topics)).select(
+            "topic",
+            "tok",
+            uniform01(
+                F.concat(
+                    F.lit("nmfh:"),
+                    F.col("topic").cast("string"),
+                    F.lit(":"),
+                    F.col("tok"),
+                )
+            ).alias("h"),
+        )
     )
     return v, w, h
 
@@ -1081,13 +1086,22 @@ def nmf_topic_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.portable import dsum, dsum_exact
 
     v, w, h = _nmf_init(spark, sf_dir)
-    v2 = v.agg(dsum_exact(pround(F.col("v") * F.col("v"), 6)).alias("v2"))
+    # Every Gram/scalar below is TINY (k×vocab, k×k, 1 row) but
+    # DERIVED from a corpus- or vocab-scale join, and each has TWO
+    # consumers (the next update + the round's objective row) — an
+    # eager localCheckpoint materializes each once, halving the
+    # corpus-scale joins per round (guide §5: cheap lineage cut for
+    # a reused intermediate whose recompute dwarfs its size).
+    v2 = v.agg(
+        dsum_exact(pround(F.col("v") * F.col("v"), 6)).alias("v2")
+    ).localCheckpoint(eager=True)
 
     def w_grams(w):
         wtv = (
             w.join(v, "doc_id")
             .groupBy("topic", "tok")
             .agg(dsum_exact(pround(F.col("w") * F.col("v"), 6)).alias("wtv"))
+            .localCheckpoint(eager=True)
         )
         w2 = w.select(
             "doc_id", F.col("topic").alias("topic2"), F.col("w").alias("w2")
@@ -1096,6 +1110,7 @@ def nmf_topic_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             w.join(w2, "doc_id")
             .groupBy("topic", "topic2")
             .agg(dsum_exact(pround(F.col("w") * F.col("w2"), 6)).alias("g"))
+            .localCheckpoint(eager=True)
         )
         return wtv, wtw
 
@@ -1107,6 +1122,7 @@ def nmf_topic_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             h.join(h2, "tok")
             .groupBy("topic", "topic2")
             .agg(dsum_exact(pround(F.col("h") * F.col("h2"), 6)).alias("hg"))
+            .localCheckpoint(eager=True)
         )
 
     def objective_row(rnd, wtv, wtw, hht, h, w):

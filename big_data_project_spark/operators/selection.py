@@ -743,11 +743,17 @@ def rho_loss_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(_bigram_arr(F.col("text"))).alias("bg"),
         )
     )
-    gmodel = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("gcnt"))
-    gtotal = gmodel.agg(F.sum("gcnt").alias("gtotal"))
-    dmodel = bg.groupBy("source", "bg").agg(
-        F.count(F.lit(1)).alias("dcnt")
+    # ONE corpus-scale model aggregate: the finest-grain (source, bg)
+    # counts are persisted and the other three model relations are
+    # vocabulary-sized re-aggregates of it (gcnt = Σ_sources dcnt
+    # exactly — counts of disjoint row sets), where each used to be
+    # its own corpus-scale groupBy over the persisted bigram stream
+    # (4 broadcast builds × 1 corpus scan each)
+    dmodel = _persisted(
+        bg.groupBy("source", "bg").agg(F.count(F.lit(1)).alias("dcnt"))
     )
+    gmodel = dmodel.groupBy("bg").agg(F.sum("dcnt").alias("gcnt"))
+    gtotal = gmodel.agg(F.sum("gcnt").alias("gtotal"))
     dtotal = dmodel.groupBy("source").agg(
         F.sum("dcnt").alias("dtotal")
     )

@@ -1020,31 +1020,46 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ce")
     )
     # clamp: the 1e-6 quantization of the centroid means can push a
-    # self-similar singleton's cosine an epsilon past 1.0
-    scored = vb.join(F.broadcast(cent), "bucket").select(
-        "vec_id",
-        "bucket",
-        F.greatest(
-            F.lit(-1.0),
-            F.least(
-                F.lit(1.0),
-                pround(
-                    _dot(F.col("e"), F.col("ce"))
-                    / (_norm(F.col("e")) * _norm(F.col("ce"))),
-                    6,
+    # self-similar singleton's cosine an epsilon past 1.0.
+    # persisted: THREE consumers (the dominance join's both sides and
+    # the final verdict join) would otherwise each re-build the
+    # centroid broadcast and re-run the per-vector d-length cosine
+    # fold over the corpus
+    scored = _persisted(
+        vb.join(F.broadcast(cent), "bucket").select(
+            "vec_id",
+            "bucket",
+            F.greatest(
+                F.lit(-1.0),
+                F.least(
+                    F.lit(1.0),
+                    pround(
+                        _dot(F.col("e"), F.col("ce"))
+                        / (_norm(F.col("e")) * _norm(F.col("ce"))),
+                        6,
+                    ),
                 ),
-            ),
-        ).alias("cos_centroid"),
+            ).alias("cos_centroid"),
+        )
     )
 
     pairs = _cosine_pairs(vb)
+    # both directions from ONE evaluation of the bucket self-join —
+    # the union of two projections re-ran it per branch
     partners = pairs.select(
-        F.col("a_id").alias("vec_id"), F.col("b_id").alias("partner")
-    ).union(
-        pairs.select(
-            F.col("b_id").alias("vec_id"), F.col("a_id").alias("partner")
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("a_id").alias("vec_id"),
+                    F.col("b_id").alias("partner"),
+                ),
+                F.struct(
+                    F.col("b_id").alias("vec_id"),
+                    F.col("a_id").alias("partner"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.vec_id", "s.partner")
     pscore = scored.select(
         F.col("vec_id").alias("partner"),
         F.col("cos_centroid").alias("partner_cos"),

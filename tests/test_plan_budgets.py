@@ -57,13 +57,15 @@ SHUFFLE_BUDGETS = {
     # round-4 second-batch additions (measured cold-plan counts)
     "token_pmi_bigrams": 6,
     "source_token_kl": 8,
-    "bloom_dedup_audit": 7,
+    "bloom_dedup_audit": 6,  # round-9: base_bits persisted (2 consumers)
     # round-8 additions (measured cold-plan counts; persisted shared
     # relations count their full lineage per consumer pre-substitution)
     "mergeable_quantile_bins": 6,
     "conformal_interval_coverage": 19,  # rollup lineage × lag self-join
     "feature_hash_collision_audit": 8,
-    "rho_loss_selection": 12,  # persisted bigram stream × 3 consumers
+    # round-9: one persisted (source, bg) model aggregate; the other
+    # three model relations are vocabulary-sized re-aggregates of it
+    "rho_loss_selection": 7,
     "linear_counting_audit": 5,
     "ivf_kmeans_cells": 4,  # round-8 fused recompute (was 13)
     # persisted ur/kept tiers count full lineage per consumer
@@ -73,11 +75,11 @@ SHUFFLE_BUDGETS = {
     # persisted V and W tiers each count full lineage per consumer
     # pre-substitution (V feeds tf/W-init/H-init; W feeds WtV + WtW);
     # at runtime each materializes ONCE
-    "nmf_topic_round": 17,
+    "nmf_topic_round": 9,  # round-9: init H persisted like W
     # per-round factors are eagerly localCheckpoint-ed, so this counts
     # the FINAL round's lineage + the 4 objective rows' folds — all
     # topic-sized (k×vocab / k×k / 1-row) relations, never the corpus
-    "nmf_topic_rounds": 54,
+    "nmf_topic_rounds": 36,  # round-9: Grams/v2 eagerly checkpointed
     # persisted (route, user) count tier counts its lineage per
     # consumer (exact + register expand); at runtime it materializes
     # once, then everything is routes×64-sized
@@ -157,7 +159,12 @@ SHUFFLE_BUDGETS = {
     # exchange in each is corpus-scale — the rest are entity-sized
     # windows / output ranks
     "part_revenue_abc": 2,
-    "basket_part_pairs": 2,  # collect_set + map-side pair expansion
+    # round-9 bitmask rewrite (measured 1.66x at the 20x tier): the
+    # per-order brand set is a bit_or of a long — the extra counted
+    # exchanges move mask-grain (≤2^|brands|) or brand-grain rows,
+    # and the 1-row collect_set dim lineage counts once per broadcast
+    # consumer pre-substitution
+    "basket_part_pairs": 6,
     "customer_order_gaps": 3,
     "supplier_concentration_hhi": 3,
     "sales_grouping_sets": 2,  # Expand(x4) + one aggregate
@@ -222,7 +229,7 @@ SHUFFLE_BUDGETS = {
     # tier shares the SAME persisted bucketed corpus — the cold plan
     # still inlines that lineage per branch, but every exchange moves
     # vector-grain or bucket-grain relations, never corpus^2
-    "semdedup_prune": 19,
+    "semdedup_prune": 13,  # round-9: scored tier persisted (3 consumers)
     # round-6 second batch: shard/mix are one corpus aggregate +
     # tiny-relation windows; BM25 explodes but filters to the query
     # vocabulary before its tf shuffle (stats branch is a second

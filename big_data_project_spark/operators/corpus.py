@@ -865,15 +865,11 @@ NMF_TOP = 5  # reported terms per topic
 NMF_EPS = 1e-9  # divide guard in the multiplicative rule
 
 
-def _nmf_init(spark: SparkSession, sf_dir: str):
-    """Shared NMF setup: the corpus tf matrix V in long form (one corpus
-    token shuffle) and the md5-uniform deterministic inits of both
-    factors — W (doc × topic) and H (topic × term), both long-form
-    relations, never dense matrices."""
-    from ..functions.portable import uniform01
-
+def _nmf_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus tf matrix V in long form (one corpus token shuffle),
+    persisted — shared by the single-round and unrolled-rounds keys."""
     docs = load_table_spread(spark, sf_dir, "documents", "doc_id")
-    v = _persisted(
+    return _persisted(
         docs.select(
             "doc_id",
             F.explode(F.split(_norm(F.col("text")), " ")).alias("tok"),
@@ -882,6 +878,16 @@ def _nmf_init(spark: SparkSession, sf_dir: str):
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).cast("double").alias("v"))
     )
+
+
+def _nmf_init(spark: SparkSession, sf_dir: str):
+    """Shared NMF setup: the corpus tf matrix V in long form (one corpus
+    token shuffle) and the md5-uniform deterministic inits of both
+    factors — W (doc × topic) and H (topic × term), both long-form
+    relations, never dense matrices."""
+    from ..functions.portable import uniform01
+
+    v = _nmf_v(spark, sf_dir)
     topics = spark.range(NMF_K).select(F.col("id").cast("int").alias("topic"))
     w = _persisted(
         v.select("doc_id")
@@ -1078,64 +1084,191 @@ def nmf_topic_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     already compute (k×vocab, k×k) — O(nnz·k) per round, topic-sized
     after the Gram folds, regardless of corpus size.
 
-    Scale: the same co-partitioned long-form joins as
-    ``nmf_topic_round``; per round the factors are quantized to 9dp
-    (parity) and eagerly localCheckpoint-ed (the BPE/PageRank/Lloyd
-    lineage-truncation pattern), so the plan never grows with the
-    round count."""
-    from ..functions.portable import dsum, dsum_exact
+    Scale (round-9 optimization): the factors are carried WIDE — one
+    row per doc/term with NMF_K topic columns — instead of long form.
+    k is a model constant (4 here, ≤ a few hundred in practice), so k
+    columns per row is the natural layout and it removes the ×k row
+    fan-out from every join: per round the only corpus-scale joins
+    left are the two fundamental ones (V⋈W on doc_id for WᵀV, V⋈H on
+    tok for VHᵀ); WᵀW and HHᵀ collapse from self-joins to single
+    1-row aggregates (k² in-row products), and the W·HHᵀ / WᵀW·H
+    denominators become map-side arithmetic against the broadcast
+    1-row Gram. Every decimal addend (pround(·,6) cast DECIMAL(28,6))
+    is identical to the long form's, and decimal addition is exact and
+    order-independent, so every output value is bit-identical — proven
+    against the unchanged chained-CTE oracle. Factors are quantized to
+    9dp and eagerly localCheckpoint-ed per round (the
+    BPE/PageRank/Lloyd lineage-truncation pattern), so the plan never
+    grows with the round count.
 
-    v, w, h = _nmf_init(spark, sf_dir)
-    # Every Gram/scalar below is TINY (k×vocab, k×k, 1 row) but
-    # DERIVED from a corpus- or vocab-scale join, and each has TWO
-    # consumers (the next update + the round's objective row) — an
-    # eager localCheckpoint materializes each once, halving the
-    # corpus-scale joins per round (guide §5: cheap lineage cut for
-    # a reused intermediate whose recompute dwarfs its size).
+    Driver-side cost note: every per-round expression list below is
+    built ONCE, before the loop, and reused across rounds. Column
+    objects are immutable unresolved expressions bound by NAME at
+    analysis, and the factor/Gram column names are identical every
+    round — while building the k²-term trees inline re-ran hundreds of
+    py4j round trips per round (measured ~half this key's wall time at
+    sf0.1; pure driver overhead that would sit in front of every 100 TB
+    run just the same)."""
+    from functools import reduce
+    from operator import add
+
+    from ..functions.portable import dsum_exact, uniform01
+
+    ks = range(NMF_K)
+    v = _nmf_v(spark, sf_dir)
+
+    def d6(c):
+        # one addend of the exact decimal folds — IDENTICAL to what
+        # dsum_exact(pround(c, 6)) feeds its sum in the long form
+        return pround(c, 6).cast("decimal(28,6)")
+
+    # --- expression lists, built once (see docstring) ---
+    wtv_aggs = [
+        F.sum(d6(F.col(f"w{k}") * F.col("v"))).cast("double").alias(f"wtv{k}")
+        for k in ks
+    ]
+    wtw_aggs = [
+        F.sum(d6(F.col(f"w{i}") * F.col(f"w{j}")))
+        .cast("double")
+        .alias(f"g{i}_{j}")
+        for i in ks
+        for j in ks
+    ]
+    hht_aggs = [
+        F.sum(d6(F.col(f"h{i}") * F.col(f"h{j}")))
+        .cast("double")
+        .alias(f"hg{i}_{j}")
+        for i in ks
+        for j in ks
+    ]
+    vht_aggs = [
+        F.sum(d6(F.col("v") * F.col(f"h{k}"))).cast("double").alias(f"vht{k}")
+        for k in ks
+    ]
+    xh_agg = (
+        F.sum(reduce(add, [d6(F.col(f"wtv{k}") * F.col(f"h{k}")) for k in ks]))
+        .cast("double")
+        .alias("xh")
+    )
+    gg_col = (
+        reduce(
+            add,
+            [d6(F.col(f"g{i}_{j}") * F.col(f"hg{i}_{j}")) for i in ks for j in ks],
+        )
+        .cast("double")
+        .alias("gg")
+    )
+    hm_agg = pround(
+        F.sum(
+            reduce(add, [F.col(f"h{k}").cast("decimal(28,6)") for k in ks])
+        ).cast("double"),
+        6,
+    ).alias("h_l1")
+    wm_agg = pround(
+        F.sum(
+            reduce(add, [F.col(f"w{k}").cast("decimal(28,6)") for k in ks])
+        ).cast("double"),
+        6,
+    ).alias("w_l1")
+    h_upd_cols = [
+        pround(
+            F.col(f"h{k}")
+            * F.coalesce(F.col(f"wtv{k}"), F.lit(0.0))
+            / (
+                reduce(
+                    add, [d6(F.col(f"g{k}_{j}") * F.col(f"h{j}")) for j in ks]
+                ).cast("double")
+                + F.lit(NMF_EPS)
+            ),
+            9,
+        ).alias(f"h{k}")
+        for k in ks
+    ]
+    w_upd_cols = [
+        pround(
+            F.col(f"w{k}")
+            * F.coalesce(F.col(f"vht{k}"), F.lit(0.0))
+            / (
+                reduce(
+                    add, [d6(F.col(f"w{j}") * F.col(f"hg{k}_{j}")) for j in ks]
+                ).cast("double")
+                + F.lit(NMF_EPS)
+            ),
+            9,
+        ).alias(f"w{k}")
+        for k in ks
+    ]
+    obj_col = pround(
+        F.col("v2") - F.lit(2.0) * F.col("xh") + F.col("gg"), 6
+    ).alias("objective")
+
+    # md5-uniform inits, same seed strings as the long form
+    # ("nmfw:<doc>:<topic>" / "nmfh:<topic>:<tok>"), topic now a
+    # compile-time literal per column
+    w = (
+        v.select("doc_id")
+        .distinct()
+        .select(
+            "doc_id",
+            *[
+                uniform01(
+                    F.concat(
+                        F.lit("nmfw:"),
+                        F.col("doc_id").cast("string"),
+                        F.lit(f":{k}"),
+                    )
+                ).alias(f"w{k}")
+                for k in ks
+            ],
+        )
+        .localCheckpoint(eager=True)
+    )
+    h = (
+        v.select("tok")
+        .distinct()
+        .select(
+            "tok",
+            *[
+                uniform01(F.concat(F.lit(f"nmfh:{k}:"), F.col("tok"))).alias(
+                    f"h{k}"
+                )
+                for k in ks
+            ],
+        )
+        .localCheckpoint(eager=True)
+    )
     v2 = v.agg(
         dsum_exact(pround(F.col("v") * F.col("v"), 6)).alias("v2")
     ).localCheckpoint(eager=True)
 
     def w_grams(w):
+        # WᵀV: the one corpus-scale join of the H half-round, k sums
+        # per term; checkpointed (2 consumers: H update + objective)
         wtv = (
-            w.join(v, "doc_id")
-            .groupBy("topic", "tok")
-            .agg(dsum_exact(pround(F.col("w") * F.col("v"), 6)).alias("wtv"))
+            v.join(w, "doc_id")
+            .groupBy("tok")
+            .agg(*wtv_aggs)
             .localCheckpoint(eager=True)
         )
-        w2 = w.select(
-            "doc_id", F.col("topic").alias("topic2"), F.col("w").alias("w2")
-        )
-        wtw = (
-            w.join(w2, "doc_id")
-            .groupBy("topic", "topic2")
-            .agg(dsum_exact(pround(F.col("w") * F.col("w2"), 6)).alias("g"))
-            .localCheckpoint(eager=True)
-        )
+        # WᵀW: ONE 1-row aggregate (k² in-row products) — the long
+        # form's doc-grain self-join collapsed; not checkpointed (each
+        # consumer re-aggregates the checkpointed W, doc-grain work)
+        wtw = w.agg(*wtw_aggs)
         return wtv, wtw
 
     def h_gram(h):
-        h2 = h.select(
-            F.col("topic").alias("topic2"), "tok", F.col("h").alias("h2")
-        )
-        return (
-            h.join(h2, "tok")
-            .groupBy("topic", "topic2")
-            .agg(dsum_exact(pround(F.col("h") * F.col("h2"), 6)).alias("hg"))
-            .localCheckpoint(eager=True)
-        )
+        # HHᵀ: 1-row aggregate over the term grain (was a vocab-scale
+        # self-join)
+        return h.agg(*hht_aggs)
 
     def objective_row(rnd, wtv, wtw, hht, h, w):
-        xh = (
-            wtv.join(h, ["topic", "tok"])
-            .agg(dsum_exact(pround(F.col("wtv") * F.col("h"), 6)).alias("xh"))
-        )
-        gg = (
-            wtw.join(hht, ["topic", "topic2"])
-            .agg(dsum_exact(pround(F.col("g") * F.col("hg"), 6)).alias("gg"))
-        )
-        hm = h.agg(dsum("h", 6).alias("h_l1"))
-        wm = w.agg(dsum("w", 6).alias("w_l1"))
+        # Σ(WᵀV ⊙ H): in-row k-term decimal sum, then the exact fold —
+        # the same addend multiset as the long form's (topic,tok) fold
+        xh = wtv.join(h, "tok").agg(xh_agg)
+        # Σ(WᵀW ⊙ HHᵀ): both sides are 1-row frames, pure projection
+        gg = wtw.join(hht).select(gg_col)
+        hm = h.agg(hm_agg)
+        wm = w.agg(wm_agg)
         return (
             v2.join(xh)
             .join(gg)
@@ -1143,9 +1276,7 @@ def nmf_topic_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(wm)
             .select(
                 F.lit(rnd).cast("int").alias("round"),
-                pround(
-                    F.col("v2") - F.lit(2.0) * F.col("xh") + F.col("gg"), 6
-                ).alias("objective"),
+                obj_col,
                 "h_l1",
                 "w_l1",
             )
@@ -1154,66 +1285,24 @@ def nmf_topic_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     wtv, wtw = w_grams(w)
     rows = [objective_row(0, wtv, wtw, h_gram(h), h, w)]
     for _ in range(NMF_ROUNDS):
-        wtwh = (
-            F.broadcast(wtw)
-            .join(
-                h.select(
-                    F.col("topic").alias("topic2"),
-                    "tok",
-                    F.col("h").alias("h2"),
-                ),
-                "topic2",
-            )
-            .groupBy("topic", "tok")
-            .agg(dsum_exact(pround(F.col("g") * F.col("h2"), 6)).alias("den"))
-        )
+        # H ← H ⊙ (WᵀV) ⊘ (WᵀW·H + ε): one term-grain join + the
+        # broadcast 1-row Gram; (WᵀW·H)_k = Σ_j g_kj·h_j is a k-term
+        # in-row decimal sum (the long form's wtwh shuffle, gone)
         h = (
-            h.join(wtv, ["topic", "tok"], "left")
-            .join(wtwh, ["topic", "tok"], "left")
-            .select(
-                "topic",
-                "tok",
-                pround(
-                    F.col("h")
-                    * F.coalesce(F.col("wtv"), F.lit(0.0))
-                    / (F.coalesce(F.col("den"), F.lit(0.0)) + F.lit(NMF_EPS)),
-                    9,
-                ).alias("h"),
-            )
+            h.join(wtv, "tok", "left")
+            .join(F.broadcast(wtw))
+            .select("tok", *h_upd_cols)
             .localCheckpoint(eager=True)
         )
         hht = h_gram(h)
-        vht = (
-            v.join(h, "tok")
-            .groupBy("doc_id", "topic")
-            .agg(dsum_exact(pround(F.col("v") * F.col("h"), 6)).alias("vht"))
-        )
-        whh = (
-            w.select(
-                "doc_id",
-                F.col("topic").alias("topic2"),
-                F.col("w").alias("w2"),
-            )
-            # HHᵀ is symmetric, so joining W's k' against hht.topic2 and
-            # keeping hht.topic as the output index is Σ_{k'} W_{dk'}·
-            # HHᵀ_{k,k'} = (W·HHᵀ)_{dk}
-            .join(F.broadcast(hht), "topic2")
-            .groupBy("doc_id", "topic")
-            .agg(dsum_exact(pround(F.col("w2") * F.col("hg"), 6)).alias("den"))
-        )
+        # VHᵀ: the one corpus-scale join of the W half-round
+        vht = v.join(h, "tok").groupBy("doc_id").agg(*vht_aggs)
+        # W ← W ⊙ (VHᵀ) ⊘ (W·HHᵀ + ε): (W·HHᵀ)_k = Σ_j w_j·hg_kj
+        # (HHᵀ symmetric) — map-side against the broadcast 1-row Gram
         w = (
-            w.join(vht, ["doc_id", "topic"], "left")
-            .join(whh, ["doc_id", "topic"], "left")
-            .select(
-                "doc_id",
-                "topic",
-                pround(
-                    F.col("w")
-                    * F.coalesce(F.col("vht"), F.lit(0.0))
-                    / (F.coalesce(F.col("den"), F.lit(0.0)) + F.lit(NMF_EPS)),
-                    9,
-                ).alias("w"),
-            )
+            w.join(vht, "doc_id", "left")
+            .join(F.broadcast(hht))
+            .select("doc_id", *w_upd_cols)
             .localCheckpoint(eager=True)
         )
         wtv, wtw = w_grams(w)

@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table_spread
+from ..catalog import load_table, load_table_spread
 from ..functions.portable import dsum_exact, pround, sql_pround
 from . import sampling as _sampling
 from .dedup import _SQL_NORM, _hash60, _norm, _sql_hash60
@@ -100,8 +100,23 @@ def winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     (PARTITION BY doc ORDER BY pos) — computes the same thing but
     shuffles and sorts the entire gram stream; per-doc state never
     needs to leave the scan task. The oracle keeps the window form,
-    which is the readable spec.)"""
-    docs = load_table_spread(spark, sf_dir, "documents", "doc_id")
+    which is the readable spec.)
+
+    Round-9: the output sort also moved BELOW the gram-hash projection
+    — orderBy above it made the range exchange's sampling pass execute
+    the whole md5 chain a second time (guide §2.4, "orderBy used only
+    to make output deterministic"). Range-partition + local sort on
+    the raw scan (cheap to sample), heavy 1:1 projection above it:
+    identical global doc_id order, hashes computed once. The explicit
+    partition count both spreads the map-side work on a single-split
+    local scan (the load_table_spread role) and keeps AQE from
+    coalescing the CPU-dense stage to one tiny-bytes partition."""
+    par = spark.sparkContext.defaultParallelism
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .repartitionByRange(par, "doc_id")
+        .sortWithinPartitions("doc_id")
+    )
     toks = F.split(_norm(F.col("text")), " ")
     n = F.size(toks)
     g2 = F.zip_with(
@@ -117,15 +132,29 @@ def winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         lambda x: x.isNotNull(),
     )
-    hashed = docs.select(
+    # Round-9 optimization (guide §1.2 per-task work): higher-order
+    # array expressions run interpreted with NO common-subexpression
+    # elimination, and projection collapse inlines a referenced-twice
+    # expression into each consumer — the original (size(fps) +
+    # checksum(fps) columns) evaluated the whole md5-gram + window-min
+    # chain TWICE per row. Two single-reference stages fix it:
+    #   1. a Generate (inline) materializes the hashed-gram array once
+    #      per row — downstream reads of `hs` are attribute reads, not
+    #      re-evaluations;
+    #   2. ONE fold over the fingerprint array carries (count,
+    #      checksum) in a struct accumulator and its finish lambda
+    #      emits the full output struct, which inline() projects to
+    #      columns from a single per-row evaluation.
+    # Same values: the fold's count is size(fps) and the checksum
+    # arithmetic is unchanged.
+    hs_tbl = docs.select(
         "doc_id",
-        F.transform(g3, _hash60).alias("hs"),
-        F.size(g3).alias("n_grams"),
-    ).filter(F.col("n_grams") >= 1)
+        F.inline(F.array(F.struct(F.transform(g3, _hash60).alias("hs")))),
+    ).filter(F.size("hs") >= 1)
     # window starts: 1-based slice positions 1..n_grams-W+1 (a short doc
     # gets the single window 1, whose slice is truncated to what exists)
     starts = F.sequence(
-        F.lit(1), F.greatest(F.col("n_grams") - WINNOW_W + 1, F.lit(1))
+        F.lit(1), F.greatest(F.size("hs") - WINNOW_W + 1, F.lit(1))
     )
     fps = F.array_distinct(
         F.transform(
@@ -133,20 +162,23 @@ def winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.array_min(F.slice(F.col("hs"), i, WINNOW_W)),
         )
     )
-    checksum = F.aggregate(
+    fold = F.aggregate(
         fps,
-        F.lit(0).cast("long"),
-        lambda acc, fp: (acc + fp % CHECKSUM_P) % CHECKSUM_P,
+        F.struct(
+            F.lit(0).cast("int").alias("n"),
+            F.lit(0).cast("long").alias("cs"),
+        ),
+        lambda acc, fp: F.struct(
+            (acc["n"] + F.lit(1)).alias("n"),
+            ((acc["cs"] + fp % CHECKSUM_P) % CHECKSUM_P).alias("cs"),
+        ),
+        lambda acc: F.struct(
+            F.size("hs").alias("n_grams"),
+            acc["n"].alias("n_fingerprints"),
+            acc["cs"].alias("fp_checksum"),
+        ),
     )
-    return (
-        hashed.select(
-            "doc_id",
-            "n_grams",
-            F.size(fps).alias("n_fingerprints"),
-            checksum.alias("fp_checksum"),
-        )
-        .orderBy("doc_id")
-    )
+    return hs_tbl.select("doc_id", F.inline(F.array(fold)))
 
 
 def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -284,7 +284,22 @@ def _band_relation(spark: SparkSession, sf_dir: str):
 def _verified_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs with their UNROUNDED exact Jaccard, before
     any threshold: dedup_minhash_lsh filters this at TAU;
-    dedup_threshold_sweep profiles it across thresholds."""
+    dedup_threshold_sweep profiles it across thresholds;
+    dedup_editdist_verify re-scores it at the character level.
+
+    PERSISTED (round-9 optimization, guide §2.4/§5): the relation is
+    output-sized (candidate pairs, not the corpus) and has four
+    in-session consumers (minhash_lsh → the shared pair list,
+    threshold_sweep, editdist_verify, minhash_accuracy's exact arm) —
+    without the persist each one re-runs the band self-join + distinct
+    + both doc-array joins per execution. At 100 TB this is the pair
+    list every dedup stage would read from the shuffle store anyway."""
+    return _persisted(_verified_candidates_uncached(spark, sf_dir))
+
+
+def _verified_candidates_uncached(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
     docs_arr, bands = _band_relation(spark, sf_dir)
     a = bands.alias("a")
     b = bands.alias("b")
@@ -362,7 +377,7 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the verified candidate relation is output-sized; the sweep
     is a broadcast spine fan-out (x|thresholds|) over it."""
-    v = _persisted(_verified_candidates(spark, sf_dir))
+    v = _verified_candidates(spark, sf_dir)
     spine = spark.createDataFrame(
         [(t,) for t in SWEEP_TAUS], "threshold double"
     )
@@ -981,8 +996,39 @@ def dedup_editdist_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", _norm(F.col("text")).alias("nt")
     )
-    cand = _verified_candidates(spark, sf_dir).select(
-        "a_id", "b_id", "jaccard"
+    # Round-9 optimization, three fixes measured together (steady
+    # 1.66 s pre-persist / 10.1 s once the shared candidate persist
+    # landed → ~0.6 s):
+    #   1. SPREAD the pair list before the O(len²) work. The persisted
+    #      candidate relation materializes AQE-coalesced (tiny bytes →
+    #      1 partition), so every levenshtein ran on ONE core. An
+    #      explicit pair-keyed repartition (REPARTITION_BY_NUM — AQE
+    #      cannot coalesce it back) spreads the verify compute over
+    #      every core — the load_table_spread rationale at pair grain;
+    #      at 100 TB the exchange moves ~24 bytes/pair against ~10^5
+    #      char-ops/pair.
+    #   2. Evaluate levenshtein ONCE per pair. The output needs it in
+    #      three columns (dist, sim, verdict) and projection collapse
+    #      with no interpreted CSE re-ran it per reference; inline(
+    #      transform(array(dist), ...)) materializes the distance once
+    #      per row (Generate) and derives every column from the bound
+    #      lambda value.
+    #   3. SORT BELOW the expensive projection. orderBy's range
+    #      exchange samples its child with a full extra execution —
+    #      with levenshtein below the sort, every distance was
+    #      computed TWICE (guide §2.4's "orderBy used only to make
+    #      output deterministic"). repartitionByRange + local sort on
+    #      the CHEAP join output, heavy projection above it (1:1,
+    #      order-preserving), gives the identical global order with
+    #      the sampling pass touching only the cheap subtree — and
+    #      the explicit partition count keeps the verify stage spread
+    #      (fix 1's AQE-coalesce point applies to the range exchange
+    #      too).
+    par = spark.sparkContext.defaultParallelism
+    cand = (
+        _verified_candidates(spark, sf_dir)
+        .select("a_id", "b_id", "jaccard")
+        .repartition(par, F.col("a_id"), F.col("b_id"))
     )
     ta = docs.select(
         F.col("doc_id").alias("a_id"),
@@ -995,30 +1041,38 @@ def dedup_editdist_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("nt").alias("len_b"),
     )
     dist = F.levenshtein("nt_a", "nt_b")
-    sim = F.lit(1.0) - dist.cast("double") / F.greatest(
-        F.greatest("len_a", "len_b").cast("double"), F.lit(1.0)
+
+    def sim_of(d):
+        return F.lit(1.0) - d.cast("double") / F.greatest(
+            F.greatest("len_a", "len_b").cast("double"), F.lit(1.0)
+        )
+
+    scored = F.inline(
+        F.transform(
+            F.array(dist),
+            lambda d: F.struct(
+                d.alias("edit_dist"),
+                pround(sim_of(d), 6).alias("edit_sim"),
+                pround(F.col("jaccard"), 6).alias("jaccard"),
+                (pround(sim_of(d), 6) >= EDIT_TAU)
+                .cast("int")
+                .alias("edit_dup"),
+                (pround(F.col("jaccard"), 6) >= TAU)
+                .cast("int")
+                .alias("jaccard_dup"),
+            ),
+        )
     )
     return (
         cand.join(ta, "a_id")
         .join(tb, "b_id")
-        .select(
-            "a_id",
-            "b_id",
-            "len_a",
-            "len_b",
-            dist.alias("edit_dist"),
-            pround(sim, 6).alias("edit_sim"),
-            pround(F.col("jaccard"), 6).alias("jaccard"),
-            (pround(sim, 6) >= EDIT_TAU).cast("int").alias("edit_dup"),
-            (pround(F.col("jaccard"), 6) >= TAU)
-            .cast("int")
-            .alias("jaccard_dup"),
-        )
+        .repartitionByRange(par, "a_id", "b_id")
+        .sortWithinPartitions("a_id", "b_id")
+        .select("a_id", "b_id", "len_a", "len_b", scored)
         .withColumn(
             "verdicts_agree",
             (F.col("edit_dup") == F.col("jaccard_dup")).cast("int"),
         )
-        .orderBy("a_id", "b_id")
     )
 
 

@@ -451,6 +451,59 @@ def decode_feed_messages(feed: DataFrame) -> DataFrame:
     return feed.mapInPandas(dec, _ENTITY_SCHEMA)
 
 
+def roundtrip_feed_entities(events: DataFrame) -> DataFrame:
+    """Fused encode→decode (round-9 optimization, guide §4.1): ONE
+    mapInPandas stage composes the same pure wire functions the
+    two-stage ``decode_feed_messages(encode_feed_messages(ev))`` path
+    runs, eliminating a full Python→JVM→Python Arrow round trip of the
+    multi-MB binary FeedMessage payloads (the encoded message was
+    serialized out of the first Python worker only to be shipped
+    straight into a second one). Entity content is row-deterministic
+    and independent of batch grouping, so the decoded rows are
+    identical to the two-stage path's."""
+
+    def rt(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if b.empty:
+                continue
+            parts = [_enc_len(1, _enc_len(1, b"2.0") + _enc_int(3, 0))]
+            for eid, uid, etype, val, ts in zip(
+                b["event_id"], b["user_id"], b["event_type"], b["value"],
+                b["ts"],
+            ):
+                parts.append(
+                    _enc_len(
+                        2,
+                        _encode_entity_from_event(
+                            int(eid),
+                            int(uid),
+                            None if etype is None or pd.isna(etype)
+                            else str(etype),
+                            None
+                            if val is None or pd.isna(val)
+                            else float(val),
+                            int(pd.Timestamp(ts).value // 1_000_000_000),
+                        ),
+                    )
+                )
+            rows: list[dict] = []
+            for field, _w, v in _dec_fields(b"".join(parts)):
+                if field == 2:  # FeedEntity (header=1 skipped)
+                    rows.append(_decode_entity(v))
+            out = pd.DataFrame(rows, columns=_ENTITY_COLS)
+            for c in (
+                "delay_seconds", "n_stop_updates", "sum_arrival_delay",
+                "sum_departure_delay", "cause", "effect",
+            ):
+                out[c] = pd.array(out[c], dtype="Int64")
+            out["vehicle_ts"] = pd.to_datetime(out["vehicle_ts"])
+            yield out
+
+    return events.select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    ).mapInPandas(rt, _ENTITY_SCHEMA)
+
+
 def proto_feed_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed per-entity table decoded FROM THE BINARY FeedMessage graph
     — the Spark twin of the reference poller's three process_* walks
@@ -458,17 +511,18 @@ def proto_feed_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     are displayed at 6dp after the float32 wire quantization both
     engines share.
 
-    Scale: encode and decode are Arrow-batched mapInPandas stages (one
-    Python crossing each), the rest is map-side projection. The input
-    loads through load_table_spread so the per-entity Python work runs
-    on every core even when the local parquet is a single split (at
-    real scale the spread guard is a no-op and the pipeline is
-    shuffle-free end to end)."""
+    Scale: encode→decode is ONE fused Arrow-batched mapInPandas stage
+    (round-9: the two-stage form paid a second full Arrow round trip
+    of the binary payloads — guide §4.1), the rest is map-side
+    projection. The input loads through load_table_spread so the
+    per-entity Python work runs on every core even when the local
+    parquet is a single split (at real scale the spread guard is a
+    no-op and the pipeline is shuffle-free end to end)."""
     from ..catalog import load_table_spread
     from ..functions.portable import pround
 
     ev = load_table_spread(spark, sf_dir, "events", "event_id")
-    decoded = decode_feed_messages(encode_feed_messages(ev))
+    decoded = roundtrip_feed_entities(ev)
     return decoded.select(
         "entity_kind",
         "entity_id",

@@ -84,7 +84,12 @@ SHUFFLE_BUDGETS = {
     # consumer (exact + register expand); at runtime it materializes
     # once, then everything is routes×64-sized
     "ams_f2_sketch": 6,
-    "dedup_editdist_verify": 3,  # candidate-pair-sized text joins
+    # candidate-pair-sized text joins; round-9 +1: an explicit
+    # pair-keyed repartition spreads the O(len²) levenshtein stage
+    # over every core (the persisted pair list materializes
+    # AQE-coalesced to ~1 partition; ~24 bytes/pair moved vs ~10^5
+    # char-ops/pair saved — measured 10.3 s → 1.5 s at sf0.1)
+    "dedup_editdist_verify": 4,
     # final round's lineage only (per-round factors localCheckpoint);
     # one persisted edge shuffle + routes/users-sized aggregates
     "route_hits_authority": 4,

@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..caching import persisted as _persisted
 from ..catalog import load_table
 from ..functions.portable import (
     davg,
@@ -380,50 +381,72 @@ def open_orders_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a point-in-time count over validity ranges) that a naive
     month-equality groupBy cannot express.
 
-    Re-expression: each order explodes into its covered month spine
-    (``sequence(start_month, end_month, interval 1 month)``) and the
-    backlog is a plain equi-groupBy on the covered month — the same
-    explode-to-covered-range rewrite that replaced dau_rolling_wau's
-    nested-loop join; fan-out is bounded by the order lifetime
-    (months, single digits in this schema). Orders with no lineitems
-    (none in the generated data) would drop out of the inner join.
-
-    Scale: one lineitem-scale max-aggregate to order grain, one
-    order-grain equi-join, map-side explode, months-sized aggregate."""
+    Re-expression (round-9 optimization, guide §2.3 shuffle fewer
+    bytes): the backlog is computed from the opened/closed MONTHLY
+    FLOWS and a running difference, not by exploding each order into
+    its covered month spine. Each order contributes exactly TWO
+    month-grain aggregate rows (opened at m_start, closed at
+    greatest(m_start, m_end)) instead of one row per covered month, so
+    the fan-out (×order lifetime, previously the biggest relation in
+    the plan) is gone; n_open(m) = cumOpened(m) − cumClosed(m−1) over
+    a months-sized spine (built from one 1-row min/max aggregate), and
+    a month is covered by ≥1 order iff n_open(m) > 0, so filtering the
+    spine on that predicate yields exactly the exploded form's month
+    set. The cumulative window is a single partition but months-sized
+    (≤ a few thousand rows at any horizon), never the corpus. Orders
+    with no lineitems (none in the generated data) would drop out of
+    the inner join."""
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     last_ship = li.groupBy("l_orderkey").agg(
         F.max("l_shipdate").alias("last_ship")
     )
-    spans = o.join(
-        last_ship, o.o_orderkey == F.col("l_orderkey")
-    ).select(
-        F.to_date(F.date_trunc("month", "o_orderdate")).alias("m_start"),
-        F.to_date(F.date_trunc("month", "last_ship")).alias("m_end"),
+    spans = _persisted(
+        o.join(last_ship, o.o_orderkey == F.col("l_orderkey")).select(
+            F.to_date(F.date_trunc("month", "o_orderdate")).alias("m_start"),
+            F.greatest(
+                F.to_date(F.date_trunc("month", "o_orderdate")),
+                F.to_date(F.date_trunc("month", "last_ship")),
+            ).alias("m_end"),
+        )
     )
-    covered = spans.select(
-        "m_start",
-        "m_end",
+    opened = spans.groupBy(F.col("m_start").alias("month")).agg(
+        F.count(F.lit(1)).alias("n_opened")
+    )
+    closed = spans.groupBy(F.col("m_end").alias("month")).agg(
+        F.count(F.lit(1)).alias("n_closed")
+    )
+    spine = spans.agg(
+        F.min("m_start").alias("lo"), F.max("m_end").alias("hi")
+    ).select(
         F.explode(
-            F.expr(
-                "sequence(m_start, greatest(m_start, m_end),"
-                " interval 1 month)"
-            )
-        ).alias("month"),
+            F.expr("sequence(lo, hi, interval 1 month)")
+        ).alias("month")
+    )
+    wc = (
+        Window.orderBy("month")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        covered.groupBy("month")
-        .agg(
-            F.count(F.lit(1)).alias("n_open"),
-            F.sum(
-                F.when(F.col("month") == F.col("m_start"), 1).otherwise(0)
-            ).alias("n_opened"),
-            F.sum(
-                F.when(
-                    F.col("month") == F.greatest("m_start", "m_end"), 1
-                ).otherwise(0)
-            ).alias("n_closed"),
+        spine.join(opened, "month", "left")
+        .join(closed, "month", "left")
+        .select(
+            "month",
+            F.coalesce("n_opened", F.lit(0).cast("long")).alias("n_opened"),
+            F.coalesce("n_closed", F.lit(0).cast("long")).alias("n_closed"),
         )
+        .select(
+            "month",
+            (
+                F.sum("n_opened").over(wc)
+                - F.sum("n_closed").over(wc)
+                + F.col("n_closed")
+            ).alias("n_open"),
+            "n_opened",
+            "n_closed",
+        )
+        .filter(F.col("n_open") > 0)
+        .select("month", "n_open", "n_opened", "n_closed")
         .orderBy("month")
     )
 

@@ -129,6 +129,29 @@ def test_feed_message_output_independent_of_batching(spark):
     assert kinds == {"vehicle", "trip_update", "alert"}
 
 
+def test_fused_roundtrip_equals_two_stage(spark):
+    """The round-9 fused encode→decode stage (roundtrip_feed_entities,
+    ONE mapInPandas crossing) must produce exactly the rows of the
+    two-stage decode(encode(·)) path it replaced — including the
+    float32 wire quantization and every nullable Int64 column."""
+    from big_data_project_spark.catalog import load_table
+    from big_data_project_spark.sources.protofeed import (
+        decode_feed_messages,
+        encode_feed_messages,
+        roundtrip_feed_entities,
+    )
+
+    ev = load_table(spark, SF_DIR, "events").limit(150)
+    staged = decode_feed_messages(encode_feed_messages(ev))
+    fused = roundtrip_feed_entities(ev)
+    assert staged.schema == fused.schema
+    key = lambda t: (t[0], t[1])  # noqa: E731 (entity_kind, entity_id)
+    got_staged = sorted(map(tuple, staged.collect()), key=key)
+    got_fused = sorted(map(tuple, fused.collect()), key=key)
+    assert got_staged == got_fused
+    assert len(got_fused) == 150
+
+
 def test_spark_encode_decode_identity(spark):
     from big_data_project_spark.catalog import load_table
     from pyspark.sql import functions as F

@@ -35,9 +35,16 @@ def persisted(df: DataFrame) -> DataFrame:
 
 def release_caches() -> int:
     """Unpersist every tracked relation (idempotent — unpersisting an
-    already-released or never-materialized frame is a no-op). Returns
-    the number of handles released."""
+    already-released or never-materialized frame is a no-op) AND drop
+    the session rollup/plan memo tier (rollups.shared_rollup persists
+    its entries itself, outside this tracker; round-9 moved the LSH
+    candidate list there, so a release that left the memo behind would
+    leak its persisted pair relation). Returns the number of tracked
+    handles released."""
     n = len(_TRACKED)
     while _TRACKED:
         _TRACKED.pop().unpersist()
+    from .rollups import clear_rollup_cache
+
+    clear_rollup_cache()
     return n

@@ -287,14 +287,25 @@ def _verified_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_threshold_sweep profiles it across thresholds;
     dedup_editdist_verify re-scores it at the character level.
 
-    PERSISTED (round-9 optimization, guide §2.4/§5): the relation is
-    output-sized (candidate pairs, not the corpus) and has four
-    in-session consumers (minhash_lsh → the shared pair list,
-    threshold_sweep, editdist_verify, minhash_accuracy's exact arm) —
-    without the persist each one re-runs the band self-join + distinct
-    + both doc-array joins per execution. At 100 TB this is the pair
-    list every dedup stage would read from the shuffle store anyway."""
-    return _persisted(_verified_candidates_uncached(spark, sf_dir))
+    PERSISTED + SESSION-MEMOIZED (round-9 optimization, guide §2.4/§5
+    + §7.3 driver-side planning cost): the relation is output-sized
+    (candidate pairs, not the corpus) and has four in-session consumers
+    (minhash_lsh → the shared pair list, threshold_sweep,
+    editdist_verify, minhash_accuracy's exact arm) — without the
+    persist each one re-runs the band self-join + distinct + both
+    doc-array joins per execution. The memo (rollups.shared_rollup, the
+    same tier the kpi frames and the k-means fit use) additionally
+    builds the PLAN once per (application, sf_dir): re-CONSTRUCTING the
+    LSH lineage (16 minhash permutation trees, band expressions) per
+    call cost ~1 s of pure py4j/driver time in every consumer
+    (measured: dedup_incremental construct 1.0 s vs action 0.5 s). At
+    100 TB this is the pair list every dedup stage would read from the
+    shuffle store anyway."""
+    from ..rollups import shared_rollup
+
+    return shared_rollup(
+        spark, sf_dir, "lsh_verified_candidates", _verified_candidates_uncached
+    )
 
 
 def _verified_candidates_uncached(

@@ -692,11 +692,32 @@ def main() -> None:
         # round-over-round deltas like-for-like (round-2 verdict item 4:
         # r01 was cold-ish n=1, r02 was min-of-N post-warm-up — not
         # comparable).
+        # Mechanical amortization evidence (round-9 verdict: the static
+        # `amortized` list went stale when the dedup memo landed): count
+        # the CacheManager registrations each key's COLD run adds — a
+        # key that registers a persisted relation is a tier BUILDER
+        # whose steady numbers measure post-materialization repeat cost.
+        def _n_cached() -> int:
+            try:
+                return (
+                    spark._jsparkSession.sharedState()
+                    .cacheManager()
+                    .cachedData()
+                    .size()
+                )
+            except Exception:  # noqa: BLE001 — diagnostics only
+                return -1
+
         cold: dict[str, float] = {}
+        cache_regs: dict[str, int] = {}
         for name in HEADLINE:
+            c0 = _n_cached()
             t0 = time.perf_counter()
             run_once(name)
             cold[name] = round(time.perf_counter() - t0, 3)
+            c1 = _n_cached()
+            if c1 > c0 >= 0:
+                cache_regs[name] = c1 - c0
 
         timings: dict[str, float] = {}
         loads: dict[str, list[float]] = {}
@@ -830,9 +851,25 @@ def main() -> None:
             "prior_round": prior_name,
             "vs_prior_ratio": ratios,
             "regressed_vs_prior": regressed,
-            # steady reads of the persisted shared rollup tier (cold
-            # pass builds it); their full-pipeline cost is queries_cold
-            "amortized": ["kpi_hourly", "suggestions"],
+            # Keys whose STEADY numbers read a persisted/memoized tier
+            # the cold pass built (full-pipeline cost is queries_cold):
+            # the (route, hour) rollup tier (kpi_hourly -> suggestions),
+            # the round-9 session-memoized LSH candidate list (the
+            # dedup consumers), and the round-10 pinned V layouts +
+            # factor inits of nmf_topic_rounds. Every _persisted
+            # relation shares this property (CacheManager dedupes by
+            # analyzed plan across trials); `amortized_built_by` below
+            # is the mechanical evidence — per-key count of cache
+            # registrations during the cold pass.
+            "amortized": [
+                "kpi_hourly",
+                "suggestions",
+                "dedup_minhash_lsh",
+                "dedup_incremental",
+                "dedup_editdist_verify",
+                "nmf_topic_rounds",
+            ],
+            "amortized_built_by": cache_regs,
             "ambient_load_frac": round(
                 ambient["load_1m"] / ambient["cpus"], 3
             ),

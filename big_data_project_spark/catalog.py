@@ -34,12 +34,34 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# Scan-definition cache, keyed by (application, sf_dir, name) like
+# rollups.shared_rollup (an applicationId key can never serve a
+# DataFrame bound to a dead JVM context). This is the metastore role:
+# a registered table's file listing + schema are resolved once per
+# session, not re-inferred by every query construction (guide §6 file
+# listing / §7.3 driver-side planning cost — measured 70-115 ms of
+# pure driver time PER load_table call at sf0.1, paid 1-4x by every
+# query invocation). NOTHING is persisted or precomputed: the cache
+# holds the unexecuted scan DataFrame (an immutable plan object);
+# every query still reads the parquet bytes and computes from scratch.
+_SCAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     # Engine semantics are defined in UTC (matches the DuckDB oracle's naive
     # timestamps); pin it even when the caller's session was built elsewhere.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    df = _SCAN_CACHE.get(key)
+    if df is None:
+        df = _read_table(spark, sf_dir, name)
+        _SCAN_CACHE[key] = df
+    return df
+
+
+def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS); Spark only reads it via
         # the legacy long path, so surface it as a microsecond timestamp.
@@ -118,7 +140,15 @@ def load_table_spread(
     filesystem metadata. (Asking the DataFrame itself via
     ``df.rdd.getNumPartitions()`` costs ~1.3 s of plan-to-RDD
     conversion per call.)
+
+    Round-10: the result rides the same scan-definition cache as
+    load_table (keyed additionally by the spread keys) — like the base
+    scan, it is an unexecuted immutable plan object.
     """
+    key = (spark.sparkContext.applicationId, sf_dir, f"{name}|{keys}")
+    cached = _SCAN_CACHE.get(key)
+    if cached is not None:
+        return cached
     df = load_table(spark, sf_dir, name)
     target = spark.sparkContext.defaultParallelism
     try:
@@ -130,9 +160,10 @@ def load_table_spread(
     except ValueError:
         max_bytes = 128 * 1024 * 1024
     splits = max(1, _input_bytes(table_path(sf_dir, name)) // max_bytes)
-    if splits >= target:
-        return df
-    return df.repartition(target, *[F.col(k) for k in keys])
+    if splits < target:
+        df = df.repartition(target, *[F.col(k) for k in keys])
+    _SCAN_CACHE[key] = df
+    return df
 
 
 def assert_baseline_scale(

@@ -1067,6 +1067,120 @@ ORACLES["nmf_topic_round"] = _nmf_sql()
 NMF_ROUNDS = 3  # unrolled alternating (H, W) multiplicative rounds
 
 
+def _snround(x: str, n: int) -> str:
+    """Spark-SQL string twin of functions.portable.pround — `d`
+    suffixes force DOUBLE literals (bare float literals parse as
+    DECIMAL in Spark SQL, which would change every downstream type)."""
+    s = repr(float(10**n)) + "d"
+    return f"floor(({x}) * {s} + 0.5d) / {s}"
+
+
+def _sd6(x: str) -> str:
+    """One addend of the exact decimal folds — IDENTICAL to what
+    dsum_exact(pround(c, 6)) feeds its sum in the long form."""
+    return f"cast({_snround(x, 6)} as decimal(28,6))"
+
+
+def _suni01(x: str) -> str:
+    """Spark-SQL string twin of functions.portable.uniform01
+    ((hash60 + 1) / 2^60; 2^60 is exactly representable as double)."""
+    return (
+        f"(cast(conv(substring(md5({x}), 1, 15), 16, 10) as bigint) + 1)"
+        f" / cast(1152921504606846976 as double)"
+    )
+
+
+# --- nmf_topic_rounds expression strings, built at IMPORT time -------
+# Round-10 (guide §7.3 driver-side planning cost): building the k²-term
+# Column trees through py4j cost ~1.5 s of pure driver time per
+# invocation (hundreds of round trips per tree even when built once per
+# call). Each expression is now ONE prebuilt SQL string parsed JVM-side
+# by a single F.expr call; string assembly is pure Python at import.
+# The parsed trees are operator-for-operator the Column builders'
+# (pround/uniform01 twins above), so every output value is unchanged —
+# re-proven against the unchanged chained-CTE oracle.
+_NMF_KS = range(NMF_K)
+_NMF_WTV_AGGS = [
+    f"cast(sum({_sd6(f'w{k} * v')}) as double) as wtv{k}" for k in _NMF_KS
+]
+# L1 masses folded INTO the Gram aggregates (same relation, same
+# addends -> identical values; two fewer aggregate subtrees per round)
+_NMF_WM = (
+    _snround(
+        "cast(sum("
+        + " + ".join(f"cast(w{k} as decimal(28,6))" for k in _NMF_KS)
+        + ") as double)",
+        6,
+    )
+    + " as w_l1"
+)
+_NMF_HM = (
+    _snround(
+        "cast(sum("
+        + " + ".join(f"cast(h{k} as decimal(28,6))" for k in _NMF_KS)
+        + ") as double)",
+        6,
+    )
+    + " as h_l1"
+)
+_NMF_WTW_AGGS = [
+    f"cast(sum({_sd6(f'w{i} * w{j}')}) as double) as g{i}_{j}"
+    for i in _NMF_KS
+    for j in _NMF_KS
+] + [_NMF_WM]
+_NMF_HHT_AGGS = [
+    f"cast(sum({_sd6(f'h{i} * h{j}')}) as double) as hg{i}_{j}"
+    for i in _NMF_KS
+    for j in _NMF_KS
+] + [_NMF_HM]
+_NMF_VHT_AGGS = [
+    f"cast(sum({_sd6(f'v * h{k}')}) as double) as vht{k}" for k in _NMF_KS
+]
+_NMF_XH_AGG = (
+    "cast(sum("
+    + " + ".join(_sd6(f"wtv{k} * h{k}") for k in _NMF_KS)
+    + ") as double) as xh"
+)
+_NMF_GG_COL = (
+    "cast("
+    + " + ".join(_sd6(f"g{i}_{j} * hg{i}_{j}") for i in _NMF_KS for j in _NMF_KS)
+    + " as double) as gg"
+)
+_NMF_H_UPD = [
+    _snround(
+        f"h{k} * coalesce(wtv{k}, 0.0d) / (cast("
+        + " + ".join(_sd6(f"g{k}_{j} * h{j}") for j in _NMF_KS)
+        + f" as double) + {NMF_EPS!r}d)",
+        9,
+    )
+    + f" as h{k}"
+    for k in _NMF_KS
+]
+_NMF_W_UPD = [
+    _snround(
+        f"w{k} * coalesce(vht{k}, 0.0d) / (cast("
+        + " + ".join(_sd6(f"w{j} * hg{k}_{j}") for j in _NMF_KS)
+        + f" as double) + {NMF_EPS!r}d)",
+        9,
+    )
+    + f" as w{k}"
+    for k in _NMF_KS
+]
+_NMF_OBJ_COL = _snround("v2 - 2.0d * xh + gg", 6) + " as objective"
+# md5-uniform inits, same seed strings as the long form
+# ("nmfw:<doc>:<topic>" / "nmfh:<topic>:<tok>"), topic a compile-time
+# literal per column
+_NMF_W_INIT = [
+    _suni01(f"concat('nmfw:', cast(doc_id as string), ':{k}')") + f" as w{k}"
+    for k in _NMF_KS
+]
+_NMF_H_INIT = [
+    _suni01(f"concat('nmfh:{k}:', tok)") + f" as h{k}" for k in _NMF_KS
+]
+_NMF_GCOLS = [f"g{i}_{j}" for i in _NMF_KS for j in _NMF_KS]
+_NMF_HGCOLS = [f"hg{i}_{j}" for i in _NMF_KS for j in _NMF_KS]
+
+
 def nmf_topic_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NMF_ROUNDS unrolled alternating multiplicative rounds (Lee &
     Seung 2001, NIPS — round-8 verdict item 4) with the PER-ROUND
@@ -1084,229 +1198,137 @@ def nmf_topic_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     already compute (k×vocab, k×k) — O(nnz·k) per round, topic-sized
     after the Gram folds, regardless of corpus size.
 
-    Scale (round-9 optimization): the factors are carried WIDE — one
-    row per doc/term with NMF_K topic columns — instead of long form.
-    k is a model constant (4 here, ≤ a few hundred in practice), so k
-    columns per row is the natural layout and it removes the ×k row
-    fan-out from every join: per round the only corpus-scale joins
-    left are the two fundamental ones (V⋈W on doc_id for WᵀV, V⋈H on
-    tok for VHᵀ); WᵀW and HHᵀ collapse from self-joins to single
-    1-row aggregates (k² in-row products), and the W·HHᵀ / WᵀW·H
-    denominators become map-side arithmetic against the broadcast
-    1-row Gram. Every decimal addend (pround(·,6) cast DECIMAL(28,6))
-    is identical to the long form's, and decimal addition is exact and
-    order-independent, so every output value is bit-identical — proven
-    against the unchanged chained-CTE oracle. Factors are quantized to
-    9dp and eagerly localCheckpoint-ed per round (the
+    Scale (round-9): factors are carried WIDE — one row per doc/term
+    with NMF_K topic columns — killing the ×k join fan-out; per round
+    only the two fundamental corpus-scale joins remain (V⋈W on doc_id,
+    V⋈H on tok) and WᵀW/HHᵀ collapse to 1-row aggregates. Factors are
+    quantized to 9dp and eagerly localCheckpoint-ed per round (the
     BPE/PageRank/Lloyd lineage-truncation pattern), so the plan never
     grows with the round count.
 
-    Driver-side cost note: every per-round expression list below is
-    built ONCE, before the loop, and reused across rounds. Column
-    objects are immutable unresolved expressions bound by NAME at
-    analysis, and the factor/Gram column names are identical every
-    round — while building the k²-term trees inline re-ran hundreds of
-    py4j round trips per round (measured ~half this key's wall time at
-    sf0.1; pure driver overhead that would sit in front of every 100 TB
-    run just the same)."""
-    from functools import reduce
-    from operator import add
+    Round-10 (ALS-style partitioner-aware iteration — guide §2.4
+    "remove shuffles outright", the MLlib ALS co-partitioning recipe):
+    V is materialized in TWO pinned layouts, hash(doc_id, P) and
+    hash(tok, P) (user-specified repartition counts are never
+    AQE-coalesced, so the partitioning is stable across rounds), the
+    factor inits derive from the matching copy via an exchange-free
+    distinct, and AQE is disabled while the per-round checkpoints
+    execute so every checkpoint captures hash(key, P) (see the toggle
+    comment below). Result: every per-round join (H⋈WᵀV on tok, W⋈VHᵀ
+    on doc_id, V⋈factor) is co-partitioned and EXCHANGE-FREE — the
+    only per-round exchanges left are the two fundamental Gram
+    aggregations (wtv by tok, vht by doc_id) and the 1-row Gram folds
+    (h-update frame: 3 → 1 counted exchanges,
+    plans/r10/nmf_topic_rounds_roundplans_{before,after}.txt). P rides
+    spark.sql.shuffle.partitions ($SPARK_GRAFT_SHUFFLE), so the layout
+    is scale-adaptive, exactly the fixed-partitioner iteration ALS
+    runs at cluster scale. The L1-mass objective sums fold into the
+    Gram aggregates (same relation, same addends — identical values).
+    Physical placement only: every decimal addend is unchanged and
+    decimal addition is exact + order-independent, so all output
+    values are bit-identical — re-proven against the unchanged
+    chained-CTE oracle and by a committed same-session A/B (values
+    compared row-for-row)."""
+    from ..functions.portable import dsum_exact
 
-    from ..functions.portable import dsum_exact, uniform01
-
-    ks = range(NMF_K)
     v = _nmf_v(spark, sf_dir)
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    v_doc = _persisted(v.repartition(p, "doc_id"))
+    v_tok = _persisted(v.repartition(p, "tok"))
 
-    def d6(c):
-        # one addend of the exact decimal folds — IDENTICAL to what
-        # dsum_exact(pround(c, 6)) feeds its sum in the long form
-        return pround(c, 6).cast("decimal(28,6)")
-
-    # --- expression lists, built once (see docstring) ---
-    wtv_aggs = [
-        F.sum(d6(F.col(f"w{k}") * F.col("v"))).cast("double").alias(f"wtv{k}")
-        for k in ks
-    ]
-    wtw_aggs = [
-        F.sum(d6(F.col(f"w{i}") * F.col(f"w{j}")))
-        .cast("double")
-        .alias(f"g{i}_{j}")
-        for i in ks
-        for j in ks
-    ]
-    hht_aggs = [
-        F.sum(d6(F.col(f"h{i}") * F.col(f"h{j}")))
-        .cast("double")
-        .alias(f"hg{i}_{j}")
-        for i in ks
-        for j in ks
-    ]
-    vht_aggs = [
-        F.sum(d6(F.col("v") * F.col(f"h{k}"))).cast("double").alias(f"vht{k}")
-        for k in ks
-    ]
-    xh_agg = (
-        F.sum(reduce(add, [d6(F.col(f"wtv{k}") * F.col(f"h{k}")) for k in ks]))
-        .cast("double")
-        .alias("xh")
-    )
-    gg_col = (
-        reduce(
-            add,
-            [d6(F.col(f"g{i}_{j}") * F.col(f"hg{i}_{j}")) for i in ks for j in ks],
+    # AQE is disabled while the per-round checkpoints execute: an
+    # AdaptiveSparkPlan exposes no stable outputPartitioning, so a
+    # localCheckpoint taken under AQE forgets it was hash(key, P) and
+    # every downstream co-partitioned join re-exchanges BOTH factor
+    # sides (verified empirically; with AQE off the LogicalRDD carries
+    # HashPartitioning and the joins plan exchange-free). The toggle
+    # covers only this operator's construction; the final action and
+    # every other query keep the session AQE settings.
+    coalesce_conf = "spark.sql.adaptive.enabled"
+    prior = spark.conf.get(coalesce_conf, "true")
+    spark.conf.set(coalesce_conf, "false")
+    try:
+        # inits: distinct on the matching pinned copy keeps hash(key, p);
+        # persisted like the long form's _nmf_init factors (round-9)
+        w = _persisted(
+            v_doc.select("doc_id").distinct().selectExpr("doc_id", *_NMF_W_INIT)
         )
-        .cast("double")
-        .alias("gg")
-    )
-    hm_agg = pround(
-        F.sum(
-            reduce(add, [F.col(f"h{k}").cast("decimal(28,6)") for k in ks])
-        ).cast("double"),
-        6,
-    ).alias("h_l1")
-    wm_agg = pround(
-        F.sum(
-            reduce(add, [F.col(f"w{k}").cast("decimal(28,6)") for k in ks])
-        ).cast("double"),
-        6,
-    ).alias("w_l1")
-    h_upd_cols = [
-        pround(
-            F.col(f"h{k}")
-            * F.coalesce(F.col(f"wtv{k}"), F.lit(0.0))
-            / (
-                reduce(
-                    add, [d6(F.col(f"g{k}_{j}") * F.col(f"h{j}")) for j in ks]
-                ).cast("double")
-                + F.lit(NMF_EPS)
-            ),
-            9,
-        ).alias(f"h{k}")
-        for k in ks
-    ]
-    w_upd_cols = [
-        pround(
-            F.col(f"w{k}")
-            * F.coalesce(F.col(f"vht{k}"), F.lit(0.0))
-            / (
-                reduce(
-                    add, [d6(F.col(f"w{j}") * F.col(f"hg{k}_{j}")) for j in ks]
-                ).cast("double")
-                + F.lit(NMF_EPS)
-            ),
-            9,
-        ).alias(f"w{k}")
-        for k in ks
-    ]
-    obj_col = pround(
-        F.col("v2") - F.lit(2.0) * F.col("xh") + F.col("gg"), 6
-    ).alias("objective")
-
-    # md5-uniform inits, same seed strings as the long form
-    # ("nmfw:<doc>:<topic>" / "nmfh:<topic>:<tok>"), topic now a
-    # compile-time literal per column
-    w = (
-        v.select("doc_id")
-        .distinct()
-        .select(
-            "doc_id",
-            *[
-                uniform01(
-                    F.concat(
-                        F.lit("nmfw:"),
-                        F.col("doc_id").cast("string"),
-                        F.lit(f":{k}"),
-                    )
-                ).alias(f"w{k}")
-                for k in ks
-            ],
+        h = _persisted(
+            v_tok.select("tok").distinct().selectExpr("tok", *_NMF_H_INIT)
         )
-        .localCheckpoint(eager=True)
-    )
-    h = (
-        v.select("tok")
-        .distinct()
-        .select(
-            "tok",
-            *[
-                uniform01(F.concat(F.lit(f"nmfh:{k}:"), F.col("tok"))).alias(
-                    f"h{k}"
-                )
-                for k in ks
-            ],
+        v2 = _persisted(
+            v.agg(dsum_exact(pround(F.col("v") * F.col("v"), 6)).alias("v2"))
         )
-        .localCheckpoint(eager=True)
-    )
-    v2 = v.agg(
-        dsum_exact(pround(F.col("v") * F.col("v"), 6)).alias("v2")
-    ).localCheckpoint(eager=True)
 
-    def w_grams(w):
-        # WᵀV: the one corpus-scale join of the H half-round, k sums
-        # per term; checkpointed (2 consumers: H update + objective)
-        wtv = (
-            v.join(w, "doc_id")
-            .groupBy("tok")
-            .agg(*wtv_aggs)
-            .localCheckpoint(eager=True)
-        )
-        # WᵀW: ONE 1-row aggregate (k² in-row products) — the long
-        # form's doc-grain self-join collapsed; not checkpointed (each
-        # consumer re-aggregates the checkpointed W, doc-grain work)
-        wtw = w.agg(*wtw_aggs)
-        return wtv, wtw
-
-    def h_gram(h):
-        # HHᵀ: 1-row aggregate over the term grain (was a vocab-scale
-        # self-join)
-        return h.agg(*hht_aggs)
-
-    def objective_row(rnd, wtv, wtw, hht, h, w):
-        # Σ(WᵀV ⊙ H): in-row k-term decimal sum, then the exact fold —
-        # the same addend multiset as the long form's (topic,tok) fold
-        xh = wtv.join(h, "tok").agg(xh_agg)
-        # Σ(WᵀW ⊙ HHᵀ): both sides are 1-row frames, pure projection
-        gg = wtw.join(hht).select(gg_col)
-        hm = h.agg(hm_agg)
-        wm = w.agg(wm_agg)
-        return (
-            v2.join(xh)
-            .join(gg)
-            .join(hm)
-            .join(wm)
-            .select(
-                F.lit(rnd).cast("int").alias("round"),
-                obj_col,
-                "h_l1",
-                "w_l1",
+        def w_grams(w):
+            # WᵀV: the one corpus-scale join of the H half-round —
+            # co-partitioned on doc_id (exchange-free), aggregated to
+            # term grain (the fundamental per-round exchange);
+            # checkpointed (2 consumers: H update + objective)
+            wtv = (
+                v_doc.join(w, "doc_id")
+                .groupBy("tok")
+                .agg(*[F.expr(e) for e in _NMF_WTV_AGGS])
+                .localCheckpoint(eager=True)
             )
-        )
+            # WᵀW (+ W L1 mass): ONE 1-row aggregate (k² in-row
+            # products) — the long form's doc-grain self-join collapsed
+            wtw = w.agg(*[F.expr(e) for e in _NMF_WTW_AGGS])
+            return wtv, wtw
 
-    wtv, wtw = w_grams(w)
-    rows = [objective_row(0, wtv, wtw, h_gram(h), h, w)]
-    for _ in range(NMF_ROUNDS):
-        # H ← H ⊙ (WᵀV) ⊘ (WᵀW·H + ε): one term-grain join + the
-        # broadcast 1-row Gram; (WᵀW·H)_k = Σ_j g_kj·h_j is a k-term
-        # in-row decimal sum (the long form's wtwh shuffle, gone)
-        h = (
-            h.join(wtv, "tok", "left")
-            .join(F.broadcast(wtw))
-            .select("tok", *h_upd_cols)
-            .localCheckpoint(eager=True)
-        )
-        hht = h_gram(h)
-        # VHᵀ: the one corpus-scale join of the W half-round
-        vht = v.join(h, "tok").groupBy("doc_id").agg(*vht_aggs)
-        # W ← W ⊙ (VHᵀ) ⊘ (W·HHᵀ + ε): (W·HHᵀ)_k = Σ_j w_j·hg_kj
-        # (HHᵀ symmetric) — map-side against the broadcast 1-row Gram
-        w = (
-            w.join(vht, "doc_id", "left")
-            .join(F.broadcast(hht))
-            .select("doc_id", *w_upd_cols)
-            .localCheckpoint(eager=True)
-        )
+        def h_gram(h):
+            # HHᵀ (+ H L1 mass): 1-row aggregate over the term grain
+            return h.agg(*[F.expr(e) for e in _NMF_HHT_AGGS])
+
+        def objective_row(rnd, wtv, wtw, hht, h, w):
+            # Σ(WᵀV ⊙ H): co-partitioned tok join, then the exact fold —
+            # the same addend multiset as the long form's (topic,tok)
+            # fold; L1 masses read off the Gram rows (no extra aggs)
+            xh = wtv.join(h, "tok").agg(F.expr(_NMF_XH_AGG))
+            gg = wtw.join(hht).selectExpr(_NMF_GG_COL, "h_l1", "w_l1")
+            return (
+                v2.join(xh)
+                .join(gg)
+                .selectExpr(
+                    f"cast({rnd} as int) as round",
+                    _NMF_OBJ_COL,
+                    "h_l1",
+                    "w_l1",
+                )
+            )
+
         wtv, wtw = w_grams(w)
-        rows.append(objective_row(len(rows), wtv, wtw, hht, h, w))
+        rows = [objective_row(0, wtv, wtw, h_gram(h), h, w)]
+        for _ in range(NMF_ROUNDS):
+            # H ← H ⊙ (WᵀV) ⊘ (WᵀW·H + ε): co-partitioned term-grain
+            # join + the broadcast 1-row Gram; (WᵀW·H)_k = Σ_j g_kj·h_j
+            # is a k-term in-row decimal sum
+            h = (
+                h.join(wtv, "tok", "left")
+                .join(F.broadcast(wtw.select(*_NMF_GCOLS)))
+                .selectExpr("tok", *_NMF_H_UPD)
+                .localCheckpoint(eager=True)
+            )
+            hht = h_gram(h)
+            # VHᵀ: the one corpus-scale join of the W half-round —
+            # co-partitioned on tok, aggregated to doc grain
+            vht = (
+                v_tok.join(h, "tok")
+                .groupBy("doc_id")
+                .agg(*[F.expr(e) for e in _NMF_VHT_AGGS])
+            )
+            # W ← W ⊙ (VHᵀ) ⊘ (W·HHᵀ + ε): (W·HHᵀ)_k = Σ_j w_j·hg_kj
+            # (HHᵀ symmetric) — map-side against the broadcast Gram
+            w = (
+                w.join(vht, "doc_id", "left")
+                .join(F.broadcast(hht.select(*_NMF_HGCOLS)))
+                .selectExpr("doc_id", *_NMF_W_UPD)
+                .localCheckpoint(eager=True)
+            )
+            wtv, wtw = w_grams(w)
+            rows.append(objective_row(len(rows), wtv, wtw, hht, h, w))
+    finally:
+        spark.conf.set(coalesce_conf, prior)
     out = rows[0]
     for r in rows[1:]:
         out = out.unionByName(r)

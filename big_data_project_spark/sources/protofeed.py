@@ -303,6 +303,420 @@ def _encode_entity_from_event(
     return ent + _enc_len(5, alert)
 
 
+# --- batch-vectorized wire fast path (round-10, guide §4.2) ------------
+#
+# The per-row reference functions above (_encode_entity_from_event /
+# _decode_entity) stay as the readable spec and the unit-test anchor;
+# the mapInPandas closures below run through these batch-oriented
+# twins instead:
+#   - _encode_batch(b) -> bytes     (one FeedMessage per Arrow batch)
+#   - _entities_frame(payloads) -> pd.DataFrame (typed entity rows)
+# Same wire bytes, same decoded values (pinned by
+# test_fast_wire_matches_reference + the oracle hash gate). What makes
+# them fast: per-batch vectorized field extraction (tolist /
+# datetime64 epoch math / isnan masks) instead of per-row pandas
+# scalar boxing; precomputed single-byte tags and a 128-entry varint
+# table (every field number and most lengths are < 128); an
+# index-based decoder writing row tuples (no per-field generator, no
+# per-row dict, no list-of-dicts frame build); ONE vectorized
+# to_datetime over raw epoch seconds instead of a pd.Timestamp per
+# vehicle row. Measured on 100k sf0.1 events rows: encode 2.02 ->
+# 0.38 s, decode+frame 2.36 -> 1.08 s (bytes + frame identical).
+
+_VB = [bytes([i]) for i in range(128)]  # single-byte varints / tags
+
+
+def _venc(v: int) -> bytes:
+    if 0 <= v < 128:
+        return _VB[v]
+    return _enc_varint(v)
+
+
+def _tag1(field: int, wire: int) -> bytes:
+    return _VB[(field << 3) | wire]
+
+
+_T1L, _T2L, _T3L, _T4L, _T5L, _T8L, _T10L = (
+    _tag1(1, 2), _tag1(2, 2), _tag1(3, 2), _tag1(4, 2), _tag1(5, 2),
+    _tag1(8, 2), _tag1(10, 2),
+)
+_T1V, _T3V, _T5V, _T6V, _T7V = (
+    _tag1(1, 0), _tag1(3, 0), _tag1(5, 0), _tag1(6, 0), _tag1(7, 0),
+)
+_T1F, _T2F, _T3F, _T5F = _tag1(1, 5), _tag1(2, 5), _tag1(3, 5), _tag1(5, 5)
+_pack_f = struct.Struct("<f").pack
+_unpack_f = struct.Struct("<f").unpack
+_FEED_HEADER = None  # assigned below once _ld exists
+
+
+def _ld(tag: bytes, payload: bytes) -> bytes:
+    n = len(payload)
+    return (tag + _VB[n] if n < 128 else tag + _venc(n)) + payload
+
+
+_FEED_HEADER = _ld(_T1L, _ld(_T1L, b"2.0") + _T3V + _VB[0])
+
+
+def _encode_entity_fast(eid, uid, etype, val, epoch_s) -> bytes:
+    """Byte-identical twin of _encode_entity_from_event."""
+    kind = eid % 3
+    ent = _ld(_T1L, b"e%d" % eid)
+    trip = _ld(_T1L, b"t%d" % uid)
+    if etype is not None:
+        trip += _ld(_T5L, etype.encode())
+    if kind == 0:  # VehiclePosition
+        pos = (
+            _T1F + _pack_f(44.0 + (eid % 1000) * 0.001)
+            + _T2F + _pack_f(26.0 + (uid % 1000) * 0.001)
+        )
+        if eid % 2 == 0:
+            pos += _T3F + _pack_f(float(eid % 360))
+        if val is not None:
+            pos += _T5F + _pack_f(val)
+        vp = (
+            _ld(_T1L, trip)
+            + _ld(_T2L, pos)
+            + _T5V + _venc(epoch_s)
+            + _ld(_T8L, _ld(_T1L, b"v%d" % uid))
+        )
+        return ent + _ld(_T4L, vp)
+    if kind == 1:  # TripUpdate with nested StopTimeUpdates
+        d = int(math.floor(val)) if val is not None else 0
+        tu = _ld(_T1L, trip)
+        for k in range(uid % 3):
+            stu = _T1V + _venc(k + 1) + _ld(_T4L, b"s%d" % (uid + k))
+            stu += _ld(_T2L, _T1V + _venc(d + k))  # arrival
+            if k % 2 == 1:
+                stu += _ld(_T3L, _T1V + _venc(d - k))  # departure
+            tu += _ld(_T2L, stu)
+        tu += _T5V + _venc(d)
+        return ent + _ld(_T3L, tu)
+    # Alert
+    alert = _T6V + _venc(1 + eid % 12) + _T7V + _venc(1 + uid % 11)
+    if etype is not None:
+        tr = _ld(_T1L, etype.encode()) + _ld(_T2L, b"en")
+        alert += _ld(_T10L, _ld(_T1L, tr))
+    return ent + _ld(_T5L, alert)
+
+
+def _encode_batch(b: pd.DataFrame) -> bytes:
+    """One FeedMessage for one Arrow batch — byte-identical to encoding
+    each row with _encode_entity_from_event (parts joined once: `+=`
+    over bytes is O(n²) in batch size)."""
+    import numpy as np
+
+    etypes = b["event_type"].tolist()
+    vals = b["value"].to_numpy()
+    val_ok = (~np.isnan(vals)).tolist()
+    vals_l = vals.tolist()
+    epochs = (
+        b["ts"].astype("datetime64[ns]").astype("int64") // 1_000_000_000
+    ).tolist()
+    eids = b["event_id"].tolist()
+    uids = b["user_id"].tolist()
+    parts = [_FEED_HEADER]
+    ap = parts.append
+    enc = _encode_entity_fast
+    for i in range(len(eids)):
+        et = etypes[i]
+        ap(
+            _ld(
+                _T2L,
+                enc(
+                    eids[i],
+                    uids[i],
+                    et if isinstance(et, str) else None,
+                    vals_l[i] if val_ok[i] else None,
+                    epochs[i],
+                ),
+            )
+        )
+    return b"".join(parts)
+
+
+def _dec_varint_at(buf: bytes, i: int) -> "tuple[int, int]":
+    b = buf[i]
+    i += 1
+    if not b & 0x80:
+        return b, i
+    v = b & 0x7F
+    shift = 7
+    while True:
+        b = buf[i]
+        i += 1
+        v |= (b & 0x7F) << shift
+        if not b & 0x80:
+            if v >= 1 << 63:  # negative int32/int64
+                v -= 1 << 64
+            return v, i
+        shift += 7
+
+
+def _decode_trip_fast(buf: bytes) -> "tuple[str | None, str | None]":
+    trip_id = route_id = None
+    i, n = 0, len(buf)
+    while i < n:
+        key, i = _dec_varint_at(buf, i)
+        f, w = key >> 3, key & 7
+        if w == 2:
+            ln, i = _dec_varint_at(buf, i)
+            v = buf[i : i + ln]
+            i += ln
+            if f == 1:
+                trip_id = v.decode()
+            elif f == 5:
+                route_id = v.decode()
+        elif w == 0:
+            _, i = _dec_varint_at(buf, i)
+        elif w == 1:
+            i += 8
+        elif w == 5:
+            i += 4
+        else:
+            raise ValueError(f"unsupported wire type {w}")
+    return trip_id, route_id
+
+
+def _decode_entity_fast(buf: bytes) -> tuple:
+    """Index-based walk of one FeedEntity — the same field/branch walk
+    (and unknown-field skipping) as _decode_entity, returning a plain
+    tuple in _ENTITY_COLS order with vehicle_ts as RAW EPOCH SECONDS
+    (_entities_frame converts the whole column in one vectorized
+    to_datetime instead of a pd.Timestamp per row)."""
+    entity_kind = entity_id = trip_id = route_id = vehicle_id = None
+    lat = lon = bear = speed = None
+    vts = delay = n_stu = arr = dep = cause = effect = desc = None
+    i, n = 0, len(buf)
+    while i < n:
+        key, i = _dec_varint_at(buf, i)
+        f, w = key >> 3, key & 7
+        if w == 2:
+            ln, i = _dec_varint_at(buf, i)
+            v = buf[i : i + ln]
+            i += ln
+            if f == 1:
+                entity_id = v.decode()
+            elif f == 4:  # VehiclePosition
+                entity_kind = "vehicle"
+                j, m = 0, len(v)
+                while j < m:
+                    k2, j = _dec_varint_at(v, j)
+                    f2, w2 = k2 >> 3, k2 & 7
+                    if w2 == 2:
+                        l2, j = _dec_varint_at(v, j)
+                        v2 = v[j : j + l2]
+                        j += l2
+                        if f2 == 1:
+                            trip_id, route_id = _decode_trip_fast(v2)
+                        elif f2 == 2:  # Position
+                            p, q = 0, len(v2)
+                            while p < q:
+                                k3, p = _dec_varint_at(v2, p)
+                                f3, w3 = k3 >> 3, k3 & 7
+                                if w3 == 5:
+                                    fv = _unpack_f(v2[p : p + 4])[0]
+                                    p += 4
+                                    if f3 == 1:
+                                        lat = fv
+                                    elif f3 == 2:
+                                        lon = fv
+                                    elif f3 == 3:
+                                        bear = fv
+                                    elif f3 == 5:
+                                        speed = fv
+                                elif w3 == 0:
+                                    _, p = _dec_varint_at(v2, p)
+                                elif w3 == 2:
+                                    l3, p = _dec_varint_at(v2, p)
+                                    p += l3
+                                elif w3 == 1:
+                                    p += 8
+                                else:
+                                    raise ValueError(
+                                        f"unsupported wire type {w3}"
+                                    )
+                        elif f2 == 8:  # VehicleDescriptor
+                            p, q = 0, len(v2)
+                            while p < q:
+                                k3, p = _dec_varint_at(v2, p)
+                                if k3 & 7 == 2:
+                                    l3, p = _dec_varint_at(v2, p)
+                                    if k3 >> 3 == 1:
+                                        vehicle_id = v2[p : p + l3].decode()
+                                    p += l3
+                                else:
+                                    _, p = _dec_varint_at(v2, p)
+                    elif w2 == 0:
+                        val, j = _dec_varint_at(v, j)
+                        if f2 == 5:
+                            vts = val
+                    elif w2 == 1:
+                        j += 8
+                    elif w2 == 5:
+                        j += 4
+                    else:
+                        raise ValueError(f"unsupported wire type {w2}")
+            elif f == 3:  # TripUpdate
+                entity_kind = "trip_update"
+                n_stu = arr = dep = 0
+                j, m = 0, len(v)
+                while j < m:
+                    k2, j = _dec_varint_at(v, j)
+                    f2, w2 = k2 >> 3, k2 & 7
+                    if w2 == 2:
+                        l2, j = _dec_varint_at(v, j)
+                        v2 = v[j : j + l2]
+                        j += l2
+                        if f2 == 1:
+                            trip_id, route_id = _decode_trip_fast(v2)
+                        elif f2 == 2:  # StopTimeUpdate
+                            n_stu += 1
+                            p, q = 0, len(v2)
+                            while p < q:
+                                k3, p = _dec_varint_at(v2, p)
+                                f3, w3 = k3 >> 3, k3 & 7
+                                if w3 == 2:
+                                    l3, p = _dec_varint_at(v2, p)
+                                    v3 = v2[p : p + l3]
+                                    p += l3
+                                    if f3 == 2 or f3 == 3:  # StopTimeEvent
+                                        r, s = 0, len(v3)
+                                        while r < s:
+                                            k4, r = _dec_varint_at(v3, r)
+                                            if k4 & 7 == 0:
+                                                d4, r = _dec_varint_at(v3, r)
+                                                if k4 >> 3 == 1:
+                                                    if f3 == 2:
+                                                        arr += d4
+                                                    else:
+                                                        dep += d4
+                                            elif k4 & 7 == 2:
+                                                l4, r = _dec_varint_at(v3, r)
+                                                r += l4
+                                            elif k4 & 7 == 1:
+                                                r += 8
+                                            elif k4 & 7 == 5:
+                                                r += 4
+                                            else:
+                                                raise ValueError(
+                                                    "unsupported wire type"
+                                                )
+                                elif w3 == 0:
+                                    _, p = _dec_varint_at(v2, p)
+                                elif w3 == 1:
+                                    p += 8
+                                elif w3 == 5:
+                                    p += 4
+                                else:
+                                    raise ValueError(
+                                        f"unsupported wire type {w3}"
+                                    )
+                    elif w2 == 0:
+                        val, j = _dec_varint_at(v, j)
+                        if f2 == 5:
+                            delay = val
+                    elif w2 == 1:
+                        j += 8
+                    elif w2 == 5:
+                        j += 4
+                    else:
+                        raise ValueError(f"unsupported wire type {w2}")
+            elif f == 5:  # Alert
+                entity_kind = "alert"
+                j, m = 0, len(v)
+                while j < m:
+                    k2, j = _dec_varint_at(v, j)
+                    f2, w2 = k2 >> 3, k2 & 7
+                    if w2 == 0:
+                        val, j = _dec_varint_at(v, j)
+                        if f2 == 6:
+                            cause = val
+                        elif f2 == 7:
+                            effect = val
+                    elif w2 == 2:
+                        l2, j = _dec_varint_at(v, j)
+                        v2 = v[j : j + l2]
+                        j += l2
+                        if f2 == 10:  # TranslatedString
+                            p, q = 0, len(v2)
+                            while p < q:
+                                k3, p = _dec_varint_at(v2, p)
+                                if k3 & 7 == 2:
+                                    l3, p = _dec_varint_at(v2, p)
+                                    v3 = v2[p : p + l3]
+                                    p += l3
+                                    if k3 >> 3 == 1:  # Translation
+                                        r, s = 0, len(v3)
+                                        while r < s:
+                                            k4, r = _dec_varint_at(v3, r)
+                                            if k4 & 7 == 2:
+                                                l4, r = _dec_varint_at(
+                                                    v3, r
+                                                )
+                                                if k4 >> 3 == 1:
+                                                    desc = v3[
+                                                        r : r + l4
+                                                    ].decode()
+                                                r += l4
+                                            else:
+                                                _, r = _dec_varint_at(v3, r)
+                                else:
+                                    _, p = _dec_varint_at(v2, p)
+                    elif w2 == 1:
+                        j += 8
+                    elif w2 == 5:
+                        j += 4
+                    else:
+                        raise ValueError(f"unsupported wire type {w2}")
+        elif w == 0:
+            _, i = _dec_varint_at(buf, i)
+        elif w == 1:
+            i += 8
+        elif w == 5:
+            i += 4
+        else:
+            raise ValueError(f"unsupported wire type {w}")
+    return (
+        entity_kind, entity_id, trip_id, route_id, vehicle_id, lat, lon,
+        bear, speed, vts, delay, n_stu, arr, dep, cause, effect, desc,
+    )
+
+
+def _entities_frame(payloads) -> pd.DataFrame:
+    """Typed entity rows for an iterable of FeedMessage payloads —
+    value-identical to running _decode_entity per entity."""
+    rows: list = []
+    ap = rows.append
+    for payload in payloads:
+        buf = bytes(payload)
+        i, n = 0, len(buf)
+        while i < n:
+            key, i = _dec_varint_at(buf, i)
+            f, w = key >> 3, key & 7
+            if w == 2:
+                ln, i = _dec_varint_at(buf, i)
+                if f == 2:  # FeedEntity (header=1 skipped)
+                    ap(_decode_entity_fast(buf[i : i + ln]))
+                i += ln
+            elif w == 0:
+                _, i = _dec_varint_at(buf, i)
+            elif w == 1:
+                i += 8
+            elif w == 5:
+                i += 4
+            else:
+                raise ValueError(f"unsupported wire type {w}")
+    cols = list(zip(*rows)) if rows else [[] for _ in _ENTITY_COLS]
+    out = pd.DataFrame(dict(zip(_ENTITY_COLS, cols)), columns=_ENTITY_COLS)
+    for c in (
+        "delay_seconds", "n_stop_updates", "sum_arrival_delay",
+        "sum_departure_delay", "cause", "effect",
+    ):
+        out[c] = pd.array(out[c], dtype="Int64")
+    out["vehicle_ts"] = pd.to_datetime(out["vehicle_ts"], unit="s")
+    return out
+
+
 def encode_feed_messages(events: DataFrame) -> DataFrame:
     """events rows -> one FeedMessage payload PER ARROW BATCH (a real
     multi-entity message with a FeedHeader, like one poll response).
@@ -313,29 +727,7 @@ def encode_feed_messages(events: DataFrame) -> DataFrame:
         for b in batches:
             if b.empty:
                 continue
-            # accumulate parts and join once: `body += part` over bytes
-            # is O(n^2) in batch size (each += copies the whole buffer)
-            parts = [_enc_len(1, _enc_len(1, b"2.0") + _enc_int(3, 0))]
-            for eid, uid, etype, val, ts in zip(
-                b["event_id"], b["user_id"], b["event_type"], b["value"],
-                b["ts"],
-            ):
-                parts.append(
-                    _enc_len(
-                        2,
-                        _encode_entity_from_event(
-                            int(eid),
-                            int(uid),
-                            None if etype is None or pd.isna(etype)
-                            else str(etype),
-                            None
-                            if val is None or pd.isna(val)
-                            else float(val),
-                            int(pd.Timestamp(ts).value // 1_000_000_000),
-                        ),
-                    )
-                )
-            yield pd.DataFrame({"payload": [b"".join(parts)]})
+            yield pd.DataFrame({"payload": [_encode_batch(b)]})
 
     return events.select(
         "event_id", "user_id", "event_type", "value", "ts"
@@ -434,19 +826,7 @@ def decode_feed_messages(feed: DataFrame) -> DataFrame:
 
     def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            rows: list[dict] = []
-            for payload in b["payload"]:
-                for field, _w, v in _dec_fields(bytes(payload)):
-                    if field == 2:  # FeedEntity (header=1 skipped)
-                        rows.append(_decode_entity(v))
-            out = pd.DataFrame(rows, columns=_ENTITY_COLS)
-            for c in (
-                "delay_seconds", "n_stop_updates", "sum_arrival_delay",
-                "sum_departure_delay", "cause", "effect",
-            ):
-                out[c] = pd.array(out[c], dtype="Int64")
-            out["vehicle_ts"] = pd.to_datetime(out["vehicle_ts"])
-            yield out
+            yield _entities_frame(b["payload"])
 
     return feed.mapInPandas(dec, _ENTITY_SCHEMA)
 
@@ -460,44 +840,15 @@ def roundtrip_feed_entities(events: DataFrame) -> DataFrame:
     serialized out of the first Python worker only to be shipped
     straight into a second one). Entity content is row-deterministic
     and independent of batch grouping, so the decoded rows are
-    identical to the two-stage path's."""
+    identical to the two-stage path's. All three closures share the
+    same _encode_batch/_entities_frame helpers, so the wire semantics
+    cannot drift between the fused and staged paths."""
 
     def rt(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             if b.empty:
                 continue
-            parts = [_enc_len(1, _enc_len(1, b"2.0") + _enc_int(3, 0))]
-            for eid, uid, etype, val, ts in zip(
-                b["event_id"], b["user_id"], b["event_type"], b["value"],
-                b["ts"],
-            ):
-                parts.append(
-                    _enc_len(
-                        2,
-                        _encode_entity_from_event(
-                            int(eid),
-                            int(uid),
-                            None if etype is None or pd.isna(etype)
-                            else str(etype),
-                            None
-                            if val is None or pd.isna(val)
-                            else float(val),
-                            int(pd.Timestamp(ts).value // 1_000_000_000),
-                        ),
-                    )
-                )
-            rows: list[dict] = []
-            for field, _w, v in _dec_fields(b"".join(parts)):
-                if field == 2:  # FeedEntity (header=1 skipped)
-                    rows.append(_decode_entity(v))
-            out = pd.DataFrame(rows, columns=_ENTITY_COLS)
-            for c in (
-                "delay_seconds", "n_stop_updates", "sum_arrival_delay",
-                "sum_departure_delay", "cause", "effect",
-            ):
-                out[c] = pd.array(out[c], dtype="Int64")
-            out["vehicle_ts"] = pd.to_datetime(out["vehicle_ts"])
-            yield out
+            yield _entities_frame([_encode_batch(b)])
 
     return events.select(
         "event_id", "user_id", "event_type", "value", "ts"

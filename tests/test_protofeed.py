@@ -173,3 +173,72 @@ def test_spark_encode_decode_identity(spark):
         for r in ev.collect()
     }
     assert got == want
+
+
+def test_fast_wire_matches_reference():
+    """Round-10: the batch-vectorized wire fast path (_encode_batch /
+    _entities_frame) must be BYTE-identical to the per-row reference
+    encoder and VALUE-identical to the per-row reference decoder over
+    every entity shape and null/presence branch (kind = eid % 3,
+    bearing on even eids, 0-2 stop updates via uid % 3, NULL
+    etype/value, negative delays and pre-1970 timestamps)."""
+    import pandas as pd
+
+    from big_data_project_spark.sources.protofeed import (
+        _ENTITY_COLS,
+        _decode_entity,
+        _dec_fields,
+        _enc_int,
+        _enc_len,
+        _encode_batch,
+        _encode_entity_from_event,
+        _entities_frame,
+    )
+
+    rows = []
+    i = 0
+    for eid in range(12):
+        for uid in (0, 1, 2, 5):
+            for etype in (None, f"r{eid % 4}"):
+                for val in (None, 3.7, -250.9, 1e6):
+                    ts = pd.Timestamp("1969-12-01") if i % 7 == 0 else (
+                        pd.Timestamp("2024-05-06 07:08:09")
+                        + pd.Timedelta(seconds=i)
+                    )
+                    rows.append((eid + i * 15, uid, etype, val, ts))
+                    i += 1
+    b = pd.DataFrame(
+        rows, columns=["event_id", "user_id", "event_type", "value", "ts"]
+    )
+
+    # reference bytes: header + per-row reference encoder
+    parts = [_enc_len(1, _enc_len(1, b"2.0") + _enc_int(3, 0))]
+    for eid, uid, etype, val, ts in rows:
+        parts.append(
+            _enc_len(
+                2,
+                _encode_entity_from_event(
+                    int(eid),
+                    uid,
+                    etype,
+                    val,
+                    int(pd.Timestamp(ts).value // 1_000_000_000),
+                ),
+            )
+        )
+    ref_payload = b"".join(parts)
+    assert _encode_batch(b) == ref_payload
+
+    # reference decode: per-row dict walk
+    ref_rows = [
+        _decode_entity(v) for f, _w, v in _dec_fields(ref_payload) if f == 2
+    ]
+    ref = pd.DataFrame(ref_rows, columns=_ENTITY_COLS)
+    for c in (
+        "delay_seconds", "n_stop_updates", "sum_arrival_delay",
+        "sum_departure_delay", "cause", "effect",
+    ):
+        ref[c] = pd.array(ref[c], dtype="Int64")
+    ref["vehicle_ts"] = pd.to_datetime(ref["vehicle_ts"])
+    got = _entities_frame([ref_payload])
+    pd.testing.assert_frame_equal(got, ref)

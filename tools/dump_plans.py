@@ -2,9 +2,9 @@
 
 Usage: python tools/dump_plans.py <suffix> [key ...]
 
-Writes plans/r09/<key>_<suffix>.txt for each key (default: every
+Writes plans/$SPARK_GRAFT_PLAN_TAG (default r10)/<key>_<suffix>.txt for each key (default: every
 bench.py HEADLINE key that is a registry query). The judge reads these
-files to check plan claims in OPTIMIZATION_r09.md against the code.
+files to check plan claims in the round's OPTIMIZATION notes against the code.
 """
 
 from __future__ import annotations
@@ -33,7 +33,7 @@ def main() -> None:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r09",
+        os.environ.get("SPARK_GRAFT_PLAN_TAG", "r10"),
     )
     os.makedirs(out_dir, exist_ok=True)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

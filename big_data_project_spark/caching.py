@@ -39,12 +39,12 @@ def release_caches() -> int:
     the session rollup/plan memo tier (rollups.shared_rollup persists
     its entries itself, outside this tracker; round-9 moved the LSH
     candidate list there, so a release that left the memo behind would
-    leak its persisted pair relation). Returns the number of tracked
-    handles released."""
+    leak its persisted pair relation). Returns the TOTAL number of
+    entries released: tracked handles plus dropped memo-tier entries
+    (round-9 advice: the count must mean "everything released")."""
     n = len(_TRACKED)
     while _TRACKED:
         _TRACKED.pop().unpersist()
     from .rollups import clear_rollup_cache
 
-    clear_rollup_cache()
-    return n
+    return n + clear_rollup_cache()

@@ -46,11 +46,15 @@ def shared_rollup(
     return df
 
 
-def clear_rollup_cache() -> None:
-    """Unpersist and drop every cached rollup (test isolation hook)."""
+def clear_rollup_cache() -> int:
+    """Unpersist and drop every cached rollup (test isolation hook).
+    Returns the number of entries dropped so release_caches() can count
+    the memo tier alongside its tracked handles."""
+    n = len(_CACHE)
     for df in _CACHE.values():
         try:
             df.unpersist()
         except Exception:
             pass  # context already stopped; nothing to release
     _CACHE.clear()
+    return n

@@ -609,3 +609,26 @@ def test_entropy_rate_identities(spark):
         rate += s / tot * h
     for r in ent.values():
         assert abs(r["entropy_rate"] - rate) < 1e-5
+
+
+def test_physical_sort_keys_hold_collected_order(spark):
+    """Round-9 moved winnowing_fingerprint's and dedup_editdist_verify's
+    output ordering into physical plumbing (repartitionByRange +
+    sortWithinPartitions below the heavy projection — no logical Sort
+    node), so a later operator added ABOVE the local sort could silently
+    break the global order while the row-set oracle gate stays green.
+    This pins the invariant the physical form must keep: the COLLECTED
+    rows arrive globally sorted by the output key (round-9 advice
+    item 2)."""
+    from big_data_project_spark.operators.corpus_stats import (
+        winnowing_fingerprint,
+    )
+    from big_data_project_spark.operators.dedup import dedup_editdist_verify
+
+    wf = [r["doc_id"] for r in winnowing_fingerprint(spark, SF_DIR).collect()]
+    assert wf == sorted(wf) and len(wf) > 0
+    ev = [
+        (r["a_id"], r["b_id"])
+        for r in dedup_editdist_verify(spark, SF_DIR).collect()
+    ]
+    assert ev == sorted(ev) and len(ev) > 0

@@ -323,6 +323,8 @@ def _encode_entity_from_event(
 # vehicle row. Measured on 100k sf0.1 events rows: encode 2.02 ->
 # 0.38 s, decode+frame 2.36 -> 1.08 s (bytes + frame identical).
 
+import numpy as np
+
 _VB = [bytes([i]) for i in range(128)]  # single-byte varints / tags
 
 
@@ -403,8 +405,6 @@ def _encode_batch(b: pd.DataFrame) -> bytes:
     """One FeedMessage for one Arrow batch — byte-identical to encoding
     each row with _encode_entity_from_event (parts joined once: `+=`
     over bytes is O(n²) in batch size)."""
-    import numpy as np
-
     etypes = b["event_type"].tolist()
     vals = b["value"].to_numpy()
     val_ok = (~np.isnan(vals)).tolist()
@@ -713,7 +713,21 @@ def _entities_frame(payloads) -> pd.DataFrame:
         "sum_departure_delay", "cause", "effect",
     ):
         out[c] = pd.array(out[c], dtype="Int64")
-    out["vehicle_ts"] = pd.to_datetime(out["vehicle_ts"], unit="s")
+    # epoch seconds -> datetime64 WITHOUT pandas' unit="s" float path:
+    # a mixed int/None column infers as float64 with NaN, and
+    # to_datetime(float, unit=...) C-casts NaN to int64 (undefined
+    # behavior — observed as a FLAKY FloatingPointError on some
+    # batches). int64 min is numpy's NaT sentinel, so building the i8
+    # array directly gives a deterministic, value-identical conversion.
+    nat = np.iinfo("int64").min
+    vts = np.array(
+        [nat if v is None else v for v in cols[_ENTITY_COLS.index("vehicle_ts")]],
+        dtype="int64",
+    )
+    out["vehicle_ts"] = pd.Series(
+        vts.astype("datetime64[s]").astype("datetime64[ns]"),
+        index=out.index,
+    )
     return out
 
 
